@@ -1,0 +1,221 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these on 100 TB):
+
+- exact dedup: hash-groupBy on a 60-bit content hash — one shuffle of
+  (hash, id), never of document bodies.
+- n-gram Jaccard: NEVER all-pairs. Candidates come from an inverted
+  index (explode shingles -> self-join on shingle) or LSH bands; the
+  quadratic blowup is bounded by bucket size. Oracle-checked variant
+  bounds candidates by a partition column.
+- MinHash: k independent permutations simulated by k salted 60-bit
+  hashes (min over shingles). Pure higher-order functions, JVM-side.
+- LSH banding: signature split into b bands of r rows; docs sharing a
+  band-hash are candidates. P(candidate) = 1-(1-J^r)^b.
+- SimHash: 64-bit (here 48-bit to stay in signed-long territory for
+  the oracle) bit-majority of token hashes; near-dups have small
+  Hamming distance.
+
+All signatures are md5-based (functions.exprs.hash64) so the DuckDB
+oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from terrorblade_spark.functions.exprs import hash64, tokens
+from terrorblade_spark.operators.textops import shingles
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, canonical_id,
+    dup_ids, n_dups). Canonical = smallest id."""
+    return (
+        df.select(F.col(id_col), hash64(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .where(F.col("n_members") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures as (id, signature array<long>).
+
+    signature[i] = min over shingles of hash64(i || ':' || shingle);
+    docs with no shingles (shorter than n tokens) get an all -1
+    sentinel.
+
+    Plan shape (the scalable one): explode shingles -> one narrow
+    (id, shingle) relation -> ``num_hashes`` min-aggregations in a
+    single groupBy (map-side partial aggregation, one shuffle of
+    (id, k longs)). Computing the signature as a nested
+    array-expression instead would inline the shingle pipeline k times
+    per row and blow up codegen — measured ~100x slower.
+    """
+    ex = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle"))
+    mins = ex.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 15), 16, 10).cast("long")
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    sig = mins.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+    sentinel = F.array(*[F.lit(-1).cast("long") for _ in range(num_hashes)])
+    return (
+        df.select(id_col)
+        .join(sig, on=id_col, how="left")
+        .select(F.col(id_col), F.coalesce(F.col("signature"), sentinel).alias("signature"))
+    )
+
+
+def lsh_band_keys(sig_col: Column, bands: int, rows: int) -> Column:
+    """Band the signature: array of (band_id, band_hash) structs.
+
+    band_hash folds the band's row values through the shared 60-bit
+    md5 hash of their concatenation, so the oracle can reproduce it.
+    """
+    def band_hash(b: int) -> Column:
+        piece = F.array_join(
+            F.transform(F.slice(sig_col, b * rows + 1, rows), lambda v: v.cast("string")), ","
+        )
+        return F.struct(
+            F.lit(b).alias("band"),
+            F.conv(F.substring(F.md5(piece), 1, 15), 16, 10).cast("long").alias("band_hash"),
+        )
+
+    return F.array(*[band_hash(b) for b in range(bands)])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Plan shape: project signatures -> explode bands (num_hashes/bands
+    structs per doc) -> self-join on (band, band_hash) -> distinct
+    pairs. The join key is high-cardinality, so the shuffle is on
+    small (band_hash, id) pairs; document text never shuffles.
+    """
+    rows = num_hashes // bands
+    sig = (
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+        .select(F.col(id_col).alias("doc"), F.col("signature").alias("sig"))
+        .where(F.element_at("sig", 1) != -1)
+    )
+    banded = sig.select("doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    bucket_cols: list[str] | None = None,
+) -> DataFrame:
+    """n-gram Jaccard similarity for candidate pairs.
+
+    Candidates = docs sharing ≥1 shingle (inverted-index join),
+    optionally restricted to the same ``bucket_cols`` partition (the
+    scale guard — at 100 TB you ALWAYS bucket, by LSH band or metadata).
+    Jaccard = |inter| / (|A| + |B| - |inter|), exact integer counts.
+    """
+    bucket_cols = bucket_cols or []
+    base = df.select(
+        *bucket_cols,
+        F.col(id_col).alias("doc"),
+        shingles(text_col, shingle_n).alias("sh"),
+    ).where(F.size("sh") > 0)
+    sized = base.withColumn("n_sh", F.size("sh").cast("long"))
+    ex = sized.select(*bucket_cols, "doc", "n_sh", F.explode("sh").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    join_keys = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols]
+    inter = (
+        a.join(b, on=join_keys + [F.col("a.shingle") == F.col("b.shingle")])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+    return inter.withColumn("jaccard", jac).where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def simhash_values(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 48
+) -> DataFrame:
+    """SimHash of the token multiset (bit-majority of token hashes) as
+    (id, simhash long).
+
+    48 bits keeps the value positive in a signed 64-bit long for both
+    engines. Same explode+aggregate shape as MinHash: one narrow
+    (id, token_hash) relation, ``bits`` conditional sums in a single
+    groupBy (map-side combine), then the bit-assembly on the tiny
+    aggregated result. Majority rule: bit set iff strictly more set
+    than unset token hashes (ties -> 0).
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).select(F.col(id_col), hash64(F.lower(F.col("tok"))).alias("h"))
+    counts = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"c{b}")
+            for b in range(bits)
+        ]
+    )
+    value = None
+    for b in range(bits):
+        term = F.when(F.col(f"c{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        value = term if value is None else value + term
+    hashed = counts.select(F.col(id_col), value.alias("simhash"))
+    return (
+        df.select(id_col)
+        .join(hashed, on=id_col, how="left")
+        .select(F.col(id_col), F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"))
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

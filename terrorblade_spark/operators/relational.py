@@ -1,0 +1,87 @@
+"""Relational operators (SURVEY §2.1–§2.3, §2.7).
+
+Each is a composable ``DataFrame -> DataFrame`` building block; Catalyst
+handles pushdown/pruning/join strategy. Scale notes inline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_by(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column]) -> DataFrame:
+    """W1 'latest name' dedup: one row per key, picked by ``order_by``
+    (descending columns included by caller, plus a deterministic
+    tiebreaker). Reference: telegram_database.py:331-343.
+
+    Single shuffle on ``keys``; at scale prefer this over
+    groupBy+join (one pass, no second shuffle).
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def anti_join_new(df: DataFrame, existing: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """P4/S5 idempotent-append filter: rows of ``df`` whose key is not
+    already in ``existing``. Replaces the reference's driver-side id-set
+    collection (TelegramPreprocessor.py:1270-1277) — never collects.
+    """
+    return df.join(existing.select(*keys), on=list(keys), how="left_anti")
+
+
+def idempotent_append(new_rows: DataFrame, existing: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """S5 'INSERT OR IGNORE' as a plan: existing ∪ (new ∖ existing).
+
+    With Delta this would be MERGE WHEN NOT MATCHED INSERT; on plain
+    parquet the anti-join+append is the transactional-enough analog
+    (telegram_database.py:925-928).
+    """
+    return existing.unionByName(anti_join_new(new_rows, existing, keys))
+
+
+def upsert_latest(new_rows: DataFrame, existing: DataFrame, keys: Sequence[str], version_col: str) -> DataFrame:
+    """S6 'INSERT OR REPLACE': union then keep the newest version per key."""
+    merged = existing.unionByName(new_rows, allowMissingColumns=True)
+    order = [F.col(version_col).desc_nulls_last()] + [F.col(k) for k in keys]
+    return latest_by(merged, keys, order)
+
+
+def dictionary_encode(
+    df: DataFrame, value_col: str, id_col: str = "id", start_id: int = 0
+) -> DataFrame:
+    """S7 dictionary table: distinct values -> dense ids, deterministic
+    by sort order. Distinct + a single-partition window over the (tiny)
+    dictionary — the window runs on the already-collapsed distinct set,
+    so the single partition holds only unique values, not rows.
+    """
+    w = Window.orderBy(value_col)
+    return (
+        df.select(value_col)
+        .where(F.col(value_col).isNotNull())
+        .distinct()
+        .withColumn(id_col, (F.row_number().over(w) - 1 + start_id).cast("int"))
+    )
+
+
+def apply_dictionary(df: DataFrame, dim: DataFrame, value_col: str, id_col: str) -> DataFrame:
+    """Replace a low-cardinality string column with its dictionary id via
+    broadcast join (replaces map_elements lookup, telegram_database.py:769-778).
+    """
+    return df.join(F.broadcast(dim), on=value_col, how="left").drop(value_col).withColumnRenamed(
+        id_col, value_col + "_id"
+    )
+
+
+def scd_rollup(df: DataFrame, keys: Sequence[str], ts_col: str) -> DataFrame:
+    """A5 name-dim rollup: first_seen/last_seen per (id, name)
+    (telegram_database.py:804-809)."""
+    return df.groupBy(*keys).agg(
+        F.min(ts_col).alias("first_seen"), F.max(ts_col).alias("last_seen")
+    )

@@ -1,0 +1,122 @@
+"""Text-analysis operators for LLM-data-pipeline prep.
+
+All are pure Catalyst expressions (split/filter/transform/aggregate
+higher-order functions) — no Python UDFs, so they run inside
+whole-stage codegen and scale linearly with input bytes.
+
+Word-count semantics: whitespace-run tokenization (split on \\s+,
+drop empties). The reference's SQL formula counts single-space runs
+(analyze_dialogues.py:273-276); we standardize on \\s+ and mirror the
+exact same regex in the DuckDB oracle (SURVEY §2.8 note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from terrorblade_spark.functions.exprs import hash64, tokens
+
+# tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic; deliberately small + frozen so the oracle can embed them.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"),
+    "fr": ("le", "la", "les", "et", "un", "une", "est", "que", "pour", "dans"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
+}
+
+
+def with_token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out_col, F.size(tokens(text_col)).cast("long"))
+
+
+def word_count_expr(text_col: str = "text") -> Column:
+    return F.size(tokens(text_col)).cast("long")
+
+
+def stopword_ratio(text_col: str, lang: str) -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    stop = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def predict_language(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """Language-ID heuristic: argmax of per-language stopword ratio,
+    'und' (undetermined) when no stopwords hit. Deterministic argmax:
+    ties broken by language code order via greatest-of-structs.
+    """
+    scored = F.array(
+        *[
+            F.struct(stopword_ratio(text_col, lang).alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(STOPWORDS, reverse=True)
+        ]
+    )
+    best = F.array_max(scored)
+    return df.withColumn(
+        out_col, F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality features + composite score:
+    length, token stats, punctuation/digit/uppercase ratios, mean token
+    length. All integer/single-op-double arithmetic → oracle-exact.
+    """
+    toks = tokens(text_col)
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[\.,;:!\?]", "")).cast("long")
+    n_digit = n_chars - F.length(F.regexp_replace(F.col(text_col), "[0-9]", "")).cast("long")
+    n_upper = n_chars - F.length(F.regexp_replace(F.col(text_col), "[A-Z]", "")).cast("long")
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("digit_ratio", F.when(n_chars > 0, n_digit.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0)))
+        .withColumn("upper_ratio", F.when(n_chars > 0, n_upper.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0)))
+        .withColumn("mean_token_len", mean_tok_len)
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: 60-bit hash of the whitespace-normalized,
+    lowercased text. Exact-dedup key that survives whitespace noise.
+    """
+    normalized = F.array_join(F.transform(tokens(text_col), lambda t: F.lower(t)), " ")
+    return df.withColumn(out_col, hash64(normalized))
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word-level n-gram shingles of the lowercased text.
+
+    Pure higher-order-function expression: zip token array against its
+    own tail slices. Empty result for docs shorter than n tokens.
+    """
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(-1)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.when(k >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def duck_shingles(expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles` (1-based list slicing)."""
+    toks = f"list_transform(list_filter(regexp_split_to_array(trim({expr}), '\\s+'), t -> t <> ''), t -> lower(t))"
+    return (
+        f"(CASE WHEN len({toks}) >= {n} THEN "
+        f"list_distinct(list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))) "
+        f"ELSE [] END)"
+    )

@@ -1,0 +1,163 @@
+"""Vector similarity operators (SURVEY §2.10 V1–V8 re-expressed).
+
+The reference uses DuckDB VSS/HNSW; Spark has no native ANN, so:
+
+- exact cosine top-k is the default (oracle-comparable bit-for-bit) —
+  a scan + TakeOrderedAndProject, embarrassingly parallel;
+- sign-LSH (random-hyperplane) bucketing is the approximate scale
+  path: hash each vector to a small bucket key, join on bucket, score
+  only within buckets. Hyperplanes are derived from the shared md5
+  hash so the oracle can reproduce them (no RNG).
+- an IVF-style variant partitions by a provided coarse key (here the
+  `label` column stands in for a centroid assignment).
+
+Dot products / norms are higher-order-function folds over
+array<float> cast to double: sequential left-to-right accumulation,
+which DuckDB's list_* functions match bit-for-bit (verified in tests).
+No Python UDF in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; null if either norm is 0."""
+    d = dot(a, b)
+    n = norm(a) * norm(b)
+    return F.when(n > 0, d / n)
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float | None = None,
+) -> DataFrame:
+    """V2 similarity_search: exact cosine of every vector against a
+    1-row query DataFrame, ordered desc with id tiebreak, top k.
+
+    The broadcast cross-join ships ONE row to every task; the scan
+    stays fully parallel and Spark plans TakeOrderedAndProject (no full
+    sort). This is the pattern that survives 100 TB: no collect, no
+    driver loop.
+    """
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    scored = vectors.crossJoin(q).select(
+        F.col(id_col), cosine(F.col(vec_col), F.col("__qvec")).alias("cosine_sim")
+    )
+    if threshold is not None:
+        scored = scored.where(F.col("cosine_sim") >= threshold)
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+def knn_join(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force k-NN join: for each query row, its top-k neighbors
+    (excluding itself). Queries are broadcast; per-query top-k via
+    row_number window partitioned by query id."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec"))
+    )
+    scored = vectors.crossJoin(q).where(F.col(id_col) != F.col(query_id_col)).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def sign_lsh_bucket(vec_col: Column, planes: int = 8, dims: int = 64, salt: str = "p") -> Column:
+    """Random-hyperplane LSH bucket id (0..2^planes-1).
+
+    Hyperplane p's component for dimension d is ±1 derived from the
+    shared md5 hash64(salt:p:d) parity — deterministic, reproducible in
+    SQL, no stored model. bucket bit p = sign(Σ_d ±1 · v[d]).
+    """
+    bits = []
+    for p in range(planes):
+        signs = F.array(
+            *[
+                F.when(
+                    F.conv(F.substring(F.md5(F.lit(f"{salt}:{p}:{d}")), 1, 15), 16, 10)
+                    .cast("long")
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                for d in range(dims)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec_col, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    At scale the bucket column is a partition/bucketing key, so this is
+    a partition-pruned scan of ~1/2^planes of the data.
+    """
+    bucketed = vectors.withColumn("__bucket", sign_lsh_bucket(F.col(vec_col), planes, dims))
+    q = F.broadcast(
+        query.select(
+            F.col(vec_col).alias("__qvec"),
+            sign_lsh_bucket(F.col(vec_col), planes, dims).alias("__bucket"),
+        )
+    )
+    scored = bucketed.join(q, on="__bucket").select(
+        F.col(id_col), cosine(F.col(vec_col), F.col("__qvec")).alias("cosine_sim")
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)

@@ -1,0 +1,143 @@
+"""Window + sessionization operators (SURVEY §2.5, E2/E4/E5/E6).
+
+All are single-shuffle plans: one ``Window.partitionBy(entity).orderBy
+(time, id)`` reused across the chained expressions, so Catalyst plans
+ONE sort+exchange even when several window columns are stacked.
+
+Deterministic ordering: every orderBy carries the unique id column as a
+tiebreaker — order-sensitive ops (cumsum sessionization, lag gaps,
+ordered collect) then produce identical results on any partitioning,
+which is what makes them safe at 1000 executors (SURVEY §7 'genuinely
+hard' (c)).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.window import WindowSpec
+
+
+def entity_window(partition_cols: Sequence[str], order_cols: Sequence[str]) -> WindowSpec:
+    return Window.partitionBy(*partition_cols).orderBy(*order_cols)
+
+
+def with_gap_ms(
+    df: DataFrame,
+    ts_col: str,
+    partition_cols: Sequence[str],
+    id_col: str,
+    out_col: str = "gap_ms",
+) -> DataFrame:
+    """W3: integer epoch-millis gap to the previous row (null on first)."""
+    w = entity_window(partition_cols, [ts_col, id_col])
+    millis = F.unix_millis(F.col(ts_col))
+    return df.withColumn(out_col, millis - F.lag(millis).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    partition_cols: Sequence[str],
+    id_col: str,
+    gap: str | int = "1 hour",
+    out_col: str = "session_id",
+    extra_break: Column | None = None,
+) -> DataFrame:
+    """W4/E2: gap-based sessionization as cumsum-of-breaks.
+
+    ``session_id`` is 0-based per partition entity. A row starts a new
+    session when it is the first row, the gap to the previous row
+    exceeds ``gap`` (seconds or a '5 minutes'-style string), or
+    ``extra_break`` (e.g. author change E6, semantic break E4) is true.
+    Reference twin: analyze_dialogues.py:515-521, TextPreprocessor.py:202-206.
+    """
+    gap_s = _parse_gap_seconds(gap)
+    w = entity_window(partition_cols, [ts_col, id_col])
+    millis = F.unix_millis(F.col(ts_col))
+    gap_ms = millis - F.lag(millis).over(w)
+    brk = gap_ms.isNull() | (gap_ms > gap_s * 1000)
+    if extra_break is not None:
+        brk = brk | F.coalesce(extra_break, F.lit(False))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out_col, (F.sum(brk.cast("int")).over(run) - 1).cast("long"))
+
+
+def _parse_gap_seconds(gap: str | int) -> int:
+    """Parse '5m' / '5 minutes' / '1h' / seconds-int (TextPreprocessor.py:191-199)."""
+    if isinstance(gap, int):
+        return gap
+    g = gap.strip().lower()
+    units = {"s": 1, "sec": 1, "second": 1, "seconds": 1,
+             "m": 60, "min": 60, "minute": 60, "minutes": 60,
+             "h": 3600, "hour": 3600, "hours": 3600,
+             "d": 86400, "day": 86400, "days": 86400}
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*([a-z]*)", g)
+    if not m:
+        raise ValueError(f"cannot parse gap {gap!r}")
+    n, unit = int(m.group(1)), m.group(2) or "s"
+    if unit not in units:
+        raise ValueError(f"unknown gap unit {unit!r}")
+    return n * units[unit]
+
+
+def run_ids(
+    df: DataFrame,
+    change_col: Column,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    out_col: str = "run_id",
+) -> DataFrame:
+    """E5/E6 'consecutive runs': new run when ``change_col`` differs from
+    the previous row. First row of a partition starts run 0 (the
+    reference's forced df[0,'group_id']=0, TextPreprocessor.py:458,
+    falls out of coalescing the null lag to 'changed')."""
+    w = entity_window(partition_cols, order_cols)
+    changed = F.coalesce(
+        change_col != F.lag(change_col).over(w), F.lit(True)
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out_col, (F.sum(changed.cast("int")).over(run) - 1).cast("long"))
+
+
+def forward_fill(
+    df: DataFrame,
+    col: str,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """W6 forward fill: last non-null value up to the current row."""
+    w = entity_window(partition_cols, order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(out_col or col, F.last(F.col(col), ignorenulls=True).over(w))
+
+
+def context_collect(
+    df: DataFrame,
+    collect_col: str,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    before: int = 5,
+    after: int = 5,
+    out_col: str = "context",
+) -> DataFrame:
+    """W7 ±N context snippet: per row, the ordered neighbors' values.
+
+    Replaces the reference's per-hit N+1 SQL loop
+    (vector_store.py:400-405) with one windowed pass.
+    """
+    w = entity_window(partition_cols, order_cols).rowsBetween(-before, after)
+    return df.withColumn(out_col, F.collect_list(F.col(collect_col)).over(w))
+
+
+def global_renumber(df: DataFrame, order_cols: Sequence[str], out_col: str = "group_number") -> DataFrame:
+    """W5: 0-based global numbering by start time. Single-partition
+    window — only ever applied to small post-aggregation results."""
+    w = Window.orderBy(*order_cols)
+    return df.withColumn(out_col, (F.row_number().over(w) - 1).cast("long"))

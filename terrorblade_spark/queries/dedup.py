@@ -1,0 +1,177 @@
+"""Deduplication query surface over the documents table (exact,
+MinHash signatures, LSH candidate pairs, bounded n-gram Jaccard,
+SimHash). See operators.dedup for the scale rationale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terrorblade_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash_values,
+)
+from terrorblade_spark.operators.textops import duck_shingles
+from terrorblade_spark.registry import query
+from terrorblade_spark.tables import load_table
+
+_SH = duck_shingles("text", 3)
+_NUM_HASHES = 16
+_BANDS = 4
+_ROWS = _NUM_HASHES // _BANDS
+
+
+# --- q31: exact duplicate groups (hash-groupBy) -----------------------------
+
+@query(
+    "q31_exact_dedup",
+    oracle="""
+    SELECT content_hash, canonical_id, member_ids, n_members FROM (
+      SELECT ('0x' || substring(md5(text), 1, 15))::BIGINT AS content_hash,
+             min(doc_id) AS canonical_id,
+             array_agg(doc_id ORDER BY doc_id) AS member_ids,
+             count(*) AS n_members
+      FROM documents
+      GROUP BY 1
+    ) WHERE n_members > 1
+    ORDER BY content_hash
+    """,
+)
+def q31_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(d, "doc_id", "text").orderBy("content_hash")
+
+
+# --- q32: MinHash signatures ------------------------------------------------
+
+def _duck_minhash() -> str:
+    per_hash = ", ".join(
+        f"list_min(list_transform(sh, s -> ('0x' || substring(md5('{i}:' || s), 1, 15))::BIGINT))"
+        for i in range(_NUM_HASHES)
+    )
+    return f"(CASE WHEN len(sh) > 0 THEN [{per_hash}] ELSE [{', '.join(['-1'] * _NUM_HASHES)}] END)"
+
+
+@query(
+    "q32_minhash_signatures",
+    oracle=f"""
+    WITH shingled AS (SELECT doc_id, {_SH} AS sh FROM documents)
+    SELECT doc_id, {_duck_minhash()} AS signature
+    FROM shingled
+    ORDER BY doc_id
+    """,
+)
+def q32_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(d, "doc_id", "text", _NUM_HASHES, 3).orderBy("doc_id")
+
+
+# --- q33: MinHash-LSH candidate pairs ---------------------------------------
+
+def _duck_bands() -> str:
+    """Band hashes from the minhash signature (list 'sig')."""
+    bands = ", ".join(
+        "{'band': %d, 'band_hash': ('0x' || substring(md5("
+        "array_to_string(list_transform(list_slice(sig, %d, %d), v -> v::VARCHAR), ',')"
+        "), 1, 15))::BIGINT}" % (b, b * _ROWS + 1, (b + 1) * _ROWS)
+        for b in range(_BANDS)
+    )
+    return f"[{bands}]"
+
+
+@query(
+    "q33_minhash_lsh_pairs",
+    oracle=f"""
+    WITH shingled AS (SELECT doc_id, {_SH} AS sh FROM documents),
+    sigs AS (
+      SELECT doc_id, {_duck_minhash()} AS sig FROM shingled WHERE len(sh) > 0
+    ), banded AS (
+      SELECT doc_id, unnest({_duck_bands()}, recursive := true) FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+    WHERE a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+)
+def q33_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3
+    ).orderBy("id_a", "id_b")
+
+
+# --- q34: bounded n-gram Jaccard pairs --------------------------------------
+
+@query(
+    "q34_ngram_jaccard",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT lang, source, doc_id, {_SH} AS sh FROM documents
+    ), sized AS (
+      SELECT *, CAST(len(sh) AS BIGINT) AS n_sh FROM shingled WHERE len(sh) > 0
+    ), ex AS (
+      SELECT lang, source, doc_id, n_sh, unnest(sh) AS shingle FROM sized
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             count(*) AS n_inter
+      FROM ex a JOIN ex b
+        ON a.lang = b.lang AND a.source = b.source AND a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, n_inter::DOUBLE / (n_a + n_b - n_inter)::DOUBLE AS jaccard
+    FROM inter
+    WHERE n_inter::DOUBLE / (n_a + n_b - n_inter)::DOUBLE >= 0.2
+    ORDER BY id_a, id_b
+    """,
+)
+def q34_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.2, bucket_cols=["lang", "source"]
+    ).orderBy("id_a", "id_b")
+
+
+# --- q35: SimHash values ----------------------------------------------------
+
+_BITS = 48
+
+
+def _duck_simhash() -> str:
+    toks = "list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''), t -> lower(t))"
+    hashes = f"list_transform({toks}, t -> ('0x' || substring(md5(t), 1, 15))::BIGINT)"
+    # per bit b: count of hashes with bit set vs total -> majority
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1)) > len(hs)"
+        f" THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(_BITS)
+    )
+    return f"(SELECT CASE WHEN len(hs) > 0 THEN {bit_terms} ELSE 0 END FROM (SELECT {hashes} AS hs) _t)"
+
+
+@query(
+    "q35_simhash",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             list_transform(list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''), t -> lower(t)),
+                            t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           (CASE WHEN len(hs) > 0 THEN {" + ".join(
+               f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1)) > len(hs)"
+               f" THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)" for b in range(_BITS)
+           )} ELSE 0::BIGINT END) AS simhash
+    FROM hashed
+    ORDER BY doc_id
+    """,
+)
+def q35_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_values(d, "doc_id", "text", _BITS).orderBy("doc_id")

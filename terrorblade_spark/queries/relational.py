@@ -1,0 +1,343 @@
+"""Relational query surface: scans, filters, joins, aggregations,
+sorts/top-k, set ops (SURVEY §2.1–§2.4, §2.6–§2.7) over the test star
+schema. Each query has a DuckDB oracle; numeric determinism via
+decimal-exact sums (see functions.exprs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from terrorblade_spark.functions.exprs import dec_sum
+from terrorblade_spark.operators.relational import dictionary_encode, latest_by
+from terrorblade_spark.registry import query
+from terrorblade_spark.tables import load_table
+
+
+# --- q01: flagship pricing summary (A4-family agg; TPC-H Q1 shape) ----------
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DOUBLE AS sum_disc_price,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+               * CAST(1 + l_tax AS DECIMAL(9,2)))::DOUBLE AS sum_charge,
+           sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE / count(*) AS avg_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE / count(*) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # rounding the double triple-product at 4dp is ambiguous across engines
+    # (true value has 6dp); multiply exactly in decimal instead
+    charge_dec = disc_price.cast("decimal(18,4)") * (
+        F.lit(1) + F.col("l_tax")
+    ).cast("decimal(9,2)")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(disc_price, 4).alias("sum_disc_price"),
+            F.sum(charge_dec).cast("double").alias("sum_charge"),
+            (dec_sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (dec_sum("l_extendedprice") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- q02: per-customer order stats (Q1/Q2 get_user_stats analog, A4) --------
+
+@query(
+    "q02_customer_order_stats",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           count(o.o_orderkey) AS n_orders,
+           sum(CAST(o.o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total_spent,
+           min(o.o_orderdate) AS first_order,
+           max(o.o_orderdate) AS last_order,
+           count(DISTINCT o.o_orderpriority) AS n_priorities
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+    ORDER BY c.c_custkey
+    """,
+)
+def q02_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    # broadcast the dim side: the fact (orders) streams, no shuffle of orders
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dec_sum("o_totalprice").alias("total_spent"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --- q03: top revenue orders (J + A + O2 top-k; TPC-H Q3 shape) -------------
+
+@query(
+    "q03_top_revenue_orders",
+    oracle="""
+    SELECT l.l_orderkey, o.o_orderdate,
+           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))::DOUBLE AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- q04: regional revenue rollup (multi-join star; TPC-H Q5 shape) ---------
+
+@query(
+    "q04_region_revenue",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))::DOUBLE AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+    """,
+)
+def q04_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --- q05: latest event per user (W1 latest-name dedup) ----------------------
+
+@query(
+    "q05_latest_event_per_user",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_event_type, value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def q05_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        latest_by(e, ["user_id"], [F.desc("ts"), F.desc("event_id")])
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- q06: customers without 1995 orders (J7 anti-join) ----------------------
+
+@query(
+    "q06_customers_without_1995_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    )
+    ORDER BY c_custkey
+    """,
+)
+def q06_customers_without_1995_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --- q07: event_type dictionary (S7 dictionary encode) ----------------------
+
+@query(
+    "q07_event_type_dict",
+    oracle="""
+    SELECT CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS INTEGER) AS event_type_id,
+           event_type, count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type_id
+    """,
+)
+def q07_event_type_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dim = dictionary_encode(e, "event_type", "event_type_id")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        dim.join(counts, "event_type")
+        .select("event_type_id", "event_type", "n_events")
+        .orderBy("event_type_id")
+    )
+
+
+# --- q08: top customer per nation (window rank over join) -------------------
+
+@query(
+    "q08_top_customer_per_nation",
+    oracle="""
+    SELECT n_name, c_custkey, c_name, c_acctbal FROM (
+      SELECT n.n_name, c.c_custkey, c.c_name, c.c_acctbal,
+             row_number() OVER (PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) WHERE rn <= 3
+    ORDER BY n_name, c_acctbal DESC, c_custkey
+    """,
+)
+def q08_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("n_name", "c_custkey", "c_name", "c_acctbal")
+        .orderBy("n_name", F.desc("c_acctbal"), "c_custkey")
+    )
+
+
+# --- q09: order priority distribution (A4 + countDistinct) ------------------
+
+@query(
+    "q09_order_priority_stats",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q09_order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dec_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- q10: idempotent append semantics (S5 dedup-union, U-family) ------------
+
+@query(
+    "q10_idempotent_union",
+    oracle="""
+    WITH batch1 AS (SELECT event_id, user_id, ts, event_type FROM events WHERE event_id % 3 != 2),
+         batch2 AS (SELECT event_id, user_id, ts, event_type FROM events WHERE event_id % 3 != 0)
+    SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_distinct
+    FROM (
+      SELECT * FROM batch1
+      UNION ALL
+      SELECT * FROM batch2 b WHERE NOT EXISTS (SELECT 1 FROM batch1 a WHERE a.event_id = b.event_id)
+    )
+    """,
+)
+def q10_idempotent_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.relational import idempotent_append
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    batch1 = e.where(F.col("event_id") % 3 != 2)
+    batch2 = e.where(F.col("event_id") % 3 != 0)
+    merged = idempotent_append(batch2, batch1, ["event_id"])
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.countDistinct("event_id").alias("n_distinct")
+    )
+
+
+# --- q11: part popularity with broadcast dim (scan+prune shape) -------------
+
+@query(
+    "q11_part_type_revenue",
+    oracle="""
+    SELECT p.p_type, count(*) AS n_items,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS revenue,
+           sum(CAST(l.l_quantity AS DECIMAL(18,2)))::DOUBLE / count(*) AS avg_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+    ORDER BY p.p_type
+    """,
+)
+def q11_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum("l_extendedprice").alias("revenue"),
+            (dec_sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        )
+        .orderBy("p_type")
+    )

@@ -1,0 +1,286 @@
+"""Sessionization + time-window query surface (SURVEY §2.5 W4, §2.9 E2,
+§2.12) over the events table: gap sessions, native session_window,
+tumbling/sliding windows, and the full Q7 'long message groups' analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from terrorblade_spark.functions.exprs import dec_sum
+from terrorblade_spark.operators.windows import global_renumber, sessionize
+from terrorblade_spark.registry import query
+from terrorblade_spark.tables import load_table
+
+_SESSIONIZE_SQL = """
+      SELECT *,
+             CAST(sum(CASE WHEN gap_ms IS NULL OR gap_ms > {gap_ms} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+      FROM (
+        SELECT *, epoch_ms(ts) - lag(epoch_ms(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        FROM {src}
+      )
+"""
+
+
+# --- q19: session assignment (W4/E2 cumsum-of-breaks) -----------------------
+
+@query(
+    "q19_session_assignment",
+    oracle=f"""
+    SELECT event_id, user_id, ts, session_id
+    FROM ({_SESSIONIZE_SQL.format(gap_ms=3600000, src="events")})
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def q19_session_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, "ts", ["user_id"], "event_id", gap="1 hour")
+    return s.select("event_id", "user_id", "ts", "session_id").orderBy(
+        "user_id", "ts", "event_id"
+    )
+
+
+# --- q20: per-session rollup (A8 with min-size gate A3) ---------------------
+
+@query(
+    "q20_session_stats",
+    oracle=f"""
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms,
+           count(DISTINCT event_type) AS n_event_types,
+           sum(CAST(value AS DECIMAL(18,6)))::DOUBLE AS total_value,
+           array_agg(event_id ORDER BY ts, event_id) AS event_ids
+    FROM ({_SESSIONIZE_SQL.format(gap_ms=3600000, src="events")})
+    GROUP BY user_id, session_id
+    HAVING count(*) >= 3
+    ORDER BY user_id, session_id
+    """,
+)
+def q20_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, "ts", ["user_id"], "event_id", gap="1 hour")
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id")))
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            dec_sum("value", 6).alias("total_value"),
+            F.transform(ordered, lambda x: x.event_id).alias("event_ids"),
+        )
+        .where(F.col("n_events") >= 3)
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --- q21: native session_window parity (E2 via Structured-Streaming-ready op)
+
+@query(
+    "q21_session_window",
+    oracle=f"""
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM ({_SESSIONIZE_SQL.format(gap_ms=1800000, src="events")})
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q21_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# --- q22: tumbling hourly windows (§2.12) -----------------------------------
+
+@query(
+    "q22_tumbling_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           sum(CAST(value AS DECIMAL(18,6)))::DOUBLE AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q22_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dec_sum("value", 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users", "total_value")
+        .orderBy("window_start")
+    )
+
+
+# --- q23: sliding windows (1h window, 30m slide) ----------------------------
+
+@query(
+    "q23_sliding_windows",
+    oracle="""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS w0, user_id, value FROM events
+    ), exploded AS (
+      SELECT w0 AS window_start, user_id, value FROM assigned
+      UNION ALL
+      SELECT w0 - INTERVAL 30 MINUTE AS window_start, user_id, value FROM assigned
+    )
+    SELECT window_start, count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,6)))::DOUBLE AS total_value
+    FROM exploded
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q23_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", 6).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+# --- q24: long-session mining — the Q7 flagship pipeline --------------------
+
+@query(
+    "q24_long_session_mining",
+    oracle="""
+    WITH long_events AS (
+      SELECT * FROM events WHERE value >= 50
+    ), sess AS (
+      SELECT *,
+             CAST(sum(CASE WHEN gap_ms IS NULL OR gap_ms > 7200000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+      FROM (
+        SELECT *, epoch_ms(ts) - lag(epoch_ms(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        FROM long_events
+      )
+    ), grouped AS (
+      SELECT user_id, session_id,
+             count(*) AS n_events,
+             min(ts) AS start_time,
+             max(ts) AS end_time,
+             epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms,
+             count(DISTINCT event_type) AS n_event_types,
+             sum(CAST(value AS DECIMAL(18,6)))::DOUBLE AS total_value,
+             array_agg(event_id ORDER BY ts, event_id) AS event_ids
+      FROM sess
+      GROUP BY user_id, session_id
+      HAVING count(*) >= 3
+    )
+    SELECT CAST(row_number() OVER (ORDER BY start_time, user_id) - 1 AS BIGINT) AS group_number,
+           user_id, n_events, start_time, end_time, duration_ms,
+           n_event_types, total_value, event_ids
+    FROM grouped
+    ORDER BY group_number
+    """,
+)
+def q24_long_session_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(F.col("value") >= 50)
+    s = sessionize(e, "ts", ["user_id"], "event_id", gap="2 hours")
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id")))
+    grouped = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_time"),
+            F.max("ts").alias("end_time"),
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            dec_sum("value", 6).alias("total_value"),
+            F.transform(ordered, lambda x: x.event_id).alias("event_ids"),
+        )
+        .where(F.col("n_events") >= 3)
+    )
+    return (
+        global_renumber(grouped, ["start_time", "user_id"], "group_number")
+        .select(
+            "group_number", "user_id", "n_events", "start_time", "end_time",
+            "duration_ms", "n_event_types", "total_value", "event_ids",
+        )
+        .orderBy("group_number")
+    )
+
+
+# --- q25: overlap context around sessions (W8, set-wise — no driver loop) ---
+
+@query(
+    "q25_session_overlap_context",
+    oracle=f"""
+    WITH seqd AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+      FROM events
+    ), sess AS (
+      SELECT user_id, session_id, min(seq) AS min_seq, max(seq) AS max_seq, min(ts) AS session_start
+      FROM ({_SESSIONIZE_SQL.format(gap_ms=3600000, src="seqd")})
+      GROUP BY user_id, session_id
+      HAVING count(*) >= 5
+    )
+    SELECT s.user_id, s.session_id,
+           count(*) AS n_with_context,
+           array_agg(e.event_id ORDER BY e.seq) AS context_event_ids
+    FROM sess s JOIN seqd e
+      ON e.user_id = s.user_id AND e.seq BETWEEN s.min_seq - 3 AND s.max_seq + 3
+    GROUP BY s.user_id, s.session_id
+    ORDER BY s.user_id, s.session_id
+    """,
+)
+def q25_session_overlap_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqd = e.withColumn("seq", F.row_number().over(w))
+    sess = (
+        sessionize(seqd, "ts", ["user_id"], "event_id", gap="1 hour")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("seq").alias("min_seq"),
+            F.max("seq").alias("max_seq"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .where(F.col("n_events") >= 5)
+    )
+    joined = sess.alias("s").join(
+        seqd.alias("e"),
+        (F.col("e.user_id") == F.col("s.user_id"))
+        & F.col("e.seq").between(F.col("s.min_seq") - 3, F.col("s.max_seq") + 3),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct(F.col("e.seq"), F.col("e.event_id"))))
+    return (
+        joined.groupBy(F.col("s.user_id").alias("user_id"), F.col("s.session_id").alias("session_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_with_context"),
+            F.transform(ordered, lambda x: x.event_id).alias("context_event_ids"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -1,0 +1,160 @@
+"""Text-analysis query surface over the documents table: token stats,
+language-ID heuristic, quality scoring, fingerprinting (all pure
+Catalyst expressions — see operators.textops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terrorblade_spark.operators.textops import (
+    STOPWORDS,
+    fingerprint,
+    predict_language,
+    quality_score,
+    with_token_count,
+)
+from terrorblade_spark.registry import query
+from terrorblade_spark.tables import load_table
+
+_DUCK_TOKENS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+_DUCK_LTOKENS = f"list_transform({_DUCK_TOKENS}, t -> lower(t))"
+
+
+# --- q26: token counting ----------------------------------------------------
+
+@query(
+    "q26_token_stats",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_q
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q26_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        with_token_count(d, "text", "n_tokens")
+        .withColumn("n_chars_q", F.length("text").cast("long"))
+        .select("doc_id", "lang", "source", "n_tokens", "n_chars_q")
+        .orderBy("doc_id")
+    )
+
+
+# --- q27: token-length distribution per source (corpus profiling) -----------
+
+@query(
+    "q27_corpus_profile",
+    oracle=f"""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(CAST(len({_DUCK_TOKENS}) AS BIGINT)) AS BIGINT) AS total_tokens,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           sum(CAST(n_chars AS DECIMAL(18,2)))::DOUBLE / count(*) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def q27_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.functions.exprs import dec_sum
+    from terrorblade_spark.operators.textops import word_count_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(word_count_expr("text")).alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            (dec_sum("n_chars") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# --- q28: language-ID heuristic ---------------------------------------------
+
+def _duck_stop_ratio(lang: str) -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+    return (
+        f"(CASE WHEN len({_DUCK_LTOKENS}) > 0 THEN "
+        f"len(list_filter({_DUCK_LTOKENS}, t -> list_contains([{stop}], t)))::DOUBLE"
+        f" / len({_DUCK_LTOKENS})::DOUBLE ELSE 0.0 END)"
+    )
+
+
+@query(
+    "q28_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             [{", ".join(f"{{'score': {_duck_stop_ratio(lang)}, 'lang': '{lang}'}}" for lang in sorted(STOPWORDS, reverse=True))}] AS scores
+      FROM documents
+    ), best AS (
+      SELECT doc_id, lang,
+             list_aggregate(scores, 'max') AS b
+      FROM scored
+    )
+    SELECT doc_id, lang,
+           CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS pred_lang
+    FROM best
+    ORDER BY doc_id
+    """,
+)
+def q28_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return predict_language(d, "text").select("doc_id", "lang", "pred_lang").orderBy("doc_id")
+
+
+# --- q29: quality scoring ---------------------------------------------------
+
+@query(
+    "q29_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_q,
+           CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+           (CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE / length(text)::DOUBLE
+            ELSE 0.0 END) AS punct_ratio,
+           (CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)::DOUBLE
+            ELSE 0.0 END) AS digit_ratio,
+           (CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE / length(text)::DOUBLE
+            ELSE 0.0 END) AS upper_ratio,
+           (CASE WHEN len({_DUCK_TOKENS}) > 0 THEN
+             list_sum(list_transform({_DUCK_TOKENS}, t -> length(t)))::DOUBLE / len({_DUCK_TOKENS})::DOUBLE
+            ELSE 0.0 END) AS mean_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q29_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return quality_score(d, "text").select(
+        "doc_id", "n_chars_q", "n_tokens", "punct_ratio", "digit_ratio",
+        "upper_ratio", "mean_token_len",
+    ).orderBy("doc_id")
+
+
+# --- q30: document fingerprints ---------------------------------------------
+
+@query(
+    "q30_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           ('0x' || substring(md5(array_to_string({_DUCK_LTOKENS}, ' ')), 1, 15))::BIGINT AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q30_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return fingerprint(d, "text").select("doc_id", "fingerprint").orderBy("doc_id")

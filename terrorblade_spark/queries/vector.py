@@ -1,0 +1,158 @@
+"""Vector-search query surface over the embeddings table (V1–V8):
+exact cosine top-k, threshold search, k-NN join, within-label near-dup,
+and centroid stats. Dot products are sequential double folds that
+DuckDB's list_cosine_similarity/list_dot_product reproduce bit-for-bit
+(verified by tests; both engines fold the 64-dim lists left-to-right
+in double precision after casting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terrorblade_spark.operators.vector import cosine, cosine_topk, knn_join
+from terrorblade_spark.registry import query
+from terrorblade_spark.tables import load_table
+
+# cast embeddings to DOUBLE[] in the oracle so accumulation precision
+# matches Spark's double fold
+_Q = "(SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)"
+_COS = (
+    "list_dot_product(e.embedding::DOUBLE[], q.qvec)"
+    " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.qvec, q.qvec)))"
+)
+
+
+# --- q36: exact cosine top-k (V2 similarity_search) -------------------------
+
+@query(
+    "q36_cosine_topk",
+    oracle=f"""
+    SELECT e.vec_id, {_COS} AS cosine_sim
+    FROM embeddings e, {_Q} q
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 20
+    """,
+)
+def q36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0)
+    return cosine_topk(emb, q, k=20, id_col="vec_id", vec_col="embedding")
+
+
+# --- q37: threshold similarity search (V2 with threshold + filter) ----------
+
+@query(
+    "q37_threshold_search",
+    oracle=f"""
+    SELECT e.vec_id, e.label, {_COS} AS cosine_sim
+    FROM embeddings e, {_Q} q
+    WHERE {_COS} >= 0.5 AND e.vec_id != 0
+    ORDER BY e.vec_id
+    """,
+)
+def q37_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("__qvec")))
+    return (
+        emb.crossJoin(q)
+        .select("vec_id", "label", cosine(F.col("embedding"), F.col("__qvec")).alias("cosine_sim"))
+        .where((F.col("cosine_sim") >= 0.5) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", "cosine_sim")
+        .orderBy("vec_id")
+    )
+
+
+# --- q38: k-NN join for the first 5 vectors (V5 fan-out shape) --------------
+
+@query(
+    "q38_knn_join",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(e.embedding::DOUBLE[], q.qvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine_sim
+      FROM embeddings e, q
+      WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine_sim FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def q38_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    return knn_join(q, emb, k=3, id_col="vec_id", vec_col="embedding").orderBy(
+        "query_id", "rank"
+    )
+
+
+# --- q39: embedding near-dup pairs within label (bounded brute force) -------
+
+@query(
+    "q39_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def q39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= 0.9)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- q40: per-label centroid stats (vector agg via element-wise mean) -------
+
+@query(
+    "q40_label_vector_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vectors,
+           sum(CAST(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS DECIMAL(18,6)))::DOUBLE
+             / count(*) AS avg_sq_norm
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q40_label_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.functions.exprs import dec_sum
+    from terrorblade_spark.operators.vector import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = dot(F.col("embedding"), F.col("embedding"))
+    return (
+        emb.select("label", sq.alias("sq_norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (dec_sum("sq_norm", 6) / F.count(F.lit(1))).alias("avg_sq_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,47 @@
+"""SparkSession factory.
+
+Defaults are chosen for correctness-on-local + scalability-by-design:
+AQE handles runtime re-planning (partition coalescing, skew joins) so
+the same plans survive a 1000-executor cluster; Arrow makes the
+pandas-UDF boundary columnar; UTC session timezone pins timestamp
+semantics to the oracle's (naive/UTC) interpretation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "terrorblade_spark", master: str | None = None) -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- planner / optimizer ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        # --- arrow / python boundary ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- semantics ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # TIMESTAMP(NANOS) parquet (events.ts) is unreadable by Spark's
+        # timestamp types; read as long and convert in tables.load_table
+        # (DuckDB also truncates ns -> µs internally, so semantics align)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet scans: vectorized reader + pushdown are on by default;
+        # cap split size so local[32] actually parallelizes small files
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

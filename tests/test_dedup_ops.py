@@ -1,0 +1,117 @@
+"""Unit tests for dedup operators on handcrafted documents: known
+duplicates, known near-duplicates, too-short docs, empty text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from terrorblade_spark.operators.dedup import (
+    exact_dedup_groups,
+    hamming64,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash_values,
+)
+from terrorblade_spark.operators.textops import shingles
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark, ["aaa", "bbb", "aaa", "ccc", "aaa", "bbb"])
+    groups = {r["canonical_id"]: r for r in exact_dedup_groups(df, "doc_id").collect()}
+    assert set(groups) == {0, 1}
+    assert groups[0]["member_ids"] == [0, 2, 4]
+    assert groups[0]["n_members"] == 3
+    assert groups[1]["member_ids"] == [1, 5]
+
+
+def test_exact_dedup_no_dups(spark):
+    df = _docs(spark, ["a", "b", "c"])
+    assert exact_dedup_groups(df, "doc_id").count() == 0
+
+
+def test_shingles_short_doc(spark):
+    df = _docs(spark, ["one two", "one two three", "one two three four", ""])
+    rows = {r["doc_id"]: r["sh"] for r in df.select("doc_id", shingles("text", 3).alias("sh")).collect()}
+    assert rows[0] == []
+    assert rows[1] == ["one two three"]
+    assert rows[2] == ["one two three", "two three four"]
+    assert rows[3] == []
+
+
+def test_shingles_dedup_and_case(spark):
+    df = _docs(spark, ["A b c a B C a b c"])
+    rows = df.select(shingles("text", 3).alias("sh")).collect()
+    # lowercased + distinct
+    assert sorted(rows[0]["sh"]) == ["a b c", "b c a", "c a b"]
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = _docs(spark, ["the quick brown fox jumps", "the quick brown fox jumps", "totally different words here now"])
+    sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(df, "doc_id").collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+    assert len(sigs[0]) == 16
+
+
+def test_minhash_short_doc_sentinel(spark):
+    df = _docs(spark, ["one two"])
+    sigs = minhash_signatures(df, "doc_id", num_hashes=8).collect()
+    assert sigs[0]["signature"] == [-1] * 8
+
+
+def test_lsh_finds_identical_pair(spark):
+    df = _docs(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",
+            "completely unrelated text about spark engines and parquet files",
+        ],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(df, "doc_id").collect()}
+    assert (0, 1) in pairs
+    assert all(p[0] < p[1] for p in pairs)
+
+
+def test_jaccard_exact_values(spark):
+    # doc0: {a b c, b c d}; doc1: {a b c, b c e} -> inter 1, union 3 -> 1/3
+    df = _docs(spark, ["a b c d", "a b c e"])
+    rows = jaccard_pairs(df, "doc_id", threshold=0.0).collect()
+    assert len(rows) == 1
+    assert rows[0]["id_a"] == 0 and rows[0]["id_b"] == 1
+    assert abs(rows[0]["jaccard"] - 1 / 3) < 1e-12
+
+
+def test_jaccard_threshold_filters(spark):
+    df = _docs(spark, ["a b c d", "a b c e"])
+    assert jaccard_pairs(df, "doc_id", threshold=0.5).count() == 0
+
+
+def test_simhash_identical_and_empty(spark):
+    df = _docs(spark, ["hello world foo", "hello world foo", "", "Hello WORLD foo"])
+    sims = {r["doc_id"]: r["simhash"] for r in simhash_values(df, "doc_id").collect()}
+    assert sims[0] == sims[1]
+    assert sims[2] == 0
+    assert sims[0] == sims[3]  # case-insensitive tokens
+    assert sims[0] >= 0  # 48-bit stays positive
+
+
+def test_hamming_near_dup_smaller_than_random(spark):
+    df = _docs(
+        spark,
+        [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta iota",  # 1 token differs
+            "one two three four five six seven eight",
+        ],
+    )
+    sims = {r["doc_id"]: r["simhash"] for r in simhash_values(df, "doc_id").collect()}
+    pair = spark.createDataFrame([(sims[0], sims[1]), (sims[0], sims[2])], ["a", "b"])
+    d01, d02 = [r["d"] for r in pair.select(hamming64(F.col("a"), F.col("b")).alias("d")).collect()]
+    assert d01 < d02

@@ -1,0 +1,82 @@
+"""Registry contract tests: every registered query analyzes cleanly
+against the smoke-scale tables, its plan has no Python UDFs in the hot
+path (except where declared), and the driver contract functions work.
+
+Full value-level oracle parity is checked by tools/check_oracle.py
+(driver t2 mirror) — too slow for the unit suite; here we validate
+plan analysis + a spot-run of one query per module.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _registry():
+    from terrorblade_spark.registry import get_oracles, get_queries
+
+    return get_queries(), get_oracles()
+
+
+def test_all_queries_have_oracles():
+    queries, oracles = _registry()
+    assert len(queries) >= 40
+    missing = [n for n in queries if n not in oracles]
+    assert missing == [], f"queries without oracle (weaker rows-only check): {missing}"
+
+
+def test_all_queries_analyze(spark, sf_dir):
+    # .schema forces full analysis (resolution + type-check) without execution
+    queries, _ = _registry()
+    bad = []
+    for name, fn in sorted(queries.items()):
+        try:
+            schema = fn(spark, sf_dir).schema
+            assert len(schema.fields) > 0
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, str(e)[:200]))
+    assert bad == []
+
+
+def test_all_oracles_parse(duck):
+    # EXPLAIN parses + binds each oracle against the sf0.001 views
+    _, oracles = _registry()
+    bad = []
+    for name, sql in sorted(oracles.items()):
+        try:
+            duck.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, str(e)[:200]))
+    assert bad == []
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q01_pricing_summary",   # relational
+        "q13_first_events_per_user",  # windows
+        "q19_session_assignment",     # sessions
+        "q26_token_stats",            # text
+        "q31_exact_dedup",            # dedup
+        "q36_cosine_topk",            # vector
+    ],
+)
+def test_spot_query_matches_oracle(spark, duck, sf_dir, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    queries, oracles = _registry()
+    spark_pdf = queries[name](spark, sf_dir).toPandas()
+    duck_pdf = duck.execute(oracles[name]).fetchdf()
+    assert compare(name, spark_pdf, duck_pdf) == []
+
+
+def test_driver_contract(spark):
+    import __spark_entry__ as m
+
+    df = m.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) == 9
+    assert set(m.oracle_sql()) <= set(m.queries())

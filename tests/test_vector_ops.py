@@ -1,0 +1,125 @@
+"""Unit tests for vector operators: known-geometry vectors, zero
+vectors, LSH determinism, ANN-vs-exact agreement on clustered data.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from terrorblade_spark.operators.vector import (
+    ann_lsh_topk,
+    cosine,
+    cosine_topk,
+    dot,
+    knn_join,
+    norm,
+    sign_lsh_bucket,
+)
+
+
+def _vecs(spark, vectors):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_dot_norm_cosine_known_values(spark):
+    df = _vecs(spark, [[1, 0, 0], [0, 1, 0], [1, 1, 0], [3, 4, 0]])
+    got = df.select(
+        "vec_id",
+        dot(F.col("embedding"), F.col("embedding")).alias("sq"),
+        norm(F.col("embedding")).alias("n"),
+    ).collect()
+    by_id = {r["vec_id"]: r for r in got}
+    assert by_id[0]["sq"] == 1.0 and by_id[0]["n"] == 1.0
+    assert by_id[3]["sq"] == 25.0 and by_id[3]["n"] == 5.0
+
+    a = df.where(F.col("vec_id") == 0).select(F.col("embedding").alias("a"))
+    pairs = (
+        df.crossJoin(F.broadcast(a))
+        .select("vec_id", cosine(F.col("embedding"), F.col("a")).alias("c"))
+        .collect()
+    )
+    cos = {r["vec_id"]: r["c"] for r in pairs}
+    assert cos[0] == 1.0
+    assert cos[1] == 0.0
+    assert abs(cos[2] - 1 / math.sqrt(2)) < 1e-12
+
+
+def test_cosine_zero_vector_null(spark):
+    df = _vecs(spark, [[0, 0, 0], [1, 0, 0]])
+    q = df.where(F.col("vec_id") == 1).select(F.col("embedding").alias("q"))
+    rows = (
+        df.crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("embedding"), F.col("q")).alias("c"))
+        .collect()
+    )
+    by_id = {r["vec_id"]: r["c"] for r in rows}
+    assert by_id[0] is None  # zero norm -> null, not NaN/div0
+    assert by_id[1] == 1.0
+
+
+def test_cosine_topk_ordering_and_tiebreak(spark):
+    df = _vecs(spark, [[1, 0], [1, 0.001], [0, 1], [1, 0], [-1, 0]])
+    q = df.where(F.col("vec_id") == 0).select("embedding")
+    rows = cosine_topk(df, q, k=3).collect()
+    # ids 0 and 3 are identical vectors (sim 1.0) -> id tiebreak
+    assert [r["vec_id"] for r in rows] == [0, 3, 1]
+
+
+def test_cosine_topk_threshold(spark):
+    df = _vecs(spark, [[1, 0], [0, 1], [-1, 0]])
+    q = df.where(F.col("vec_id") == 0).select("embedding")
+    rows = cosine_topk(df, q, k=10, threshold=0.5).collect()
+    assert [r["vec_id"] for r in rows] == [0]
+
+
+def test_knn_join_excludes_self(spark):
+    df = _vecs(spark, [[1, 0], [0.9, 0.1], [0, 1], [-1, 0]])
+    rows = knn_join(df.where(F.col("vec_id") < 2), df, k=2).collect()
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+    q0 = sorted([r["neighbor_id"] for r in rows if r["query_id"] == 0])
+    assert 1 in q0  # nearest to [1,0] is [0.9,0.1]
+
+
+def test_sign_lsh_deterministic_and_in_range(spark):
+    df = _vecs(spark, [[1, 0, 0, 0], [1, 0, 0, 0], [-1, 0, 0, 0]])
+    rows = df.select(
+        "vec_id", sign_lsh_bucket(F.col("embedding"), planes=4, dims=4).alias("b")
+    ).collect()
+    by_id = {r["vec_id"]: r["b"] for r in rows}
+    assert by_id[0] == by_id[1]  # identical vectors, identical bucket
+    assert 0 <= by_id[0] < 16
+    rows2 = df.select(
+        "vec_id", sign_lsh_bucket(F.col("embedding"), planes=4, dims=4).alias("b")
+    ).collect()
+    assert {r["vec_id"]: r["b"] for r in rows2} == by_id  # no RNG: stable
+
+
+def test_ann_lsh_recall_properties(spark):
+    # LSH is approximate: identical vectors ALWAYS share a bucket (so
+    # the query itself ranks first with sim 1.0), candidates are scored
+    # with true cosine (descending), and the search is deterministic.
+    # Exact equality with brute force is NOT guaranteed — near-identical
+    # vectors can straddle a hyperplane.
+    import random
+
+    rnd = random.Random(7)
+    cluster = [[1.0 + rnd.uniform(-0.01, 0.01) for _ in range(8)] for _ in range(5)]
+    noise = [[rnd.uniform(-1, 1) * 0.1 - 5 for _ in range(8)] for _ in range(20)]
+    df = _vecs(spark, cluster + noise)
+    q = df.where(F.col("vec_id") == 0)
+    run1 = ann_lsh_topk(df, q, k=3, planes=4, dims=8).collect()
+    run2 = ann_lsh_topk(df, q, k=3, planes=4, dims=8).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in run1] == [
+        (r["vec_id"], r["cosine_sim"]) for r in run2
+    ]  # deterministic (no RNG)
+    assert run1[0]["vec_id"] == 0
+    assert abs(run1[0]["cosine_sim"] - 1.0) < 1e-12
+    sims = [r["cosine_sim"] for r in run1]
+    assert sims == sorted(sims, reverse=True)
+    assert len(run1) <= 3
