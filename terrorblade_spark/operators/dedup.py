@@ -27,6 +27,22 @@ from pyspark.sql import functions as F
 
 from terrorblade_spark.functions.exprs import hash64, tokens
 from terrorblade_spark.operators.textops import shingles
+from terrorblade_spark.tables import spread
+
+# universal-hash family for MinHash: g_i(x) = (a_i*x + b_i) mod p.
+# p is the Mersenne prime 2^31-1; constants are fixed (seed 42) so the
+# DuckDB oracle embeds the identical literals.
+MINHASH_PRIME = 2147483647
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    import random
+
+    rnd = random.Random(42)
+    return [
+        (rnd.randrange(1, MINHASH_PRIME), rnd.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -53,24 +69,36 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures as (id, signature array<long>).
 
-    signature[i] = min over shingles of hash64(i || ':' || shingle);
-    docs with no shingles (shorter than n tokens) get an all -1
+    signature[i] = min over shingles of the universal hash
+    g_i(s) = (a_i * base(s) + b_i) mod p, the standard MinHash
+    permutation simulation (datasketch-style): base is a 56-bit md5
+    cut reduced mod p = 2^31-1, and (a_i, b_i) are fixed seeded
+    constants (MINHASH_PARAMS). a_i*base < 2^62 never overflows a
+    signed 64-bit in either engine, and the k permutations are
+    pairwise independent (a naive h1 + i*h2 family is NOT — the same
+    low-hash shingle wins adjacent i's, collapsing LSH bands into
+    false candidates; measured 50x candidate blowup).
+    Docs with no shingles (shorter than n tokens) get an all -1
     sentinel.
 
     Plan shape (the scalable one): explode shingles -> one narrow
-    (id, shingle) relation -> ``num_hashes`` min-aggregations in a
-    single groupBy (map-side partial aggregation, one shuffle of
-    (id, k longs)). Computing the signature as a nested
-    array-expression instead would inline the shingle pipeline k times
-    per row and blow up codegen — measured ~100x slower.
+    (id, base) relation (ONE md5 per shingle) -> ``num_hashes``
+    tiny min-aggregations in a single groupBy (map-side partial
+    aggregation, one shuffle of (id, k longs)). Per-i md5 salting
+    instead would cost k md5s per shingle AND emit k large codegen
+    bodies (dominant JIT-code-cache pressure, see session.py).
     """
-    ex = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle"))
+    base = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 14), 16, 10).cast("long")
+        % MINHASH_PRIME
+    )
+    ex = spread(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle")
+    ).select(F.col(id_col), base.alias("base"))
     mins = ex.groupBy(id_col).agg(
         *[
-            F.min(
-                F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 15), 16, 10).cast("long")
-            ).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.min((F.lit(a) * F.col("base") + F.lit(b)) % MINHASH_PRIME).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_params(num_hashes))
         ]
     )
     sig = mins.select(
@@ -152,29 +180,33 @@ def jaccard_pairs(
     Jaccard = |inter| / (|A| + |B| - |inter|), exact integer counts.
     """
     bucket_cols = bucket_cols or []
-    base = df.select(
+    # one narrow (bucket, doc, shingle) relation; shingle sets are
+    # distinct per doc, so |A| is recovered from the SAME relation by a
+    # count — no array-derived scalar is carried through the explode
+    # (that pattern makes downstream ops re-evaluate the whole shingle
+    # expression per exploded row).
+    ex = spread(df.select(*bucket_cols, id_col, text_col)).select(
         *bucket_cols,
         F.col(id_col).alias("doc"),
-        shingles(text_col, shingle_n).alias("sh"),
-    ).where(F.size("sh") > 0)
-    sized = base.withColumn("n_sh", F.size("sh").cast("long"))
-    ex = sized.select(*bucket_cols, "doc", "n_sh", F.explode("sh").alias("shingle"))
+        F.explode(shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    counts = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")
     join_keys = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols]
     inter = (
         a.join(b, on=join_keys + [F.col("a.shingle") == F.col("b.shingle")])
         .where(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # doc-count dim is small (one row per doc); broadcast both lookups
+    sized = (
+        inter.join(F.broadcast(counts.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a")), "id_a")
+        .join(F.broadcast(counts.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b")), "id_b")
+    )
     jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
-    return inter.withColumn("jaccard", jac).where(F.col("jaccard") >= threshold).select(
+    return sized.withColumn("jaccard", jac).where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
 
@@ -192,7 +224,7 @@ def simhash_values(
     aggregated result. Majority rule: bit set iff strictly more set
     than unset token hashes (ties -> 0).
     """
-    ex = df.select(
+    ex = spread(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     ).select(F.col(id_col), hash64(F.lower(F.col("tok"))).alias("h"))
     counts = ex.groupBy(id_col).agg(

@@ -49,11 +49,21 @@ def q31_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q32: MinHash signatures ------------------------------------------------
 
 def _duck_minhash() -> str:
+    # universal-hash twin of operators.dedup.minhash_signatures:
+    # signature[i] = min over shingles of (a_i*base + b_i) mod p with
+    # base = 56-bit md5 cut mod p (identical constants, seed 42)
+    from terrorblade_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
     per_hash = ", ".join(
-        f"list_min(list_transform(sh, s -> ('0x' || substring(md5('{i}:' || s), 1, 15))::BIGINT))"
-        for i in range(_NUM_HASHES)
+        f"list_min(list_transform(bs, x -> ({a} * x + {b}) % {MINHASH_PRIME}))"
+        for a, b in minhash_params(_NUM_HASHES)
     )
-    return f"(CASE WHEN len(sh) > 0 THEN [{per_hash}] ELSE [{', '.join(['-1'] * _NUM_HASHES)}] END)"
+    return (
+        "(CASE WHEN len(sh) > 0 THEN "
+        "(SELECT [" + per_hash + "] FROM (SELECT list_transform(sh, s -> "
+        f"('0x' || substring(md5(s), 1, 14))::BIGINT % {MINHASH_PRIME}) AS bs) _mh) "
+        f"ELSE [{', '.join(['-1'] * _NUM_HASHES)}] END)"
+    )
 
 
 @query(

@@ -42,6 +42,13 @@ def get_spark(app_name: str = "terrorblade_spark", master: str | None = None) ->
         # cap split size so local[32] actually parallelizes small files
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # whole-stage codegen emits large methods (wide aggregates,
+        # hash pipelines); the JVM default 240m JIT code cache fills
+        # after a few dozen stages and execution silently falls back to
+        # the interpreter (measured 5-25x slowdowns). Size it up on
+        # both driver (local mode) and executors (cluster mode).
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        .config("spark.executor.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

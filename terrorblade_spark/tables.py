@@ -45,3 +45,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure at least ``min_partitions`` (default: cluster parallelism)
+    for CPU-heavy downstream ops (hashing, shingling, vector math).
+
+    A small parquet file arrives as ONE split (row groups are the
+    split unit), serializing everything after it onto one core. At
+    real scale inputs have thousands of splits and this is a no-op —
+    it only round-robins when the scan undersupplies parallelism.
+    """
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df

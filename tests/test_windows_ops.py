@@ -33,7 +33,9 @@ def _events(spark, rows):
         )
         for r in rows
     ]
-    return spark.createDataFrame(data, ["id", "user", "ts", "label"])
+    return spark.createDataFrame(
+        data, "id long, user string, ts timestamp, label string"
+    )
 
 
 def test_parse_gap_seconds():
