@@ -1,0 +1,93 @@
+"""Text-embedding pandas UDF (SURVEY §2.9 E1).
+
+The reference encodes with sentence-transformers
+(TextPreprocessor.py:389-427, model :102-106). Architecture here is the
+Spark-native version of the same contract:
+
+- Arrow-batched ``pandas_udf`` (Series[str] -> Series[list[float]]):
+  one Python crossing per batch, batch size controlled by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (the analog of the
+  reference's GPU batch tuning, TextPreprocessor.py:538-566);
+- per-executor lazy model singleton (loaded once per Python worker,
+  reused across batches — the reference's lazy model load :85-106);
+- pluggable encoder: the default is a deterministic feature-hashing
+  encoder (md5 token hash -> bucket, l2-normalized) so tests and
+  oracles are reproducible on any machine with no model download —
+  exactly the reference's own test strategy of injecting deterministic
+  vectors (tests/test_vector_search.py:57-70). Pass
+  ``encoder="sentence-transformers"`` for the real model (import-gated).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType
+
+_MODEL_CACHE: dict = {}
+
+
+def _hash_encode_batch(texts: pd.Series, dim: int) -> pd.Series:
+    """Deterministic feature hashing: token -> md5 -> (bucket, sign),
+    l2-normalized. Pure numpy per Arrow batch."""
+    out = []
+    for t in texts:
+        vec = np.zeros(dim, dtype=np.float64)
+        if t:
+            for tok in t.lower().split():
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+                )
+                bucket = h % dim
+                sign = 1.0 if (h >> 63) & 1 == 0 else -1.0
+                vec[bucket] += sign
+        n = math.sqrt(float(np.dot(vec, vec)))
+        if n > 0:
+            vec /= n
+        out.append(vec.astype(np.float32).tolist())
+    return pd.Series(out)
+
+
+def _st_model(model_name: str):
+    key = ("st", model_name)
+    if key not in _MODEL_CACHE:
+        from sentence_transformers import SentenceTransformer  # import-gated
+
+        _MODEL_CACHE[key] = SentenceTransformer(model_name)
+    return _MODEL_CACHE[key]
+
+
+def embed_text(
+    dim: int = 64,
+    encoder: str = "hash",
+    model_name: str = "paraphrase-multilingual-mpnet-base-v2",
+) -> Column:
+    """Build the embedding pandas UDF. Usage:
+    ``df.withColumn("embeddings", embed_text(64)(F.col("text")))``.
+    """
+    if encoder == "hash":
+
+        @F.pandas_udf(ArrayType(FloatType()))
+        def _embed(texts: pd.Series) -> pd.Series:
+            return _hash_encode_batch(texts.fillna(""), dim)
+
+        return _embed
+    if encoder == "sentence-transformers":
+
+        @F.pandas_udf(ArrayType(FloatType()))
+        def _embed_st(texts: pd.Series) -> pd.Series:
+            model = _st_model(model_name)
+            vecs = model.encode(
+                texts.fillna("").tolist(),
+                normalize_embeddings=True,
+                show_progress_bar=False,
+            )
+            return pd.Series([v.astype(np.float32).tolist() for v in vecs])
+
+        return _embed_st
+    raise ValueError(f"unknown encoder {encoder!r}")

@@ -1,0 +1,212 @@
+"""Semantic-pipeline query surface (SURVEY §2.9 E1–E7): sliding
+distances, segments, combined groups, author runs, and the full
+process_message_groups pipeline — exercised over the embeddings and
+events tables so each step has a DuckDB oracle. The E1 embedding UDF
+itself is rows-only checked (Python UDF output has no SQL twin) but its
+determinism is unit-tested (tests/test_semantic_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terrorblade_spark.functions.embed import embed_text
+from terrorblade_spark.operators.semantic import (
+    author_runs,
+    calculate_groups,
+    concat_author_runs,
+    semantic_segments,
+    sliding_distance,
+)
+from terrorblade_spark.registry import query
+from terrorblade_spark.tables import load_table
+
+# cosine between a vector and its lag, in DuckDB (embeddings cast to
+# double so the fold matches Spark bit-for-bit — see queries.vector)
+_DCOS = (
+    "list_dot_product(v, pv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv)))"
+)
+
+_SLIDING_SQL = f"""
+      SELECT vec_id, label,
+             coalesce(1.0 - {_DCOS}, 0.0) AS distance
+      FROM (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               lag(embedding::DOUBLE[]) OVER (PARTITION BY label ORDER BY vec_id) AS pv
+        FROM embeddings
+      )
+"""
+
+
+# --- q41: sliding semantic distance (E3, window=1) ---------------------------
+
+@query(
+    "q41_sliding_distance",
+    oracle=f"""
+    SELECT vec_id, label, distance FROM ({_SLIDING_SQL})
+    ORDER BY label, vec_id
+    """,
+)
+def q41_sliding_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        sliding_distance(emb, "embedding", ["label"], ["vec_id"])
+        .select("vec_id", "label", "distance")
+        .orderBy("label", "vec_id")
+    )
+
+
+# --- q42: semantic segments (E4) ---------------------------------------------
+
+_SEGMENTS_SQL = f"""
+      SELECT vec_id, label,
+             CAST(sum(CASE WHEN distance > 0.9 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY label ORDER BY vec_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS semantic_segment
+      FROM ({_SLIDING_SQL})
+"""
+
+
+@query(
+    "q42_semantic_segments",
+    oracle=f"""
+    SELECT vec_id, label, semantic_segment FROM ({_SEGMENTS_SQL})
+    ORDER BY label, vec_id
+    """,
+)
+def q42_semantic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = sliding_distance(emb, "embedding", ["label"], ["vec_id"])
+    return (
+        semantic_segments(d, "distance", ["label"], ["vec_id"], threshold=0.9)
+        .select("vec_id", "label", "semantic_segment")
+        .orderBy("label", "vec_id")
+    )
+
+
+# --- q43: combined groups (E5: segment OR pre-cluster change) ----------------
+
+@query(
+    "q43_semantic_groups",
+    oracle=f"""
+    WITH seg AS ({_SEGMENTS_SQL}),
+    pre AS (
+      SELECT *, vec_id // 25 AS pre_cluster FROM seg
+    ), breaks AS (
+      SELECT *,
+             CASE WHEN (semantic_segment IS DISTINCT FROM
+                          lag(semantic_segment) OVER (PARTITION BY label ORDER BY vec_id))
+                    OR (pre_cluster IS DISTINCT FROM
+                          lag(pre_cluster) OVER (PARTITION BY label ORDER BY vec_id))
+                  THEN 1 ELSE 0 END AS is_break
+      FROM pre
+    )
+    SELECT vec_id, label,
+           CAST(sum(is_break) OVER (PARTITION BY label ORDER BY vec_id
+                                    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS group_id
+    FROM breaks
+    ORDER BY label, vec_id
+    """,
+)
+def q43_semantic_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = sliding_distance(emb, "embedding", ["label"], ["vec_id"])
+    seg = semantic_segments(d, "distance", ["label"], ["vec_id"], threshold=0.9)
+    # integer floor division on BOTH sides (DuckDB's CAST(double AS
+    # BIGINT) rounds while Spark's truncates — never cast a quotient)
+    pre = seg.withColumn("pre_cluster", F.floor(F.col("vec_id") / 25).cast("long"))
+    return (
+        calculate_groups(pre, ["label"], ["vec_id"])
+        .select("vec_id", "label", "group_id")
+        .orderBy("label", "vec_id")
+    )
+
+
+# --- q44: author runs + ordered concat (E6 + A1) over events -----------------
+
+@query(
+    "q44_author_run_concat",
+    oracle="""
+    WITH g AS (
+      SELECT *, epoch_ms(ts) - lag(epoch_ms(ts))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms,
+             CASE WHEN event_type IS DISTINCT FROM
+                    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS author_changed
+      FROM events
+    ), runs AS (
+      SELECT *, CAST(sum(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000
+                                OR author_changed = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS message_group
+      FROM g
+    )
+    SELECT user_id, message_group,
+           min(ts) AS ts,
+           count(*) AS n_messages,
+           string_agg(props, '. ' ORDER BY ts, event_id) AS text,
+           array_agg(event_id ORDER BY ts, event_id) AS message_ids
+    FROM runs
+    GROUP BY user_id, message_group
+    ORDER BY user_id, message_group
+    """,
+)
+def q44_author_run_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumnRenamed("props", "text")
+    runs = author_runs(e, "event_type", "ts", ["user_id"], "event_id", gap="30m")
+    return (
+        concat_author_runs(
+            runs, "message_group", "ts", "event_id", "text", partition_cols=["user_id"]
+        )
+        .select("user_id", "message_group", "ts", "n_messages", "text", "message_ids")
+        .orderBy("user_id", "message_group")
+    )
+
+
+# --- q45: E1 embedding UDF (rows-only: Python UDF has no SQL twin) ----------
+
+@query("q45_embed_documents")
+def q45_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    emb = embed_text(dim=64)
+    return (
+        d.withColumn("embeddings", emb(F.col("text")))
+        .select(
+            "doc_id",
+            F.size("embeddings").alias("dim"),
+            F.round(
+                F.aggregate(
+                    F.col("embeddings"),
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                ),
+                6,
+            ).alias("sq_norm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- q46: full E7 pipeline over events+hash embeddings (rows-only) -----------
+
+@query("q46_message_group_pipeline")
+def q46_message_group_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.semantic import process_message_groups
+
+    e = load_table(spark, sf_dir, "events")
+    emb = embed_text(dim=32)
+    with_vec = e.withColumn("embeddings", emb(F.col("props")))
+    grouped = process_message_groups(
+        with_vec, "embeddings", "ts", ["user_id"], "event_id",
+        time_window="1h", semantic_threshold=0.95, cluster_size=3,
+    )
+    return (
+        grouped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("group_id").alias("n_groups"),
+            F.sum(F.when(F.col("group_id").isNull(), 1).otherwise(0)).alias("n_ungrouped"),
+        )
+        .orderBy("user_id")
+    )

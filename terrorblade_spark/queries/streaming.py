@@ -1,0 +1,45 @@
+"""Streaming query surface (SURVEY §2.12): the watermarked
+session_window plan driven over the backlog with availableNow. The
+oracle is the equivalent batch gap-sessionization — a streaming result
+that hash-matches batch SQL is the strongest equivalence check
+Structured Streaming admits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from terrorblade_spark.registry import query
+
+_SESSIONIZE_30M = """
+      SELECT *,
+             CAST(sum(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+      FROM (
+        SELECT *, epoch_ms(ts) - lag(epoch_ms(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        FROM events
+      )
+"""
+
+
+@query(
+    "q47_streaming_sessions",
+    oracle=f"""
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,6)))::DOUBLE AS total_value
+    FROM ({_SESSIONIZE_30M})
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q47_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.streaming.pipeline import run_sessionization_batch
+
+    return run_sessionization_batch(spark, sf_dir, gap="30 minutes").orderBy(
+        "user_id", "session_start"
+    )

@@ -42,8 +42,11 @@ def _load_all() -> None:
     # import for side effect: modules register their queries
     from terrorblade_spark.queries import (  # noqa: F401
         dedup,
+        multimodal,
         relational,
+        semantic,
         sessions,
+        streaming,
         text,
         vector,
         windows,

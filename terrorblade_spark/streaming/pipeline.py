@@ -1,0 +1,104 @@
+"""Structured Streaming surface (SURVEY §2.12).
+
+The reference's streaming-shaped semantics, as real streams:
+
+- incremental ingest with a per-chat high-watermark ``min_id``
+  (parse_telegram_client.py:241-247)  ->  file-source readStream (new
+  files are the increment; exactly-once per file);
+- idempotent late/duplicate handling via PK INSERT OR IGNORE
+  (telegram_database.py:926-928)  ->  ``foreachBatch`` anti-join merge
+  (operators.relational.idempotent_append) or dropDuplicates within
+  the watermark;
+- gap sessionization (E2)  ->  ``session_window`` aggregation with an
+  event-time watermark bounding state.
+
+All builders return unstarted streaming DataFrames/writers so callers
+choose trigger + sink; ``run_sessionization_batch`` drives the whole
+thing with ``availableNow`` for tests/bench (processes the backlog,
+then stops — same plan a 24/7 cluster job would run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terrorblade_spark.tables import load_table
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events table (schema pinned from the
+    batch loader — streams never infer)."""
+    # pin the RAW parquet schema (ts arrives as INT64 nanos under
+    # nanosAsLong); the ns->us conversion happens below, as in batch
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    reader = spark.readStream.schema(raw.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # the sf dir holds every table; the file source needs a directory,
+    # so glob-filter it down to the events file(s)
+    df = reader.option("pathGlobFilter", "events*.parquet").parquet(sf_dir)
+    # same ns->us conversion as tables.load_table applies to batch reads
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def session_aggregate(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked session-window rollup: one row per (user, session).
+    State is bounded by the watermark — sessions older than it are
+    finalized and evicted, which is what makes this run forever."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_merge_writer(stream: DataFrame, target_path: str, keys: list[str]):
+    """S5 idempotent sink as a stream: each micro-batch is anti-joined
+    against the current target before append (INSERT OR IGNORE)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(target_path).select(*keys)
+            fresh = batch_df.join(existing, on=keys, how="left_anti")
+        except Exception:  # first batch: target doesn't exist yet
+            fresh = batch_df
+        fresh.write.mode("append").parquet(target_path)
+
+    return stream.writeStream.foreachBatch(merge)
+
+
+def run_sessionization_batch(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Drive the streaming session plan over the existing backlog with
+    availableNow and return the finalized sessions as a DataFrame."""
+    sessions = session_aggregate(stream_events(spark, sf_dir), gap=gap)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_sessions")

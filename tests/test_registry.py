@@ -18,10 +18,21 @@ def _registry():
     return get_queries(), get_oracles()
 
 
+# Genuinely non-SQL-expressible ops (Python UDF embeddings, streaming
+# pipelines) get the driver's weaker rows-only check — keep this list
+# explicit so a forgotten oracle still fails the test.
+ROWS_ONLY_OK = {
+    "q45_embed_documents",
+    "q46_message_group_pipeline",
+    "q51_image_decode_stats",     # numpy decode inside mapInPandas
+    "q52_media_feature_neardup",  # numpy featurizer inside mapInPandas
+}
+
+
 def test_all_queries_have_oracles():
     queries, oracles = _registry()
     assert len(queries) >= 40
-    missing = [n for n in queries if n not in oracles]
+    missing = [n for n in queries if n not in oracles and n not in ROWS_ONLY_OK]
     assert missing == [], f"queries without oracle (weaker rows-only check): {missing}"
 
 

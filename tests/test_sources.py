@@ -1,0 +1,71 @@
+"""Telegram JSON export source tests (SURVEY §2.1 S1, §2.2 P1–P5)
+against the synthetic fixture tests/data/export.json — mirrors the
+reference's own export-structure tests (tests/test_preprocessors.py:
+310-415: entity flatten, service filter, timestamp parse, from_id
+normalize, min-message gate).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from terrorblade_spark.schemas import PROCESS
+from terrorblade_spark.sources.telegram_json import load_telegram_export
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "data", "export.json")
+
+
+@pytest.fixture(scope="module")
+def export_df(spark):
+    df = load_telegram_export(spark, FIXTURE, min_messages=3)
+    df.cache()
+    yield df
+    df.unpersist()
+
+
+def test_schema_matches_process(export_df):
+    assert export_df.schema == PROCESS
+
+
+def test_min_messages_gate(export_df):
+    # chat 7003 has 2 real messages (+1 service) = 3 raw -> passes raw gate;
+    # the fixture's chat sizes are 12/8/3/2 messages + 1 service each
+    chats = {r["chat_id"] for r in export_df.select("chat_id").distinct().collect()}
+    assert 7000 in chats and 7001 in chats
+    # all surviving chats had >= 3 raw messages
+    assert chats <= {7000, 7001, 7002, 7003}
+
+
+def test_service_messages_dropped(export_df):
+    # fixture puts one service message per chat at id % 1000 == 900
+    ids = [r["message_id"] for r in export_df.collect()]
+    assert not any(i % 1000 == 900 for i in ids)
+
+
+def test_entities_flattened(export_df):
+    # messages with i%5==1 carry text_entities ("see https://...")
+    row = export_df.where("message_id = 1").first()
+    assert row["text"] == "see https://spark.apache.org"
+
+
+def test_media_markers(export_df):
+    photo = export_df.where("message_id = 2").first()
+    assert photo["text"] == "[photo](photos/photo_2.jpg)"
+    voice = export_df.where("message_id = 3").first()
+    assert voice["text"] == "[voice_message](voice/3.ogg)"
+
+
+def test_from_id_normalized(export_df):
+    vals = {r["from_id"] for r in export_df.select("from_id").distinct().collect()}
+    assert vals <= {100, 101, 102}  # "user100" -> 100
+
+
+def test_timestamps_parsed(export_df):
+    row = export_df.where("message_id = 0").first()
+    assert row["date"] is not None and row["date"].year == 2024
+
+
+def test_no_blank_text(export_df):
+    assert export_df.where("text IS NULL OR length(trim(text)) = 0").count() == 0
