@@ -1,0 +1,163 @@
+"""Multimodal query surface: binary media columns with typed metadata
+(SURVEY §1.1 files-table generalized to payloads). The deterministic
+derivation (media_from_documents) lets DuckDB reproduce the binary
+payloads exactly, so metadata/dedup/rollup queries are fully
+oracle-checked; the decode/featurize steps (numpy inside mapInPandas)
+are rows-only checked and unit-tested (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terrorblade_spark.multimodal.media import (
+    decode_images,
+    extract_features,
+    media_fingerprint,
+    media_from_documents,
+    sample_frames,
+)
+from terrorblade_spark.operators.vector import cosine
+from terrorblade_spark.registry import query
+from terrorblade_spark.tables import load_table
+
+# the SQL twin of media_from_documents (kind round-robin + utf8 payload).
+# DuckDB's md5 only accepts VARCHAR, so the oracle fingerprints md5(text)
+# — identical to Spark's md5(encode(text, 'UTF-8')) byte-for-byte.
+_MEDIA_SQL = """
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             encode(text) AS content,
+             text AS payload_text,
+             CASE WHEN doc_id % 3 = 0 THEN doc_id % 640 + 16 END AS width,
+             CASE WHEN doc_id % 3 = 0 THEN doc_id % 480 + 16 END AS height,
+             CASE WHEN doc_id % 3 <> 0 THEN n_chars * 10 END AS duration_ms
+      FROM documents
+"""
+
+
+# --- q48: metadata-only profile (payload column never read) ------------------
+
+@query(
+    "q48_media_profile",
+    oracle=f"""
+    SELECT kind,
+           count(*) AS n_media,
+           CAST(sum(octet_length(content)) AS BIGINT) AS total_bytes,
+           count(DISTINCT md5(payload_text)) AS n_distinct_payloads,
+           max(width) AS max_width,
+           max(duration_ms) AS max_duration_ms
+    FROM ({_MEDIA_SQL})
+    GROUP BY kind
+    ORDER BY kind
+    """,
+)
+def q48_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return (
+        m.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.octet_length("content")).alias("total_bytes"),
+            F.countDistinct(media_fingerprint(F.col("content"))).alias(
+                "n_distinct_payloads"
+            ),
+            F.max("meta.width").alias("max_width"),
+            F.max("meta.duration_ms").alias("max_duration_ms"),
+        )
+        .orderBy("kind")
+    )
+
+
+# --- q49: exact binary dedup (md5 fingerprint, keep-first) -------------------
+
+@query(
+    "q49_media_exact_dedup",
+    oracle=f"""
+    SELECT md5(payload_text) AS fingerprint,
+           min(media_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM ({_MEDIA_SQL})
+    GROUP BY md5(payload_text)
+    HAVING count(*) > 1
+    ORDER BY fingerprint
+    """,
+)
+def q49_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return (
+        m.groupBy(media_fingerprint(F.col("content")).alias("fingerprint"))
+        .agg(F.min("media_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+# --- q50: video frame-sample rollup (sampling plumbing, SQL-checkable) -------
+
+@query(
+    "q50_frame_sample_rollup",
+    oracle=f"""
+    SELECT media_id,
+           CAST(ceil(duration_ms / 1000.0) AS BIGINT) AS n_frames,
+           (CAST(ceil(duration_ms / 1000.0) AS BIGINT) - 1) * 1000 AS last_frame_ms
+    FROM ({_MEDIA_SQL})
+    WHERE kind = 'video' AND duration_ms > 0
+    ORDER BY media_id
+    """,
+)
+def q50_frame_sample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_from_documents(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(m, every_ms=1000)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_ms").alias("last_frame_ms"),
+        )
+        .orderBy("media_id")
+    )
+
+
+# --- q51: image decode stats (numpy decode -> rows-only check) ---------------
+
+@query("q51_image_decode_stats")
+def q51_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_from_documents(load_table(spark, sf_dir, "documents"))
+    d = decode_images(m)
+    return (
+        d.select(
+            "media_id",
+            "width",
+            "height",
+            F.round("mean_px", 4).alias("mean_px"),
+            F.round("std_px", 4).alias("std_px"),
+        )
+        .orderBy("media_id")
+    )
+
+
+# --- q52: cross-modal feature near-dup (featurize -> cosine, rows-only) ------
+
+@query("q52_media_feature_neardup")
+def q52_media_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(m, dim=32)
+    a, b = feats.alias("a"), feats.alias("b")
+    sim = cosine(F.col("a.features"), F.col("b.features"))
+    return (
+        a.join(
+            b,
+            (F.col("a.kind") == F.col("b.kind"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.kind").alias("kind"),
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= 0.5)
+        .orderBy("kind", "id_a", "id_b")
+    )

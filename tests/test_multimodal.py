@@ -1,0 +1,123 @@
+"""Multimodal binary-column tests: schema/plumbing of the media table,
+mapInPandas batch shapes, deterministic fake decoders, and the
+column-pruning property (metadata queries must not read payload bytes).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from terrorblade_spark.multimodal.media import (
+    MEDIA,
+    decode_images,
+    extract_features,
+    media_from_documents,
+    sample_frames,
+)
+from terrorblade_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    m = media_from_documents(load_table(spark, sf_dir, "documents"))
+    m.cache()
+    yield m
+    m.unpersist()
+
+
+def test_media_schema(media):
+    got = {f.name: f.dataType.simpleString() for f in media.schema.fields}
+    want = {f.name: f.dataType.simpleString() for f in MEDIA.fields}
+    assert got == want
+
+
+def test_kinds_partition_cleanly(media):
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds <= {"image", "audio", "video"}
+    # round-robin by id: kind is derivable from media_id (partition-prunable)
+    bad = media.where(
+        (F.col("media_id") % 3 == 0) & (F.col("kind") != "image")
+    ).count()
+    assert bad == 0
+
+
+def test_metadata_typed_by_kind(media):
+    # image rows carry width/height, no duration; audio/video the reverse
+    assert media.where("kind = 'image' AND meta.width IS NULL").count() == 0
+    assert media.where("kind = 'image' AND meta.duration_ms IS NOT NULL").count() == 0
+    assert media.where("kind <> 'image' AND meta.duration_ms IS NULL").count() == 0
+
+
+def test_decode_deterministic(media):
+    a = decode_images(media).orderBy("media_id").limit(5).collect()
+    b = decode_images(media).orderBy("media_id").limit(5).collect()
+    assert a == b
+    for r in a:
+        assert 0 <= r["mean_px"] <= 255
+        assert r["width"] > 0 and r["height"] > 0
+
+
+def test_decode_real_is_gated(media):
+    # Pillow absent in this container -> explicit NotImplementedError
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_images(media, decoder="real")
+
+
+def test_features_normalized_and_stable(media):
+    import math
+
+    rows = extract_features(media, dim=16).orderBy("media_id").limit(10).collect()
+    assert all(len(r["features"]) == 16 for r in rows)
+    for r in rows:
+        n = math.sqrt(sum(x * x for x in r["features"]))
+        assert n == pytest.approx(1.0, abs=1e-3)
+    again = extract_features(media, dim=16).orderBy("media_id").limit(10).collect()
+    assert [r["features"] for r in rows] == [r["features"] for r in again]
+
+
+def test_identical_payloads_identical_features(spark):
+    df = spark.createDataFrame(
+        [(1, "image", b"same-bytes"), (2, "image", b"same-bytes"), (3, "image", b"other")],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r["media_id"]: r["features"] for r in extract_features(df, dim=8).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_frame_sampling_counts(media):
+    frames = sample_frames(media, every_ms=1000)
+    joined = (
+        frames.groupBy("media_id")
+        .count()
+        .join(
+            media.where("kind = 'video'").select(
+                "media_id", F.ceil(F.col("meta.duration_ms") / 1000.0).alias("want")
+            ),
+            "media_id",
+        )
+    )
+    assert joined.where("count <> want").count() == 0
+
+
+def test_metadata_query_prunes_payload(media, spark, sf_dir, tmp_path):
+    # write MEDIA as parquet, run a metadata-only agg, and assert the
+    # scan's ReadSchema omits the payload column — at 100 TB this is the
+    # difference between reading kilobytes and reading everything
+    path = str(tmp_path / "media.parquet")
+    media.write.mode("overwrite").parquet(path)
+    q = (
+        spark.read.parquet(path)
+        .groupBy("kind")
+        .agg(F.max("meta.width"), F.count(F.lit(1)))
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "content" not in read_schema[0]
