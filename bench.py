@@ -24,6 +24,10 @@ HEADLINE = [
     "q34_ngram_jaccard",
     "q36_cosine_topk",
     "q38_knn_join",
+    "q43_semantic_groups",
+    "q47_streaming_sessions",
+    "q48_media_profile",
+    "q53_ivf_ann_topk",
 ]
 
 

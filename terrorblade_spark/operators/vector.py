@@ -136,6 +136,67 @@ def sign_lsh_bucket(vec_col: Column, planes: int = 8, dims: int = 64, salt: str 
     return out.cast("int")
 
 
+def ivf_centroids(
+    vectors: DataFrame,
+    list_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 12,
+) -> DataFrame:
+    """IVF coarse index: element-wise mean vector per inverted list.
+
+    posexplode -> per-(list, pos) decimal-exact mean (order-independent,
+    so the oracle matches bit-for-bit) -> re-assemble ordered arrays.
+    Two shuffles over NARROW rows ((key, pos, sum) — payload vectors
+    never shuffle). At 100 TB the list assignment comes from k-means on
+    a sample and this same plan computes the centroids in one pass.
+    """
+    ex = vectors.select(list_col, F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    means = ex.groupBy(list_col, "pos").agg(
+        (
+            F.sum(F.col("v").cast("double").cast(f"decimal(25,{scale})")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    return means.groupBy(list_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+) -> DataFrame:
+    """IVF-style approximate top-k: score the query against the coarse
+    centroids, probe only the ``nprobe`` nearest inverted lists, exact
+    cosine within them.
+
+    The probed-list set is tiny -> broadcast semi-join; with the table
+    partitioned/bucketed by ``list_col`` that join is partition pruning,
+    so a 1000-executor scan touches nprobe/n_lists of the data.
+    """
+    cents = ivf_centroids(vectors, list_col, vec_col)
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    probed = (
+        cents.crossJoin(q)
+        .select(list_col, cosine(F.col("centroid"), F.col("__qvec")).alias("__csim"))
+        .orderBy(F.desc("__csim"), F.col(list_col))
+        .limit(nprobe)
+        .select(list_col)
+    )
+    cand = vectors.join(F.broadcast(probed), on=list_col, how="left_semi")
+    scored = cand.crossJoin(q).select(
+        F.col(id_col), cosine(F.col(vec_col), F.col("__qvec")).alias("cosine_sim")
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     query: DataFrame,

@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from terrorblade_spark.operators.vector import cosine, cosine_topk, knn_join
+from terrorblade_spark.operators.vector import (
+    ann_lsh_topk,
+    cosine,
+    cosine_topk,
+    ivf_topk,
+    knn_join,
+)
 from terrorblade_spark.registry import query
 from terrorblade_spark.tables import load_table
 
@@ -156,3 +162,81 @@ def q40_label_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- q53: IVF approximate top-k (the ANN scale path, fully oracled) ---------
+
+@query(
+    "q53_ivf_ann_topk",
+    oracle=f"""
+    WITH q AS {_Q.replace("qvec", "qvec")},
+    ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    means AS (
+      SELECT label, pos,
+             sum(CAST(v AS DECIMAL(25,12)))::DOUBLE / count(*) AS m
+      FROM ex GROUP BY label, pos
+    ),
+    cents AS (
+      SELECT label, list(m ORDER BY pos) AS centroid FROM means GROUP BY label
+    ),
+    probed AS (
+      SELECT c.label
+      FROM cents c, q
+      ORDER BY list_dot_product(c.centroid, q.qvec)
+                 / (sqrt(list_dot_product(c.centroid, c.centroid))
+                    * sqrt(list_dot_product(q.qvec, q.qvec))) DESC, c.label
+      LIMIT 3
+    )
+    SELECT e.vec_id, {_COS} AS cosine_sim
+    FROM embeddings e JOIN probed p ON e.label = p.label, q
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 20
+    """,
+)
+def q53_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0)
+    return ivf_topk(emb, q, k=20, nprobe=3, id_col="vec_id", vec_col="embedding", list_col="label")
+
+
+# --- q54: sign-LSH bucketed approximate top-k (fully oracled) ---------------
+
+def _duck_lsh_signs(planes: int = 8, dims: int = 64) -> str:
+    """DuckDB twin of operators.vector.sign_lsh_bucket's hyperplanes."""
+    return f"""
+      SELECT p, list(CASE WHEN ('0x' || substring(md5('p:' || p || ':' || d), 1, 15))::BIGINT & 1 = 1
+                          THEN 1.0 ELSE -1.0 END ORDER BY d) AS signs
+      FROM (SELECT unnest(range({planes})) AS p), (SELECT unnest(range({dims})) AS d)
+      GROUP BY p
+    """
+
+
+@query(
+    "q54_lsh_ann_topk",
+    oracle=f"""
+    WITH signs AS ({_duck_lsh_signs(5, 64)}),
+    buckets AS (
+      SELECT e.vec_id, CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], s.signs) > 0
+                                     THEN 1 << s.p ELSE 0 END) AS INTEGER) AS bucket
+      FROM embeddings e, signs s GROUP BY e.vec_id
+    ),
+    q AS (
+      SELECT e.embedding::DOUBLE[] AS qvec, b.bucket
+      FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id = 0
+    )
+    SELECT e.vec_id,
+           list_dot_product(e.embedding::DOUBLE[], q.qvec)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine_sim
+    FROM embeddings e JOIN buckets b USING (vec_id) JOIN q ON b.bucket = q.bucket
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 20
+    """,
+)
+def q54_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0)
+    return ann_lsh_topk(emb, q, k=20, id_col="vec_id", vec_col="embedding", planes=5, dims=64)

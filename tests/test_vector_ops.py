@@ -123,3 +123,56 @@ def test_ann_lsh_recall_properties(spark):
     sims = [r["cosine_sim"] for r in run1]
     assert sims == sorted(sims, reverse=True)
     assert len(run1) <= 3
+
+
+def test_ivf_centroids_exact(spark):
+    from terrorblade_spark.operators.vector import ivf_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [3.0, 2.0]),
+            (3, 1, [0.0, 4.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    cents = {r["label"]: r["centroid"] for r in ivf_centroids(df).collect()}
+    assert cents[0] == [2.0, 1.0]
+    assert cents[1] == [0.0, 4.0]
+
+
+def test_ivf_topk_probes_nearest_lists(spark):
+    from terrorblade_spark.operators.vector import ivf_topk
+
+    # two tight clusters; nprobe=1 must search ONLY the query's cluster
+    import random
+
+    rnd = random.Random(3)
+    near = [(i, 0, [1.0 + rnd.uniform(-0.01, 0.01), 0.0]) for i in range(10)]
+    far = [(100 + i, 1, [-1.0 + rnd.uniform(-0.01, 0.01), 0.0]) for i in range(10)]
+    df = spark.createDataFrame(
+        near + far, "vec_id long, label int, embedding array<float>"
+    )
+    q = df.where(F.col("vec_id") == 0)
+    hits = ivf_topk(df, q, k=5, nprobe=1).collect()
+    assert len(hits) == 5
+    assert all(r["vec_id"] < 100 for r in hits)  # never probed list 1
+    assert hits[0]["vec_id"] == 0 and abs(hits[0]["cosine_sim"] - 1.0) < 1e-12
+
+
+def test_ivf_matches_exact_when_probing_all(spark):
+    from terrorblade_spark.operators.vector import cosine_topk, ivf_topk
+
+    import random
+
+    rnd = random.Random(9)
+    rows = [
+        (i, i % 3, [rnd.uniform(-1, 1) for _ in range(6)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    q = df.where(F.col("vec_id") == 0)
+    exact = [(r["vec_id"], r["cosine_sim"]) for r in cosine_topk(df, q, k=10).collect()]
+    ivf_all = [
+        (r["vec_id"], r["cosine_sim"]) for r in ivf_topk(df, q, k=10, nprobe=3).collect()
+    ]
+    assert ivf_all == exact  # nprobe = all lists -> exact search
