@@ -341,3 +341,47 @@ def q11_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+# --- q56: incremental high-watermark ingest (S2) -----------------------------
+# The reference resumes Telethon fetches from min_id = MAX(message_id)
+# per chat (parse_telegram_client.py:241-247). Re-expressed set-wise:
+# watermarks from the existing store, then only rows ABOVE the
+# watermark ingest (new entities pass through). The watermark dim is
+# one row per user -> broadcast join, no shuffle of the source.
+
+@query(
+    "q56_high_watermark_ingest",
+    oracle="""
+    WITH existing AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '1995-06-01'
+    ),
+    wm AS (
+      SELECT user_id, max(event_id) AS hwm FROM existing GROUP BY user_id
+    )
+    SELECT e.user_id,
+           count(*) AS n_new,
+           min(e.event_id) AS first_new_id,
+           max(e.event_id) AS last_new_id
+    FROM events e LEFT JOIN wm ON e.user_id = wm.user_id
+    WHERE wm.hwm IS NULL OR e.event_id > wm.hwm
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+)
+def q56_high_watermark_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    existing = ev.where(F.col("ts") < F.lit("1995-06-01").cast("timestamp"))
+    wm = existing.groupBy("user_id").agg(F.max("event_id").alias("hwm"))
+    fresh = ev.join(F.broadcast(wm), on="user_id", how="left").where(
+        F.col("hwm").isNull() | (F.col("event_id") > F.col("hwm"))
+    )
+    return (
+        fresh.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.min("event_id").alias("first_new_id"),
+            F.max("event_id").alias("last_new_id"),
+        )
+        .orderBy("user_id")
+    )

