@@ -1,0 +1,114 @@
+"""Storage layout + skew operators — the physical-design half of the
+100 TB story.
+
+The reference's layout is one DuckDB file of per-tenant tables
+(telegram_database.py:618-636). At cluster scale layout IS the
+optimization:
+
+- ``write_partitioned``: hive-partition by low-cardinality columns
+  (tenant, date) so predicate pushdown becomes partition PRUNING —
+  a `WHERE phone=?` query never opens other tenants' files.
+- ``write_bucketed``: pre-shuffle by join key into N buckets at write
+  time. Two tables bucketed the same way join with ZERO exchange
+  (asserted in tests/test_scale_ops.py) — the reference's
+  messages ⋈ clusters ⋈ embeddings joins (SURVEY §2.3 J1/J4) happen
+  per ingest batch, so paying the shuffle once at write time wins.
+- ``salted_agg``: two-phase aggregation for skewed keys (one chat with
+  100M messages would pin a single reducer). Phase 1 aggregates
+  (key, salt) partials, phase 2 merges per key — correct for any
+  algebraic aggregate; AQE's skew handling covers joins, this covers
+  aggregations.
+- ``salted_join``: replicate the small side across salts so a skewed
+  big side spreads over ``factor`` reducers per hot key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet: queries filtering on ``partition_cols``
+    prune whole directories (partition pruning, not just row-group
+    pushdown)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (bucketBy requires saveAsTable). Joins and
+    aggregations on ``bucket_cols`` between co-bucketed tables need no
+    exchange; ``sort_cols`` additionally pre-sorts within buckets so
+    sort-merge joins skip the sort."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def with_salt(df: DataFrame, n_salts: int, out_col: str = "__salt") -> DataFrame:
+    """Uniform random salt column in [0, n_salts). Deterministic given
+    Spark's fixed-seed rand? No — use a hash of the whole row id when
+    determinism matters; for load-spreading, rand() is the right tool
+    (salt values never appear in results)."""
+    return df.withColumn(out_col, (F.rand(seed=42) * n_salts).cast("int"))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: dict[str, Column],
+    merge_aggs: dict[str, Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed grouping keys.
+
+    ``partial_aggs``: name -> aggregate over the raw rows (phase 1,
+    grouped by keys+salt — hot keys split across ``n_salts`` reducers).
+    ``merge_aggs``: name -> aggregate over the phase-1 partials
+    (phase 2, grouped by keys alone — at most ``n_salts`` rows per key).
+
+    Example: count -> partial count(*) + merge sum; sum -> sum + sum;
+    min/max -> min/max + min/max; avg -> (sum, count) partials.
+    """
+    salted = with_salt(df, n_salts)
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[c.alias(n) for n, c in partial_aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(*[c.alias(n) for n, c in merge_aggs.items()])
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, explode the small side
+    across all salt values, join on keys+salt. Each hot key's rows
+    spread over ``n_salts`` tasks instead of one straggler.
+
+    (AQE's skewJoin handles this adaptively for sort-merge joins; this
+    explicit form works for any join and documents the technique.)
+    """
+    b = with_salt(big, n_salts)
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = b.join(s, on=[*keys, "__salt"], how=how)
+    return out.drop("__salt")

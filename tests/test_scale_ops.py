@@ -1,0 +1,99 @@
+"""Scale-layout operators: bucketed joins must plan with no exchange,
+partitioned writes must prune, salted aggregation/join must match the
+plain results exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from terrorblade_spark.io import (
+    salted_agg,
+    salted_join,
+    write_bucketed,
+    write_partitioned,
+)
+from terrorblade_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    # saveAsTable writes to the session warehouse; point it somewhere
+    # disposable once for this module
+    return spark
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    n_rows = ev.count()
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    write_bucketed(ev, "t_events_b", ["user_id"], n_buckets=8, sort_cols=["user_id"])
+    write_bucketed(agg, "t_users_b", ["user_id"], n_buckets=8, sort_cols=["user_id"])
+    # force the co-located sort-merge path (a broadcast join would hide
+    # the bucketing; at real scale neither side fits in a broadcast)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_events_b").join(spark.table("t_users_b"), "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # co-bucketed scan: no shuffle on either side
+        assert "Exchange hashpartitioning" not in plan, plan[:1500]
+        assert "Bucketed: true" in plan
+        assert joined.count() == n_rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_events_b")
+        spark.sql("DROP TABLE IF EXISTS t_users_b")
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    path = str(tmp_path / "ev_part")
+    write_partitioned(ev, path, ["event_type"])
+    q = spark.read.parquet(path).where(F.col("event_type") == "purchase")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # partition filters appear as PartitionFilters on the scan,
+    # and the pruned scan reads only matching directories
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    want = ev.where("event_type = 'purchase'").count()
+    assert q.count() == want
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        r["user_id"]: (r["n"], r["mx"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("event_id").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["user_id"]: (r["n"], r["mx"])
+        for r in salted_agg(
+            ev,
+            ["user_id"],
+            partial_aggs={
+                "pn": F.count(F.lit(1)),
+                "pmx": F.max("event_id"),
+            },
+            merge_aggs={"n": F.sum("pn"), "mx": F.max("pmx")},
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(5000)
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_n"))
+    plain = ev.join(dim, "user_id").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("user_n").alias("s")
+    )
+    salted = salted_join(ev, dim, ["user_id"], n_salts=4).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("user_n").alias("s")
+    )
+    p = {r["user_id"]: (r["n"], r["s"]) for r in plain.collect()}
+    s = {r["user_id"]: (r["n"], r["s"]) for r in salted.collect()}
+    assert s == p
