@@ -47,6 +47,7 @@ def _load_all() -> None:
         semantic,
         sessions,
         streaming,
+        telegram,
         text,
         vector,
         windows,
