@@ -128,3 +128,23 @@ def duck_shingles(expr: str, n: int = 3) -> str:
         f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))) "
         f"ELSE [] END)"
     )
+
+
+# GPT-style byte-pair-ish pre-tokenization pattern: contractions,
+# letter runs, SINGLE digits (modern BPE vocabularies split digit runs),
+# punctuation runs. Same regex dialect subset works in Java (Spark) and
+# RE2 (DuckDB) — no lookarounds.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]+"
+
+
+def bpe_ish_tokens(text_col: str) -> Column:
+    """Subword-ish token list via regexp_extract_all — the cheap
+    LLM-token-count estimator for corpus budgeting (whitespace tokens
+    undercount ~1.3-1.5x vs BPE)."""
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def duck_bpe_ish(expr: str) -> str:
+    """DuckDB twin of :func:`bpe_ish_tokens` (pattern single-quoted)."""
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"regexp_extract_all(lower({expr}), '{pat}')"

@@ -158,3 +158,59 @@ def q29_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q30_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return fingerprint(d, "text").select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+def _duck_bpe() -> str:
+    from terrorblade_spark.operators.textops import duck_bpe_ish
+
+    return duck_bpe_ish("text")
+
+
+# --- q59: BPE-ish subword token budgeting ------------------------------------
+# LLM-corpus budgeting needs token counts closer to a BPE vocabulary
+# than whitespace words. Both engines run the identical regex, so the
+# per-doc counts and the corpus rollup are hash-checked.
+
+@query(
+    "q59_subword_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len({_duck_bpe()}) AS BIGINT) AS n_subword,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_whitespace
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_subword) AS BIGINT) AS total_subword_tokens,
+           CAST(sum(n_whitespace) AS BIGINT) AS total_whitespace_tokens,
+           sum(CAST(n_subword AS DECIMAL(18,2)))::DOUBLE
+             / sum(CAST(n_whitespace AS DECIMAL(18,2)))::DOUBLE AS bpe_inflation
+    FROM t
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q59_subword_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.functions.exprs import dec_sum, tokens
+    from terrorblade_spark.operators.textops import bpe_ish_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.size(bpe_ish_tokens("text")).cast("long").alias("n_subword"),
+        F.size(tokens("text")).cast("long").alias("n_whitespace"),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_subword").alias("total_subword_tokens"),
+            F.sum("n_whitespace").alias("total_whitespace_tokens"),
+            (
+                F.sum(F.col("n_subword").cast("decimal(18,2)")).cast("double")
+                / F.sum(F.col("n_whitespace").cast("decimal(18,2)")).cast("double")
+            ).alias("bpe_inflation"),
+        )
+        .orderBy("source")
+    )
