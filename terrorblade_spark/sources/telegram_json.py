@@ -100,46 +100,6 @@ def load_telegram_export(
     return standardize(cleaned, PROCESS)
 
 
-def parse_telegram_html(spark: SparkSession, path: str) -> DataFrame:
-    """S3 HTML export scrape. The reference walks BeautifulSoup over
-    messages*.html (parse_telegram_html.py:12-71). bs4 is optional in
-    this environment; when present this runs as an Arrow-batched
-    mapInPandas (each batch of file paths -> parsed rows), else raises.
-    """
-    try:
-        import bs4  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "HTML scraping requires beautifulsoup4; install it or use the "
-            "JSON export path (load_telegram_export)"
-        ) from e
-
-    import pandas as pd  # noqa: F401
-
-    files = spark.read.format("binaryFile").load(path)
-
-    def parse(batches):
-        from bs4 import BeautifulSoup
-
-        for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                soup = BeautifulSoup(r["content"], "html.parser")
-                for div in soup.select("div.message.default"):
-                    body = div.select_one("div.text")
-                    ts = div.select_one("div.pull_right.date")
-                    author = div.select_one("div.from_name")
-                    rows.append(
-                        {
-                            "ts_raw": ts.get("title") if ts else None,
-                            "author": author.get_text(strip=True) if author else None,
-                            "text": body.get_text(strip=True) if body else None,
-                        }
-                    )
-            import pandas as pd
-
-            yield pd.DataFrame(rows, columns=["ts_raw", "author", "text"])
-
-    return files.select("content").mapInPandas(
-        parse, "ts_raw string, author string, text string"
-    )
+# S3 HTML scrape moved to telegram_html.py (stdlib parser, no bs4
+# dependency); re-exported here for the original import path.
+from terrorblade_spark.sources.telegram_html import parse_telegram_html  # noqa: E402,F401
