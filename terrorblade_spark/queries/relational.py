@@ -385,3 +385,34 @@ def q56_high_watermark_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- q60: multi-level rollup via GROUPING SETS ------------------------------
+# The OLAP rollup surface (detail / per-year / per-priority / grand
+# total in one pass). Spark evaluates GROUPING SETS as a single
+# Expand + one shuffle — the same plan shape a separate UNION ALL of
+# four groupBys would need four scans and four shuffles for. gid is
+# computed as explicit grouping() arithmetic because the engines'
+# grouping_id() bit orders aren't part of any standard; NULLS FIRST is
+# explicit because Spark and DuckDB default opposite null sort order.
+
+_Q60_SQL = """
+SELECT order_year, priority,
+       CAST(2 * grouping(order_year) + grouping(priority) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM (SELECT year(o_orderdate) AS order_year, o_orderpriority AS priority,
+             o_totalprice
+      FROM {orders})
+GROUP BY GROUPING SETS ((order_year, priority), (order_year), (priority), ())
+ORDER BY gid, order_year NULLS FIRST, priority NULLS FIRST
+"""
+
+
+@query(
+    "q60_priority_rollup",
+    oracle=_Q60_SQL.replace("::DOUBLE", "").format(orders="orders"),
+)
+def q60_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q60_orders")
+    return spark.sql(_Q60_SQL.format(orders="q60_orders"))
