@@ -416,3 +416,55 @@ ORDER BY gid, order_year NULLS FIRST, priority NULLS FIRST
 def q60_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("q60_orders")
     return spark.sql(_Q60_SQL.format(orders="q60_orders"))
+
+
+# --- q61: salted two-phase aggregation under the oracle gate ----------------
+# l_returnflag has 3 distinct values over the whole fact table — the
+# textbook skewed-reducer case (at 100 TB each key would pin one
+# reducer for ~billions of rows). salted_agg splits each hot key
+# across 16 salts (phase 1: map-side-combined partials per
+# (key, salt)), then merges at most 16 tiny rows per key (phase 2).
+# Salting must be invisible in the result, so the oracle is the plain
+# unsalted GROUP BY.
+
+@query(
+    "q61_salted_returnflag_stats",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS total_qty,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q61_salted_returnflag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.io import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        partial_aggs={
+            "p_n": F.count(F.lit(1)),
+            "p_qty": F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+            "p_min": F.min("l_shipdate"),
+            "p_max": F.max("l_shipdate"),
+        },
+        merge_aggs={
+            "n_items": F.sum("p_n"),
+            "total_qty": F.sum("p_qty"),
+            "first_ship": F.min("p_min"),
+            "last_ship": F.max("p_max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n_items",
+        F.col("total_qty").cast("double").alias("total_qty"),
+        "first_ship",
+        "last_ship",
+    ).orderBy("l_returnflag")
