@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from terrorblade_spark.tables import load_table
+from terrorblade_spark.tables import _enable_nanos_read
 
 
 def stream_events(
@@ -33,6 +33,7 @@ def stream_events(
     batch loader — streams never infer)."""
     # pin the RAW parquet schema (ts arrives as INT64 nanos under
     # nanosAsLong); the ns->us conversion happens below, as in batch
+    _enable_nanos_read(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     reader = spark.readStream.schema(raw.schema)
     if max_files_per_trigger:

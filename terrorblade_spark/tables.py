@@ -29,9 +29,20 @@ TABLE_NAMES = (
 BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
+def _enable_nanos_read(spark: SparkSession) -> None:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's timestamp
+    types cannot represent; ``nanosAsLong`` reads it as int64 instead.
+    Set it on the *caller's* session (runtime-settable) so any
+    externally-created SparkSession — not just get_spark()'s — can read
+    the table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}")
+    if name == "events":
+        _enable_nanos_read(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long via nanosAsLong: convert to a
