@@ -70,14 +70,25 @@ def _duck_minhash() -> str:
     "q32_minhash_signatures",
     oracle=f"""
     WITH shingled AS (SELECT doc_id, {_SH} AS sh FROM documents)
-    SELECT doc_id, {_duck_minhash()} AS signature
+    SELECT doc_id,
+           array_to_string(list_transform({_duck_minhash()}, v -> v::VARCHAR), ',')
+             AS signature
     FROM shingled
     ORDER BY doc_id
     """,
 )
 def q32_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the signature is emitted as a canonical comma-joined string: the
+    # harness's row canonicalizer hashes scalar cells and cannot sort an
+    # array<long> column
     d = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(d, "doc_id", "text", _NUM_HASHES, 3).orderBy("doc_id")
+    sigs = minhash_signatures(d, "doc_id", "text", _NUM_HASHES, 3)
+    return sigs.select(
+        "doc_id",
+        F.array_join(
+            F.transform("signature", lambda v: v.cast("string")), ","
+        ).alias("signature"),
+    ).orderBy("doc_id")
 
 
 # --- q33: MinHash-LSH candidate pairs ---------------------------------------
