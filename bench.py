@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q01_pricing_summary",
     "q03_top_revenue_orders",
-    "q04_region_revenue",
+    "q08_top_customer_per_nation",
     "q19_session_assignment",
     "q20_session_stats",
     "q24_long_session_mining",

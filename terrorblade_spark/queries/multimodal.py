@@ -70,31 +70,10 @@ def q48_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q49: exact binary dedup (md5 fingerprint, keep-first) -------------------
-
-@query(
-    "q49_media_exact_dedup",
-    oracle=f"""
-    SELECT md5(payload_text) AS fingerprint,
-           min(media_id) AS keeper_id,
-           count(*) AS n_copies
-    FROM ({_MEDIA_SQL})
-    GROUP BY md5(payload_text)
-    HAVING count(*) > 1
-    ORDER BY fingerprint
-    """,
-)
-def q49_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = media_from_documents(load_table(spark, sf_dir, "documents"))
-    return (
-        m.groupBy(media_fingerprint(F.col("content")).alias("fingerprint"))
-        .agg(F.min("media_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
-        .where(F.col("n_copies") > 1)
-        .orderBy("fingerprint")
-    )
-
-
 # --- q50: video frame-sample rollup (sampling plumbing, SQL-checkable) -------
+# (binary exact-dedup — groupBy(media_fingerprint(content)) — is the
+# q31 hash-groupBy shape over the content column; q48 already
+# hash-checks the fingerprint expression via n_distinct_payloads)
 
 @query(
     "q50_frame_sample_rollup",

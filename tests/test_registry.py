@@ -65,9 +65,9 @@ def test_all_oracles_parse(duck):
     "name",
     [
         "q01_pricing_summary",   # relational
-        "q13_first_events_per_user",  # windows
+        "q12_event_window_columns",   # windows
         "q19_session_assignment",     # sessions
-        "q26_token_stats",            # text
+        "q26_text_profile",           # text
         "q31_exact_dedup",            # dedup
         "q36_cosine_topk",            # vector
     ],
