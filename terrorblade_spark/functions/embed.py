@@ -53,6 +53,42 @@ def _hash_encode_batch(texts: pd.Series, dim: int) -> pd.Series:
     return pd.Series(out)
 
 
+def duck_hash_vec(text_expr: str, dim: int) -> str:
+    """DuckDB twin of ``_hash_encode_batch`` up to the final l2 scale:
+    the UN-normalized bucket-sum vector as list<double>. Cosine and
+    sign/zero patterns are scale-invariant, so oracles built on this
+    expression validate the whole tokenize → md5 → bucket/sign →
+    accumulate path with integer-exact arithmetic (the '0x'||md5-cut
+    idiom matches Python's ``int.from_bytes(md5(tok)[:8], 'big')``
+    bit-for-bit — verified in tests/test_semantic_ops.py)."""
+    toks = (
+        f"list_transform(list_filter(regexp_split_to_array(trim({text_expr}), '\\s+'), "
+        "t -> t <> ''), t -> lower(t))"
+    )
+    hs = f"list_transform({toks}, t -> ('0x' || substring(md5(t), 1, 16))::UBIGINT)"
+    return (
+        f"(SELECT list_transform(range(0, {dim}), i -> CAST("
+        f"len(list_filter(hs, h -> h % {dim} = i AND (h >> 63) & 1 = 0)) - "
+        f"len(list_filter(hs, h -> h % {dim} = i AND (h >> 63) & 1 = 1)) AS DOUBLE)) "
+        f"FROM (SELECT {hs} AS hs) _hv)"
+    )
+
+
+def duck_hash_vec_unit(text_expr: str, dim: int) -> str:
+    """DuckDB twin of ``_hash_encode_batch`` INCLUDING the l2 normalize
+    and the float32 quantization: ``CAST(x / sqrt(dot) AS FLOAT)`` is
+    bit-for-bit numpy's ``(vec / n).astype(float32)`` (both are IEEE
+    round-to-nearest on exact integer-derived doubles), so cosines and
+    threshold compares computed from this match the Spark side's
+    float32 arrays exactly — no quantization flips at thresholds."""
+    rv = duck_hash_vec(text_expr, dim)
+    return (
+        "(SELECT CASE WHEN list_dot_product(rv, rv) > 0 "
+        "THEN list_transform(rv, x -> CAST(x / sqrt(list_dot_product(rv, rv)) AS FLOAT)::DOUBLE) "
+        f"ELSE rv END FROM (SELECT {rv} AS rv) _uv)"
+    )
+
+
 def _st_model(model_name: str):
     key = ("st", model_name)
     if key not in _MODEL_CACHE:

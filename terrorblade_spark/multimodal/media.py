@@ -91,21 +91,25 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
     )
 
 
-def _fake_pixels(content: bytes, w: int, h: int) -> np.ndarray:
-    """Deterministic fake decode: pixels seeded from the payload hash.
-    Stands in for PIL.Image.open until the codec libs are installed."""
-    seed = int.from_bytes(hashlib.md5(content or b"").digest()[:4], "big")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+def _decode_seed(content: bytes) -> int:
+    """The deterministic decode seed: first 4 bytes of md5(payload),
+    big-endian — DuckDB twin ``('0x' || substring(md5(t),1,8))::BIGINT``."""
+    return int.from_bytes(hashlib.md5(content or b"").digest()[:4], "big")
 
 
-DECODED_SCHEMA = "media_id long, width int, height int, mean_px double, std_px double"
+DECODED_SCHEMA = (
+    "media_id long, width int, height int, decode_seed long, mean_px double, std_px double"
+)
 
 
 def decode_images(df: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode image payloads -> per-image stats (the decode step of a
     filter-by-quality training pipeline). mapInPandas: schema out is
-    declared; batches bounded by Arrow maxRecordsPerBatch."""
+    declared; batches bounded by Arrow maxRecordsPerBatch. The emitted
+    ``decode_seed`` is the md5-derived seed the fake decoder draws its
+    pixels from — SQL-reproducible, so the whole mapInPandas path sits
+    under the oracle gate (q51) even though the pixel stats themselves
+    are RNG-derived (unit-tested instead)."""
     if decoder == "real":  # pragma: no cover - lib not in container
         try:
             import PIL  # noqa: F401
@@ -117,22 +121,31 @@ def decode_images(df: DataFrame, decoder: str = "fake") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                w = int(r["width"] or 16)
-                h = int(r["height"] or 16)
-                px = _fake_pixels(r["content"], w, h)
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "width": w,
-                        "height": h,
-                        "mean_px": float(px.mean()),
-                        "std_px": float(px.std()),
-                    }
+            n = len(pdf)
+            ws = pdf["width"].fillna(16).astype("int64").to_numpy()
+            hs = pdf["height"].fillna(16).astype("int64").to_numpy()
+            seeds = np.fromiter(
+                (_decode_seed(c) for c in pdf["content"]), dtype=np.int64, count=n
+            )
+            means = np.empty(n, dtype=np.float64)
+            stds = np.empty(n, dtype=np.float64)
+            # RNG draw is inherently per-row (per-seed); everything else
+            # is columnar numpy — no iterrows/Series-per-row overhead
+            for j in range(n):
+                px = np.random.default_rng(int(seeds[j])).integers(
+                    0, 256, size=(int(hs[j]), int(ws[j])), dtype=np.uint8
                 )
+                means[j] = px.mean()
+                stds[j] = px.std()
             yield pd.DataFrame(
-                rows, columns=["media_id", "width", "height", "mean_px", "std_px"]
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "width": ws.astype("int32"),
+                    "height": hs.astype("int32"),
+                    "decode_seed": seeds,
+                    "mean_px": means,
+                    "std_px": stds,
+                }
             )
 
     imgs = df.where(F.col("kind") == "image").select(
@@ -146,9 +159,11 @@ def decode_images(df: DataFrame, decoder: str = "fake") -> DataFrame:
 
 def extract_features(df: DataFrame, dim: int = 32, decoder: str = "fake") -> DataFrame:
     """Binary payload -> fixed-dim float feature vector (the embed step
-    for image/audio dedup + ANN). Fake featurizer: md5-seeded, l2-
-    normalized — deterministic across executors/machines; real path
-    would load a vision/audio model per executor (same singleton
+    for image/audio dedup + ANN). Fake featurizer: feature-hashing of
+    the payload bytes (md5 token -> bucket/sign, l2-normalized — the
+    same encoder as functions.embed), so near-identical payloads get
+    near vectors AND DuckDB reproduces the math (duck_hash_vec). Real
+    path would load a vision/audio model per executor (same singleton
     pattern as functions.embed)."""
     if decoder == "real":  # pragma: no cover
         raise NotImplementedError(
@@ -157,21 +172,18 @@ def extract_features(df: DataFrame, dim: int = 32, decoder: str = "fake") -> Dat
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from terrorblade_spark.functions.embed import _hash_encode_batch
+
         for pdf in batches:
-            ids, kinds, feats = [], [], []
-            for _, r in pdf.iterrows():
-                seed = int.from_bytes(
-                    hashlib.md5(r["content"] or b"").digest()[:4], "big"
-                )
-                rng = np.random.default_rng(seed)
-                v = rng.standard_normal(dim)
-                n = float(np.sqrt(np.dot(v, v)))
-                ids.append(r["media_id"])
-                kinds.append(r["kind"])
-                feats.append((v / n if n else v).astype(np.float32).tolist())
+            texts = pd.Series(
+                [(c or b"").decode("utf-8", errors="replace") for c in pdf["content"]]
+            )
             yield pd.DataFrame(
-                {"media_id": ids, "kind": kinds, "features": feats},
-                columns=["media_id", "kind", "features"],
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "features": _hash_encode_batch(texts, dim),
+                }
             )
 
     return df.select("media_id", "kind", "content").mapInPandas(
@@ -192,16 +204,17 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, decoder: str = "fake") ->
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, offs, fps = [], [], []
-            for _, r in pdf.iterrows():
-                dur = int(r["duration_ms"] or 0)
-                for off in range(0, dur, every_ms):
-                    ids.append(r["media_id"])
+            # columnar zip (no iterrows); md5-per-frame is the payload
+            for mid, dur, content in zip(
+                pdf["media_id"].to_numpy(), pdf["duration_ms"], pdf["content"]
+            ):
+                c = content or b""
+                for off in range(0, int(dur or 0), every_ms):
+                    ids.append(mid)
                     offs.append(off)
                     fps.append(
                         int.from_bytes(
-                            hashlib.md5(
-                                (r["content"] or b"") + off.to_bytes(8, "big")
-                            ).digest()[:4],
+                            hashlib.md5(c + off.to_bytes(8, "big")).digest()[:4],
                             "big",
                         )
                     )

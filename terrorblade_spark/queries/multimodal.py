@@ -3,7 +3,8 @@
 derivation (media_from_documents) lets DuckDB reproduce the binary
 payloads exactly, so metadata/dedup/rollup queries are fully
 oracle-checked; the decode/featurize steps (numpy inside mapInPandas)
-are rows-only checked and unit-tested (tests/test_multimodal.py).
+are oracle-checked over their md5-derivable outputs (seed, feature
+cosine pairs) and unit-tested (tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -11,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from terrorblade_spark.functions.embed import duck_hash_vec_unit
 from terrorblade_spark.multimodal.media import (
     decode_images,
     extract_features,
@@ -99,27 +101,52 @@ def q50_frame_sample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q51: image decode stats (numpy decode -> rows-only check) ---------------
+# --- q51: image decode through mapInPandas, oracle-gated ---------------------
+# The fake decoder's pixel stats are RNG-derived (unit-tested in
+# tests/test_multimodal.py); what the oracle CAN check exactly is the
+# decode path's md5-derived seed plus the metadata the decoder resolves
+# — which still exercises the whole mapInPandas plumbing end-to-end.
 
-@query("q51_image_decode_stats")
+@query(
+    "q51_image_decode_stats",
+    oracle=f"""
+    SELECT media_id,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           ('0x' || substring(md5(payload_text), 1, 8))::BIGINT AS decode_seed
+    FROM ({_MEDIA_SQL})
+    WHERE kind = 'image'
+    ORDER BY media_id
+    """,
+)
 def q51_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_from_documents(load_table(spark, sf_dir, "documents"))
     d = decode_images(m)
-    return (
-        d.select(
-            "media_id",
-            "width",
-            "height",
-            F.round("mean_px", 4).alias("mean_px"),
-            F.round("std_px", 4).alias("std_px"),
-        )
-        .orderBy("media_id")
+    return d.select("media_id", "width", "height", "decode_seed").orderBy("media_id")
+
+
+# --- q52: cross-modal feature near-dup (featurize -> cosine) -----------------
+# The hash featurizer is md5 arithmetic, so DuckDB rebuilds the (un-
+# normalized) vectors and replays the cosine threshold. Only the pair
+# ids cross the comparison — the cosine VALUE passes through float32 on
+# the Spark side and would be a bit-for-bit trap at any rounding.
+
+@query(
+    "q52_media_feature_neardup",
+    oracle=f"""
+    WITH feats AS (
+      SELECT media_id, kind, {duck_hash_vec_unit("payload_text", 32)} AS v
+      FROM ({_MEDIA_SQL})
     )
-
-
-# --- q52: cross-modal feature near-dup (featurize -> cosine, rows-only) ------
-
-@query("q52_media_feature_neardup")
+    SELECT a.kind AS kind, a.media_id AS id_a, b.media_id AS id_b
+    FROM feats a JOIN feats b ON a.kind = b.kind AND a.media_id < b.media_id
+    WHERE CASE WHEN list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0
+               THEN list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          END >= 0.5
+    ORDER BY kind, id_a, id_b
+    """,
+)
 def q52_media_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_from_documents(load_table(spark, sf_dir, "documents"))
     feats = extract_features(m, dim=32)
@@ -131,12 +158,11 @@ def q52_media_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.kind") == F.col("b.kind"))
             & (F.col("a.media_id") < F.col("b.media_id")),
         )
+        .where(sim >= 0.5)
         .select(
             F.col("a.kind").alias("kind"),
             F.col("a.media_id").alias("id_a"),
             F.col("b.media_id").alias("id_b"),
-            F.round(sim, 6).alias("cosine_sim"),
         )
-        .where(F.col("cosine_sim") >= 0.5)
         .orderBy("kind", "id_a", "id_b")
     )

@@ -1,9 +1,9 @@
 """Semantic-pipeline query surface (SURVEY §2.9 E1–E7): sliding
 distances, segments, combined groups, author runs, and the full
 process_message_groups pipeline — exercised over the embeddings and
-events tables so each step has a DuckDB oracle. The E1 embedding UDF
-itself is rows-only checked (Python UDF output has no SQL twin) but its
-determinism is unit-tested (tests/test_semantic_ops.py).
+events tables so each step has a DuckDB oracle, INCLUDING the E1
+embedding UDF and the full E7 pipeline: the hash encoder is md5
+arithmetic DuckDB reproduces exactly (functions.embed.duck_hash_vec).
 """
 
 from __future__ import annotations
@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from terrorblade_spark.functions.embed import embed_text
+from terrorblade_spark.functions.embed import duck_hash_vec, duck_hash_vec_unit, embed_text
 from terrorblade_spark.operators.semantic import (
     author_runs,
     calculate_groups,
@@ -164,33 +164,115 @@ def q44_author_run_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q45: E1 embedding UDF (rows-only: Python UDF has no SQL twin) ----------
+# --- q45: E1 embedding UDF under the oracle gate -----------------------------
+# The hash encoder is md5 token arithmetic, so DuckDB reproduces its
+# un-normalized bucket sums exactly (duck_hash_vec). The query emits
+# scale-invariant, integer-exact views of the UDF's float32 output —
+# dim, non-zero count, (bucket:sign) pattern — plus the l2 invariant
+# rounded to 3 places (float32 quantization error is ~1e-7, so the
+# round can never flip). No float values cross the comparison.
 
-@query("q45_embed_documents")
+_Q45_VEC = duck_hash_vec("text", 64)
+
+
+@query(
+    "q45_embed_documents",
+    oracle=f"""
+    WITH v AS (SELECT doc_id, {_Q45_VEC} AS vec FROM documents)
+    SELECT doc_id,
+           CAST(64 AS INT) AS dim,
+           CAST(len(list_filter(vec, x -> x <> 0)) AS INT) AS nnz,
+           array_to_string(list_filter(list_transform(vec, (x, i) ->
+             CASE WHEN x > 0 THEN (i - 1)::VARCHAR || ':1'
+                  WHEN x < 0 THEN (i - 1)::VARCHAR || ':-1' END),
+             s -> s IS NOT NULL), ',') AS sign_pattern,
+           CAST(CASE WHEN len(list_filter(vec, x -> x <> 0)) > 0
+                     THEN 1.0 ELSE 0.0 END AS DOUBLE) AS unit_norm
+    FROM v
+    ORDER BY doc_id
+    """,
+)
 def q45_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     emb = embed_text(dim=64)
-    return (
-        d.withColumn("embeddings", emb(F.col("text")))
-        .select(
-            "doc_id",
-            F.size("embeddings").alias("dim"),
-            F.round(
-                F.aggregate(
-                    F.col("embeddings"),
-                    F.lit(0.0),
-                    lambda a, x: a + x.cast("double") * x.cast("double"),
-                ),
-                6,
-            ).alias("sq_norm"),
-        )
-        .orderBy("doc_id")
+    e = d.withColumn("emb", emb(F.col("text")))
+    sq = F.aggregate(
+        F.col("emb"), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
     )
+    sign_entries = F.filter(
+        F.transform(
+            "emb",
+            lambda x, i: F.when(x > 0, F.concat(i.cast("string"), F.lit(":1"))).when(
+                x < 0, F.concat(i.cast("string"), F.lit(":-1"))
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return e.select(
+        "doc_id",
+        F.lit(64).alias("dim"),
+        F.size(F.filter("emb", lambda x: x != 0)).alias("nnz"),
+        F.array_join(sign_entries, ",").alias("sign_pattern"),
+        F.round(sq, 3).alias("unit_norm"),
+    ).orderBy("doc_id")
 
 
-# --- q46: full E7 pipeline over events+hash embeddings (rows-only) -----------
+# --- q46: full E7 pipeline over events + hash embeddings ---------------------
+# End-to-end oracle: DuckDB rebuilds the hash embeddings (un-normalized
+# — cosine is scale-invariant) and replays the whole pipeline: temporal
+# pre-clusters (1h gap), sliding cosine distance, segments (> 0.95),
+# combined groups, strict > 3 size gate, per-user rollup.
 
-@query("q46_message_group_pipeline")
+_Q46_VEC = duck_hash_vec_unit("props", 32)
+
+
+@query(
+    "q46_message_group_pipeline",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, user_id, ts, {_Q46_VEC} AS v FROM events
+    ), seq AS (
+      SELECT *, lag(v) OVER w AS pv,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), dist AS (
+      SELECT *,
+             coalesce(CASE WHEN list_dot_product(v, v) > 0 AND list_dot_product(pv, pv) > 0
+                           THEN 1.0 - list_dot_product(v, pv) /
+                                (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv)))
+                      END, 0.0) AS distance,
+             CAST(sum(CASE WHEN gap_ms IS NULL OR gap_ms > 3600000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS pre_cluster
+      FROM seq
+    ), seg AS (
+      SELECT *, CAST(sum(CASE WHEN distance > 0.95 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS semantic_segment
+      FROM dist
+    ), brk AS (
+      SELECT *, CASE WHEN (semantic_segment IS DISTINCT FROM lag(semantic_segment) OVER w2)
+                       OR (pre_cluster IS DISTINCT FROM lag(pre_cluster) OVER w2)
+                     THEN 1 ELSE 0 END AS is_break
+      FROM seg
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), grp AS (
+      SELECT *, CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS g0
+      FROM brk
+    ), gated AS (
+      SELECT *, CASE WHEN count(*) OVER (PARTITION BY user_id, g0) > 3 THEN g0 END AS group_id
+      FROM grp
+    )
+    SELECT user_id, count(*) AS n_events,
+           count(DISTINCT group_id) AS n_groups,
+           CAST(sum(CASE WHEN group_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ungrouped
+    FROM gated
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
 def q46_message_group_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from terrorblade_spark.operators.semantic import process_message_groups
 

@@ -18,15 +18,11 @@ def _registry():
     return get_queries(), get_oracles()
 
 
-# Genuinely non-SQL-expressible ops (Python UDF embeddings, streaming
-# pipelines) get the driver's weaker rows-only check — keep this list
-# explicit so a forgotten oracle still fails the test.
-ROWS_ONLY_OK = {
-    "q45_embed_documents",
-    "q46_message_group_pipeline",
-    "q51_image_decode_stats",     # numpy decode inside mapInPandas
-    "q52_media_feature_neardup",  # numpy featurizer inside mapInPandas
-}
+# Genuinely non-SQL-expressible ops would get the driver's weaker
+# rows-only check — currently NONE: even the Python-UDF embed/decode
+# paths are md5 arithmetic DuckDB reproduces (duck_hash_vec), so every
+# registered query carries a full value-level oracle.
+ROWS_ONLY_OK: set[str] = set()
 
 
 def test_all_queries_have_oracles():
