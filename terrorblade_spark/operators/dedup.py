@@ -210,10 +210,14 @@ def jaccard_pairs(
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    # doc-count dim is small (one row per doc); broadcast both lookups
+    # counts has one row PER DOCUMENT — at 100 TB that is a billions-row
+    # relation, so it must never carry a static broadcast hint (a forced
+    # broadcast of O(n_docs) rows OOMs the driver). No hint: AQE
+    # broadcasts at runtime when the post-agg relation is actually small
+    # and falls back to a shuffle join on the id keys when it isn't.
     sized = (
-        inter.join(F.broadcast(counts.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a")), "id_a")
-        .join(F.broadcast(counts.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b")), "id_b")
+        inter.join(counts.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(counts.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
     )
     jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
     return sized.withColumn("jaccard", jac).where(F.col("jaccard") >= threshold).select(

@@ -330,7 +330,7 @@ ORDER BY gid, order_year NULLS FIRST, priority NULLS FIRST
 
 @query(
     "q60_priority_rollup",
-    oracle=_Q60_SQL.replace("::DOUBLE", "").format(orders="orders"),
+    oracle=_Q60_SQL.format(orders="orders"),
 )
 def q60_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("q60_orders")

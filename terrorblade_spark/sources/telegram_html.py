@@ -58,6 +58,7 @@ class _TelegramHTMLExtractor(HTMLParser):
         self._text: str | None = None
         self._media: dict[str, str] = {}
         self._saw_media_wrap = False
+        self._media_wrap_depth: int | None = None
 
     @staticmethod
     def _classes(attrs: list[tuple[str, str | None]]) -> set[str]:
@@ -77,6 +78,7 @@ class _TelegramHTMLExtractor(HTMLParser):
         self._ts = self._author = self._text = None
         self._media = {}
         self._saw_media_wrap = False
+        self._media_wrap_depth = None
 
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         if self._capture_target is not None:
@@ -100,7 +102,12 @@ class _TelegramHTMLExtractor(HTMLParser):
                     self._start_capture("text")
                 elif "media_wrap" in cls:
                     self._saw_media_wrap = True
-        elif tag == "a" and self._msg_depth is not None:
+                    self._media_wrap_depth = self._div_depth
+        elif tag == "a" and self._media_wrap_depth is not None:
+            # the reference only searches anchors nested under
+            # div.media_wrap (parse_telegram_html.py media lookup) — an
+            # anchor with a media class elsewhere in the message must
+            # not change message_type/text
             cls = self._classes(attrs)
             for media_cls, _ in _MEDIA_PRIORITY:
                 if media_cls in cls and media_cls not in self._media:
@@ -127,6 +134,8 @@ class _TelegramHTMLExtractor(HTMLParser):
                 self._capture_depth -= 1
                 self._div_depth -= 1
             return
+        if self._media_wrap_depth is not None and self._div_depth == self._media_wrap_depth:
+            self._media_wrap_depth = None  # leaving the media_wrap subtree
         if self._msg_depth is not None and self._div_depth == self._msg_depth:
             self._finalize()
             self._msg_depth = None

@@ -77,11 +77,19 @@ def dedup_merge_writer(stream: DataFrame, target_path: str, keys: list[str]):
     against the current target before append (INSERT OR IGNORE)."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         spark = batch_df.sparkSession
         try:
             existing = spark.read.parquet(target_path).select(*keys)
             fresh = batch_df.join(existing, on=keys, how="left_anti")
-        except Exception:  # first batch: target doesn't exist yet
+        except AnalysisException as e:
+            # ONLY a genuinely missing target means "first batch". Any
+            # other failure (transient IO, schema mismatch) must raise —
+            # appending without the anti-join would silently break the
+            # INSERT-OR-IGNORE idempotency contract.
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             fresh = batch_df
         fresh.write.mode("append").parquet(target_path)
 
@@ -121,8 +129,16 @@ def run_sessionization_batch(
     gap: str = "30 minutes",
     state_partitions: int | None = 8,
 ) -> DataFrame:
-    """Drive the streaming session plan over the existing backlog with
-    availableNow and return the finalized sessions as a DataFrame."""
+    """TEST/BENCH HARNESS ONLY: drive the streaming session plan over
+    the existing backlog with availableNow and return the finalized
+    sessions as a DataFrame.
+
+    The complete-mode memory sink accumulates EVERY session on the
+    driver — fine for a bounded test backlog, a guaranteed OOM on a
+    24/7 production stream. Production deployments must pair
+    ``session_aggregate`` with ``dedup_merge_writer`` (append/update
+    foreachBatch to durable storage); tests/test_streaming.py asserts
+    that path end-to-end."""
     sessions = session_aggregate(stream_events(spark, sf_dir), gap=gap)
     with _state_partitions(spark, state_partitions):
         q = (
@@ -203,8 +219,10 @@ def run_stateful_sessions_batch(
     gap_s: int = 1800,
     state_partitions: int | None = 8,
 ) -> DataFrame:
-    """Drive the stateful session counter over the backlog; return the
-    LAST emitted row per user (the final running totals)."""
+    """TEST/BENCH HARNESS ONLY (memory sink — see
+    run_sessionization_batch): drive the stateful session counter over
+    the backlog; return the LAST emitted row per user (the final
+    running totals)."""
     out = stateful_session_counts(spark, sf_dir, gap_s)
     with _state_partitions(spark, state_partitions):
         q = (

@@ -100,6 +100,18 @@ def test_media_metadata_scan_skips_payload(spark, sf_dir):
     assert reads and "lang" not in reads[0]
 
 
+def test_jaccard_no_static_broadcast_of_doc_counts(spark, sf_dir):
+    # the per-doc counts relation must carry NO broadcast hint: at 100 TB
+    # it has one row per document and a forced broadcast is an OOM. AQE
+    # may still broadcast it at runtime when it is genuinely small —
+    # that's correct behavior; the static hint is the scale-killer.
+    from terrorblade_spark.registry import get_queries
+
+    q = get_queries()["q34_ngram_jaccard"](spark, sf_dir)
+    analyzed = q._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+
+
 def test_aggregations_partial(spark, sf_dir):
     # groupBy must plan partial (map-side) aggregation before the
     # exchange: two HashAggregate nodes around one shuffle
