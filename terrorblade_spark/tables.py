@@ -34,8 +34,16 @@ def _enable_nanos_read(spark: SparkSession) -> None:
     types cannot represent; ``nanosAsLong`` reads it as int64 instead.
     Set it on the *caller's* session (runtime-settable) so any
     externally-created SparkSession — not just get_spark()'s — can read
-    the table."""
+    the table.
+
+    The session timezone is pinned to UTC for the same caller-session
+    reason: the parquet timestamps are naive (isAdjustedToUTC=false) and
+    the oracle engine extracts/renders them as-is, while Spark's
+    TIMESTAMP_LTZ applies the SESSION timezone to year()/hour()
+    extraction and to pandas collection — any non-UTC caller session
+    would shift every ts-derived value relative to the oracle."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -69,3 +69,19 @@ def test_timestamps_parsed(export_df):
 
 def test_no_blank_text(export_df):
     assert export_df.where("text IS NULL OR length(trim(text)) = 0").count() == 0
+
+
+def test_load_table_pins_caller_session_for_events(spark, sf_dir):
+    # the correctness harness passes ITS OWN session: the nanos read
+    # conf and the UTC timezone must both be forced on it, or every
+    # ts-derived value shifts relative to the oracle's naive timestamps
+    from terrorblade_spark.tables import load_table
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        load_table(spark, sf_dir, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
