@@ -119,3 +119,31 @@ def test_aggregations_partial(spark, sf_dir):
     q = li.groupBy("l_returnflag").agg(F.count(F.lit(1)))
     plan = _plan(q)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_merged_window_query_single_exchange(spark, sf_dir):
+    # q12's three window columns (gap, seq, ffill) share one window
+    # spec: Catalyst must plan exactly ONE shuffle on the entity key
+    from terrorblade_spark.registry import get_queries
+
+    plan = _plan(get_queries()["q12_event_window_columns"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+
+
+def test_heatmap_quantiles_partial_agg(spark, sf_dir):
+    # q17's quantile columns ride the same shuffle as count/countDistinct
+    # — partial (map-side) aggregation must still be planned
+    from terrorblade_spark.registry import get_queries
+
+    plan = _plan(get_queries()["q17_activity_heatmap"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_random_cluster_no_global_sort_of_events(spark, sf_dir):
+    # q62's seeded draw sorts POST-AGG session rows (TakeOrdered top-1),
+    # never the raw events, and joins the 1-row pick back broadcast
+    from terrorblade_spark.registry import get_queries
+
+    plan = _plan(get_queries()["q62_random_cluster"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
