@@ -20,7 +20,8 @@ from terrorblade_spark.multimodal.media import (
     media_from_documents,
     sample_frames,
 )
-from terrorblade_spark.operators.vector import cosine
+from terrorblade_spark.operators.vector import cosine, sign_lsh_bucket
+from terrorblade_spark.queries.vector import _duck_lsh_signs
 from terrorblade_spark.registry import query
 from terrorblade_spark.tables import load_table
 
@@ -125,21 +126,33 @@ def q51_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("media_id", "width", "height", "decode_seed").orderBy("media_id")
 
 
-# --- q52: cross-modal feature near-dup (featurize -> cosine) -----------------
-# The hash featurizer is md5 arithmetic, so DuckDB rebuilds the (un-
-# normalized) vectors and replays the cosine threshold. Only the pair
-# ids cross the comparison — the cosine VALUE passes through float32 on
-# the Spark side and would be a bit-for-bit trap at any rounding.
+# --- q52: cross-modal feature near-dup (featurize -> LSH bucket -> cosine) ---
+# The hash featurizer is md5 arithmetic, so DuckDB rebuilds the vectors
+# (duck_hash_vec_unit replays the float32 quantization — thresholds
+# cannot flip) and replays the whole candidate generation. Candidates
+# are BOUNDED by a sign-LSH bucket join (same operator as q54): a bare
+# within-kind self-join is quadratic in corpus size — the classic
+# scale-killer at 100 TB — while (kind, bucket) co-partitions the join
+# and caps each task's pair count. Only pair ids cross the comparison;
+# the cosine VALUE passes through float32 and would be a rounding trap.
 
 @query(
     "q52_media_feature_neardup",
     oracle=f"""
-    WITH feats AS (
+    WITH signs AS ({_duck_lsh_signs(6, 32)}),
+    feats AS (
       SELECT media_id, kind, {duck_hash_vec_unit("payload_text", 32)} AS v
       FROM ({_MEDIA_SQL})
+    ),
+    bucketed AS (
+      SELECT f.media_id, f.kind, f.v,
+             CAST(sum(CASE WHEN list_dot_product(f.v, s.signs) > 0
+                           THEN 1 << s.p ELSE 0 END) AS INTEGER) AS bucket
+      FROM feats f, signs s GROUP BY f.media_id, f.kind, f.v
     )
     SELECT a.kind AS kind, a.media_id AS id_a, b.media_id AS id_b
-    FROM feats a JOIN feats b ON a.kind = b.kind AND a.media_id < b.media_id
+    FROM bucketed a JOIN bucketed b
+      ON a.kind = b.kind AND a.bucket = b.bucket AND a.media_id < b.media_id
     WHERE CASE WHEN list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0
                THEN list_dot_product(a.v, b.v) /
                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
@@ -149,13 +162,16 @@ def q51_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q52_media_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_from_documents(load_table(spark, sf_dir, "documents"))
-    feats = extract_features(m, dim=32)
+    feats = extract_features(m, dim=32).withColumn(
+        "bucket", sign_lsh_bucket(F.col("features"), planes=6, dims=32)
+    )
     a, b = feats.alias("a"), feats.alias("b")
     sim = cosine(F.col("a.features"), F.col("b.features"))
     return (
         a.join(
             b,
             (F.col("a.kind") == F.col("b.kind"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.media_id") < F.col("b.media_id")),
         )
         .where(sim >= 0.5)
