@@ -161,10 +161,19 @@ def q51_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q52_media_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     m = media_from_documents(load_table(spark, sf_dir, "documents"))
     feats = extract_features(m, dim=32).withColumn(
         "bucket", sign_lsh_bucket(F.col("features"), planes=6, dims=32)
     )
+    # persist before the self-join: without it BOTH join sides re-run
+    # the featurizer mapInPandas over the payload bytes (plan showed two
+    # MapInPandas nodes — 2x the Python/decode cost). Same rationale as
+    # the q33 banded-relation persist; the cached relation is (id, kind,
+    # 32 floats, bucket) — tiny next to the payloads, disk-spillable.
+    feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+    feats.count()  # eager: lazy persist would race both join branches
     a, b = feats.alias("a"), feats.alias("b")
     sim = cosine(F.col("a.features"), F.col("b.features"))
     return (
