@@ -118,3 +118,78 @@ def test_topk_deterministic_under_ties(spark, vecs):
         got = cosine_topk(df, q, k=5).collect()
         outs.append([(r["vec_id"], r["cosine_sim"]) for r in got])
     assert outs[0] == outs[1]
+
+
+@given(
+    texts=st.lists(
+        # ASCII only: the engine tokenizes on Java \s+ (ASCII whitespace),
+        # while Python str.split() also breaks on NBSP etc. — keep both
+        # sides agreeing on what a token is.
+        st.text(alphabet="abcdefghij ", min_size=3, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_slow
+def test_lsh_candidates_catch_exact_duplicates(spark, texts):
+    # identical texts agree on EVERY band hash, so an exact duplicate
+    # pair must always surface as an LSH candidate (recall floor = 1.0
+    # for true dups; the property that makes LSH usable for dedup)
+    from terrorblade_spark.operators.dedup import minhash_lsh_candidates
+
+    data = [(i, t) for i, t in enumerate(texts)]
+    dup_base = len(data)
+    data += [(dup_base + i, t) for i, t in enumerate(texts)]  # duplicate all
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(df, "doc_id", "text", num_hashes=8, bands=4, shingle_n=2).collect()
+    }
+    for i, t in enumerate(texts):
+        if len(t.split()) >= 2:  # shingles are word-level: needs >= n tokens
+            assert (i, dup_base + i) in got, (i, t)
+
+
+@given(rows=_events)
+@_slow
+def test_sessionize_matches_native_session_window(spark, rows):
+    # the cumsum-of-breaks sessionizer (W4, batch) and Spark's native
+    # session_window (§2.12, streaming-capable) must produce the same
+    # partitioning of events into sessions for the same gap
+    df = _df(spark, rows, 3)
+    gap_s = 600
+    ours = (
+        sessionize(df, "ts", ["entity"], "event_id", gap=gap_s)
+        .groupBy("entity", "session_id")
+        .agg(F.min("ts").alias("start"), F.count(F.lit(1)).alias("n"))
+    )
+    native = (
+        df.groupBy("entity", F.session_window("ts", f"{gap_s} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("entity", F.col("w.start").alias("start"), "n")
+    )
+    a = sorted(map(tuple, ours.select("entity", "start", "n").collect()))
+    b = sorted(map(tuple, native.collect()))
+    assert a == b
+
+
+@given(rows=_events)
+@_slow
+def test_forward_fill_matches_pandas(spark, rows):
+    import pandas as pd
+
+    from terrorblade_spark.operators.windows import forward_fill
+
+    df = _df(spark, rows, 4).withColumn(
+        "v", F.when(F.col("event_id") % 3 == 0, F.col("event_id").cast("double"))
+    )
+    got = (
+        forward_fill(df, "v", ["entity"], ["ts", "event_id"], "filled")
+        .orderBy("entity", "ts", "event_id")
+        .toPandas()
+    )
+    pdf = df.orderBy("entity", "ts", "event_id").toPandas()
+    want = pdf.groupby("entity")["v"].ffill()
+    assert [
+        None if pd.isna(x) else x for x in got["filled"]
+    ] == [None if pd.isna(x) else x for x in want]
