@@ -56,6 +56,22 @@ def duck_hash64(expr: str, salt: str = "") -> str:
     return f"('0x' || substring(md5({inner}), 1, 15))::BIGINT"
 
 
+def csv_join(col: Column | str) -> Column:
+    """Canonical comma-joined string form of an array column.
+
+    The correctness harness hash-compares cell VALUES; list cells are
+    unhashable there, so every registered query emits arrays in this
+    scalar form (DuckDB twin: :func:`duck_csv_join`).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.transform(c, lambda v: v.cast("string")), ",")
+
+
+def duck_csv_join(expr: str) -> str:
+    """The DuckDB SQL string equivalent of :func:`csv_join`."""
+    return f"array_to_string(list_transform({expr}, v -> v::VARCHAR), ',')"
+
+
 def gap_ms(ts_col: str, *, partition_cols: list[str], order_cols: list[str]) -> Column:
     """Milliseconds since the previous row in the partition (W3).
 

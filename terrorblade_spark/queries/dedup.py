@@ -15,6 +15,7 @@ from terrorblade_spark.operators.dedup import (
     minhash_signatures,
     simhash_values,
 )
+from terrorblade_spark.functions.exprs import csv_join
 from terrorblade_spark.operators.textops import duck_shingles
 from terrorblade_spark.registry import query
 from terrorblade_spark.tables import load_table
@@ -30,7 +31,8 @@ _ROWS = _NUM_HASHES // _BANDS
 @query(
     "q31_exact_dedup",
     oracle="""
-    SELECT content_hash, canonical_id, member_ids, n_members FROM (
+    SELECT content_hash, canonical_id,
+           array_to_string(member_ids, ',') AS member_ids, n_members FROM (
       SELECT ('0x' || substring(md5(text), 1, 15))::BIGINT AS content_hash,
              min(doc_id) AS canonical_id,
              array_agg(doc_id ORDER BY doc_id) AS member_ids,
@@ -42,8 +44,13 @@ _ROWS = _NUM_HASHES // _BANDS
     """,
 )
 def q31_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # member_ids is comma-joined: the harness cannot hash list cells
     d = load_table(spark, sf_dir, "documents")
-    return exact_dedup_groups(d, "doc_id", "text").orderBy("content_hash")
+    g = exact_dedup_groups(d, "doc_id", "text")
+    return g.select(
+        "content_hash", "canonical_id",
+        csv_join("member_ids").alias("member_ids"), "n_members",
+    ).orderBy("content_hash")
 
 
 # --- q32: MinHash signatures ------------------------------------------------

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from terrorblade_spark.functions.exprs import csv_join
 from terrorblade_spark.functions.embed import duck_hash_vec, duck_hash_vec_unit, embed_text
 from terrorblade_spark.operators.semantic import (
     author_runs,
@@ -146,7 +147,7 @@ def q43_semantic_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts) AS ts,
            count(*) AS n_messages,
            string_agg(props, '. ' ORDER BY ts, event_id) AS text,
-           array_agg(event_id ORDER BY ts, event_id) AS message_ids
+           array_to_string(array_agg(event_id ORDER BY ts, event_id), ',') AS message_ids
     FROM runs
     GROUP BY user_id, message_group
     ORDER BY user_id, message_group
@@ -159,7 +160,10 @@ def q44_author_run_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         concat_author_runs(
             runs, "message_group", "ts", "event_id", "text", partition_cols=["user_id"]
         )
-        .select("user_id", "message_group", "ts", "n_messages", "text", "message_ids")
+        .select(
+            "user_id", "message_group", "ts", "n_messages", "text",
+            csv_join("message_ids").alias("message_ids"),
+        )
         .orderBy("user_id", "message_group")
     )
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from terrorblade_spark.functions.exprs import dec_sum
+from terrorblade_spark.functions.exprs import csv_join, dec_sum
 from terrorblade_spark.operators.windows import global_renumber, sessionize
 from terrorblade_spark.registry import query
 from terrorblade_spark.tables import load_table
@@ -56,7 +56,7 @@ def q19_session_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms,
            count(DISTINCT event_type) AS n_event_types,
            sum(CAST(value AS DECIMAL(18,6)))::DOUBLE AS total_value,
-           array_agg(event_id ORDER BY ts, event_id) AS event_ids
+           array_to_string(array_agg(event_id ORDER BY ts, event_id), ',') AS event_ids
     FROM ({_SESSIONIZE_SQL.format(gap_ms=3600000, src="events")})
     GROUP BY user_id, session_id
     HAVING count(*) >= 3
@@ -64,6 +64,7 @@ def q19_session_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q20_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # event_ids is comma-joined: the harness cannot hash list cells
     e = load_table(spark, sf_dir, "events")
     s = sessionize(e, "ts", ["user_id"], "event_id", gap="1 hour")
     ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id")))
@@ -76,7 +77,7 @@ def q20_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms"),
             F.countDistinct("event_type").alias("n_event_types"),
             dec_sum("value", 6).alias("total_value"),
-            F.transform(ordered, lambda x: x.event_id).alias("event_ids"),
+            csv_join(F.transform(ordered, lambda x: x.event_id)).alias("event_ids"),
         )
         .where(F.col("n_events") >= 3)
         .orderBy("user_id", "session_id")
@@ -140,7 +141,7 @@ def q23_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms,
              count(DISTINCT event_type) AS n_event_types,
              sum(CAST(value AS DECIMAL(18,6)))::DOUBLE AS total_value,
-             array_agg(event_id ORDER BY ts, event_id) AS event_ids
+             array_to_string(array_agg(event_id ORDER BY ts, event_id), ',') AS event_ids
       FROM sess
       GROUP BY user_id, session_id
       HAVING count(*) >= 3
@@ -165,7 +166,7 @@ def q24_long_session_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms"),
             F.countDistinct("event_type").alias("n_event_types"),
             dec_sum("value", 6).alias("total_value"),
-            F.transform(ordered, lambda x: x.event_id).alias("event_ids"),
+            csv_join(F.transform(ordered, lambda x: x.event_id)).alias("event_ids"),
         )
         .where(F.col("n_events") >= 3)
     )
@@ -249,7 +250,7 @@ def q62_random_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.user_id, s.session_id,
            count(*) AS n_with_context,
-           array_agg(e.event_id ORDER BY e.seq) AS context_event_ids
+           array_to_string(array_agg(e.event_id ORDER BY e.seq), ',') AS context_event_ids
     FROM sess s JOIN seqd e
       ON e.user_id = s.user_id AND e.seq BETWEEN s.min_seq - 3 AND s.max_seq + 3
     GROUP BY s.user_id, s.session_id
@@ -280,7 +281,7 @@ def q25_session_overlap_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(F.col("s.user_id").alias("user_id"), F.col("s.session_id").alias("session_id"))
         .agg(
             F.count(F.lit(1)).alias("n_with_context"),
-            F.transform(ordered, lambda x: x.event_id).alias("context_event_ids"),
+            csv_join(F.transform(ordered, lambda x: x.event_id)).alias("context_event_ids"),
         )
         .orderBy("user_id", "session_id")
     )

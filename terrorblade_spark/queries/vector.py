@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from terrorblade_spark.functions.exprs import csv_join
 from terrorblade_spark.operators.vector import (
     ann_lsh_topk,
     cosine,
@@ -260,8 +261,8 @@ def q54_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx AS (
       SELECT doc_id, source,
              substring(regexp_replace(text, '\n', ' ', 'g'), 1, 80) AS snippet,
-             list(doc_id) OVER (PARTITION BY source ORDER BY doc_id
-                                ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS context_ids
+             array_to_string(list(doc_id) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), ',') AS context_ids
       FROM documents
     )
     SELECT h.vec_id, h.cosine_sim, c.source, c.snippet, c.context_ids
@@ -281,7 +282,7 @@ def q55_search_with_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.substring(F.regexp_replace("text", "\n", " "), 1, 80).alias("snippet"),
-        F.collect_list("doc_id").over(w).alias("context_ids"),
+        csv_join(F.collect_list("doc_id").over(w)).alias("context_ids"),
     )
     return (
         hits.join(ctx, hits["vec_id"] == ctx["doc_id"])

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from terrorblade_spark.functions.exprs import dec_sum
+from terrorblade_spark.functions.exprs import csv_join, dec_sum
 from terrorblade_spark.operators.windows import (
     context_collect,
     forward_fill,
@@ -54,7 +54,9 @@ def q12_event_window_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q15_purchase_context",
     oracle="""
-    SELECT event_id, user_id, context FROM (
+    SELECT event_id, user_id,
+           array_to_string(list_transform(context, v -> v::VARCHAR), ',') AS context
+    FROM (
       SELECT event_id, user_id, event_type,
              array_agg(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS context
@@ -64,11 +66,13 @@ def q12_event_window_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # context is emitted comma-joined: the harness hash-compares cell
+    # values and cannot hash list cells (see functions.exprs.csv_join)
     e = load_table(spark, sf_dir, "events")
     ctx = context_collect(e, "event_id", ["user_id"], ["ts", "event_id"], before=2, after=2)
     return (
         ctx.where(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "context")
+        .select("event_id", "user_id", csv_join("context").alias("context"))
         .orderBy("user_id", "event_id")
     )
 
