@@ -1,0 +1,149 @@
+"""Connected components over candidate-pair graphs, and the near-dup
+canonicalization pipeline built on it.
+
+The dedup operators (operators.dedup) end at candidate PAIRS; a real
+corpus dedup needs per-document cluster assignment — "which canonical
+doc does each duplicate collapse into". That is connected components
+over the pair graph.
+
+Scale design: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14). Each round is
+two groupBy+join passes over the EDGE relation only — two narrow
+shuffles of (long, long) pairs, never document payloads — and the edge
+set converges to stars (child -> component-min) in O(log^2 n) rounds;
+for dedup graphs (near-cliques from LSH bands) it converges in 2-3.
+Per-round ``localCheckpoint`` truncates the lineage so the plan does
+not grow with iterations (on a cluster, lineage-truncation via
+checkpoint/localCheckpoint is what keeps iterative DataFrame jobs
+re-plannable; without it round k replays rounds 1..k-1).
+
+A driver-side loop over ROUNDS (a dozen scalar count/checksum actions)
+is not a driver-side loop over DATA: per-round work is fully
+distributed and the loop count is logarithmic, the standard shape for
+iterative graph algorithms on Spark (GraphFrames does the same).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    # for each node u: m = min(neighbors + self); every strictly-larger
+    # neighbor v links to m
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient high -> low, then each node and its smaller neighbors all
+    # link to the smallest of them
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        oriented.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_link = mins.select(F.col("u"), F.col("m").alias("v"))
+    return relink.unionByName(self_link).where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Component assignment for every node of the pair graph.
+
+    Returns (node long, component long) with component = the minimum
+    node id in the node's connected component (so the component id is
+    itself a member — the natural canonical-document choice).
+
+    Reference analog: the reference engine never ships this (its dedup
+    stops at pairwise cluster labels); large-scale corpus dedup needs
+    it, so it is part of the engine's beyond-reference surface.
+    """
+    edges = (
+        pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("u").alias("node")).unionByName(
+        edges.select(F.col("v").alias("node"))
+    ).distinct()
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        edges = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        # convergence = edge multiset fixed point; (count, xor-free sum
+        # of a 64-bit pair hash) is an order-independent signature and
+        # two cheap scalar actions on the checkpointed relation
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes overflows
+            # under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        if prev_sig == (sig["n"], sig["s"]):
+            break
+        prev_sig = (sig["n"], sig["s"])
+
+    # converged edges are (child, root) stars; roots label themselves
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )
+
+
+def near_dup_components(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float | None = None,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidates ->
+    (optional) exact n-gram Jaccard verification -> connected
+    components -> (id, canonical_id, is_duplicate).
+
+    Every document appears in the output; docs in no cluster are their
+    own canonical. The join back to the full id set is on a long key —
+    text never shuffles after the signature stage.
+    """
+    from terrorblade_spark.operators.dedup import jaccard_pairs, minhash_lsh_candidates
+
+    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
+    if jaccard_threshold is not None:
+        verified = jaccard_pairs(
+            df, id_col, text_col, shingle_n, threshold=jaccard_threshold
+        ).select("id_a", "id_b")
+        cand = cand.join(verified, ["id_a", "id_b"], "leftsemi")
+    comp = connected_components(cand, "id_a", "id_b")
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col))
+        .join(comp, F.col(id_col) == F.col("node"), "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+            (F.coalesce("component", F.col(id_col)) != F.col(id_col)).alias(
+                "is_duplicate"
+            ),
+        )
+    )

@@ -27,17 +27,29 @@ _ROWS = _NUM_HASHES // _BANDS
 
 
 # --- q31: exact duplicate groups (hash-groupBy) -----------------------------
+# The corpus is a simulated re-crawl: documents UNION ALL the same
+# documents re-ingested under offset ids. The test tables carry no
+# byte-identical texts at small SF, so deduping the raw table proves
+# nothing (0 groups); the re-ingest makes every doc a member of a real
+# group and value-checks the hash-groupBy end to end.
+
+_REINGEST_OFFSET = 1_000_000_000
+
 
 @query(
     "q31_exact_dedup",
-    oracle="""
+    oracle=f"""
     SELECT content_hash, canonical_id,
            array_to_string(member_ids, ',') AS member_ids, n_members FROM (
       SELECT ('0x' || substring(md5(text), 1, 15))::BIGINT AS content_hash,
              min(doc_id) AS canonical_id,
              array_agg(doc_id ORDER BY doc_id) AS member_ids,
              count(*) AS n_members
-      FROM documents
+      FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_REINGEST_OFFSET} AS doc_id, text FROM documents
+      )
       GROUP BY 1
     ) WHERE n_members > 1
     ORDER BY content_hash
@@ -45,8 +57,11 @@ _ROWS = _NUM_HASHES // _BANDS
 )
 def q31_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # member_ids is comma-joined: the harness cannot hash list cells
-    d = load_table(spark, sf_dir, "documents")
-    g = exact_dedup_groups(d, "doc_id", "text")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + F.lit(_REINGEST_OFFSET)).alias("doc_id"), "text")
+    )
+    g = exact_dedup_groups(corpus, "doc_id", "text")
     return g.select(
         "content_hash", "canonical_id",
         csv_join("member_ids").alias("member_ids"), "n_members",

@@ -56,7 +56,7 @@ def q36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT e.vec_id, e.label, {_COS} AS cosine_sim
     FROM embeddings e, {_Q} q
-    WHERE {_COS} >= 0.5 AND e.vec_id != 0
+    WHERE {_COS} >= 0.25 AND e.vec_id != 0
     ORDER BY e.vec_id
     """,
 )
@@ -66,7 +66,7 @@ def q37_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.crossJoin(q)
         .select("vec_id", "label", cosine(F.col("embedding"), F.col("__qvec")).alias("cosine_sim"))
-        .where((F.col("cosine_sim") >= 0.5) & (F.col("vec_id") != 0))
+        .where((F.col("cosine_sim") >= 0.25) & (F.col("vec_id") != 0))
         .select("vec_id", "label", "cosine_sim")
         .orderBy("vec_id")
     )
@@ -113,7 +113,7 @@ def q38_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
              / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.9
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
     ORDER BY id_a, id_b
     """,
 )
@@ -129,7 +129,7 @@ def q39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("id_b"),
             sim.alias("cosine_sim"),
         )
-        .where(F.col("cosine_sim") >= 0.9)
+        .where(F.col("cosine_sim") >= 0.4)
         .orderBy("id_a", "id_b")
     )
 

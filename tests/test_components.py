@@ -1,0 +1,125 @@
+"""Connected components + near-dup canonicalization tests, including a
+property check against a pure-Python union-find oracle."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from terrorblade_spark.operators.components import (
+    connected_components,
+    near_dup_components,
+)
+
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min of component
+    comp = {}
+    for n in parent:
+        root = find(n)
+        comp.setdefault(root, []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def _cc(spark, pairs):
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+
+
+def test_two_cliques_and_a_chain(spark):
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
+    got = _cc(spark, pairs)
+    assert got == _union_find(pairs)
+    assert got[3] == 1 and got[11] == 10 and got[23] == 20
+
+
+def test_long_path_converges(spark):
+    # a 40-node path is the adversarial case for min-propagation; the
+    # star algorithm must still collapse it to component 0
+    pairs = [(i, i + 1) for i in range(40)]
+    got = _cc(spark, pairs)
+    assert set(got.values()) == {0}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_slow
+def test_components_match_union_find(spark, edges):
+    assert _cc(spark, edges) == _union_find(edges)
+
+
+def test_near_dup_components_on_duplicated_corpus(spark):
+    # duplicate every doc under offset ids: each (i, i+100) must share a
+    # component, canonical = the small id, and no cross-doc merges occur
+    # (distinct shingle sets)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "how vexingly quick daft zebras jump today",
+        "sphinx of black quartz judge my vow now",
+    ]
+    data = [(i, t) for i, t in enumerate(texts)]
+    data += [(100 + i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+        for r in near_dup_components(
+            df, "doc_id", "text", num_hashes=8, bands=4, shingle_n=2
+        ).collect()
+    }
+    assert len(got) == 8
+    for i in range(len(texts)):
+        assert got[i] == (i, False)
+        assert got[100 + i] == (i, True)
+
+
+def test_near_dup_components_with_jaccard_gate(spark):
+    # the jaccard gate must drop an LSH candidate pair whose true
+    # similarity is below the threshold while keeping exact dups
+    a = "alpha beta gamma delta epsilon zeta"
+    data = [(0, a), (1, a), (2, "totally different words entirely here now")]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in near_dup_components(
+            df, "doc_id", "text", num_hashes=8, bands=4, shingle_n=2,
+            jaccard_threshold=0.9,
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 2}
+
+
+def test_isolated_nodes_self_canonical(spark):
+    df = spark.createDataFrame([(5, 7)], "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == {5: 5, 7: 5}
