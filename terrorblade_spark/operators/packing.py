@@ -1,0 +1,79 @@
+"""Token-budget sequence packing for LLM training-data pipelines.
+
+Pretraining dataloaders consume fixed-length token windows; packing
+many short documents per window ("sequence packing") is what keeps
+padding waste low. The operator assigns every document a (shard, bin)
+such that each bin's token total stays within ``budget``.
+
+Scale design: packing is inherently sequential WITHIN a shard (bin
+state), so the corpus is first sharded by a deterministic hash of the
+id (shards ≙ dataloader workers), then each shard packs independently
+inside ``applyInPandas`` — one shuffle on the shard key, a numpy
+greedy pass per shard, no driver involvement. Shard count, not corpus
+size, bounds the per-task state; at 100 TB you raise ``num_shards``
+to keep shards executor-sized. Documents longer than the budget get
+their own bin (the dataloader truncates); empty docs pack normally.
+
+The greedy next-fit policy (seal the bin when the next doc overflows)
+is deterministic given the shard's hash order, so results are stable
+under retries — and unit tests replay the same policy in pure pandas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+from terrorblade_spark.functions.exprs import hash64
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    num_shards: int = 64,
+    seed: str = "pack-v1",
+) -> DataFrame:
+    """Assign (shard, bin, bin_tokens) to every document.
+
+    Returns the input columns plus ``shard``, ``bin`` (0-based within
+    the shard), and ``bin_tokens`` (the doc's token contribution,
+    capped at budget for oversized docs' accounting).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    import pandas as pd  # noqa: F401 (applyInPandas contract)
+
+    shard = (hash64(F.col(id_col).cast("string"), salt=seed) % num_shards).cast("int")
+    src = df.withColumn("shard", shard)
+
+    # numpy greedy next-fit over the shard's deterministic hash order;
+    # the per-shard state is two scalars, the batch stays columnar
+    order_key = f"__order_{seed}"
+
+    def _pack(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values([order_key, id_col], ignore_index=True)
+        toks = np.minimum(pdf[token_count_col].to_numpy().astype("int64"), budget)
+        bins = np.empty(len(pdf), dtype="int64")
+        b, acc = 0, 0
+        for i, t in enumerate(toks):
+            if acc + t > budget and acc > 0:
+                b, acc = b + 1, 0
+            bins[i] = b
+            acc += t
+        pdf["bin"] = bins
+        pdf["bin_tokens"] = toks
+        return pdf.drop(columns=[order_key])
+
+    keyed = src.withColumn(order_key, hash64(F.col(id_col).cast("string"), salt=seed))
+    from pyspark.sql.types import LongType
+
+    packed_schema = StructType(
+        [f for f in keyed.schema.fields if f.name != order_key]
+        + [StructField("bin", LongType(), False), StructField("bin_tokens", LongType(), False)]
+    )
+    return keyed.groupBy("shard").applyInPandas(_pack, schema=packed_schema)

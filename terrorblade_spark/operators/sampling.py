@@ -1,0 +1,107 @@
+"""Deterministic sampling and corpus-mixing operators for training-data
+pipelines.
+
+Training mixes need three properties production `rand()` sampling lacks:
+reproducibility across reruns/retries (a task retry must not change the
+sample), exact quotas per stratum (data-mix recipes are specified in
+rows or tokens, not probabilities), and engine-portable determinism (so
+the sample itself can be oracle-checked). All three come from ordering
+by a seeded md5 of the row key (functions.exprs.hash64) instead of
+`rand()`: the "random" order is a pure function of (seed, key), stable
+under retries, speculative execution, and partitioning changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from terrorblade_spark.functions.exprs import hash64
+
+# hash64 is 60 bits -> uniform in [0, 2^60); divide for a U[0,1) draw
+_HASH_SPAN = float(1 << 60)
+
+
+def seeded_uniform(key_col, seed: str) -> "F.Column":
+    """Deterministic U[0,1) draw per key: hash64(seed||key) / 2^60."""
+    return hash64(F.col(key_col).cast("string"), salt=seed) / F.lit(_HASH_SPAN)
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    quota: int,
+    id_col: str,
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Exactly min(quota, |stratum|) rows per stratum, deterministically.
+
+    Plan: one window (partition by strata, order by seeded hash + id
+    tiebreak) -> row_number <= quota. A single shuffle on the strata
+    key; no rand(), so retries and AQE re-planning cannot change the
+    sample. At 100 TB quota-sampling a skewed stratum is one sort of
+    that stratum's rows — bounded by the stratum, not the corpus.
+    """
+    order = hash64(F.col(id_col).cast("string"), salt=seed)
+    w = Window.partitionBy(*strata_cols).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
+def weighted_corpus_mix(
+    sources: list[tuple[DataFrame, float]],
+    id_col: str,
+    seed: str = "mix-v1",
+    source_col: str = "mix_source",
+) -> DataFrame:
+    """Mix corpora by independent per-source keep-rates, deterministically.
+
+    ``sources`` is [(df, keep_fraction)] with 0 <= keep_fraction <= 1;
+    each row survives iff its seeded uniform draw < fraction. The draw
+    is salted with the source index so the same document id in two
+    sources gets independent draws. Output carries ``source_col``
+    (the source index) for downstream mix accounting.
+
+    This is a narrow map-side filter per source + UNION ALL: no
+    shuffle at all, which is the point at 100 TB — mixing must not
+    cost a repartition.
+    """
+    if not sources:
+        raise ValueError("weighted_corpus_mix needs at least one source")
+    parts = []
+    for i, (df, frac) in enumerate(sources):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"keep fraction out of range for source {i}: {frac}")
+        draw = seeded_uniform(id_col, f"{seed}/src{i}")
+        parts.append(
+            df.where(draw < F.lit(frac)).withColumn(source_col, F.lit(i))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def train_eval_split(
+    df: DataFrame,
+    id_col: str,
+    eval_fraction: float,
+    seed: str = "split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/eval assignment as a COLUMN (no shuffle,
+    no rand()): split = 'eval' iff seeded uniform < eval_fraction.
+
+    Hash-based splitting is the standard leak-proof recipe: a
+    document's assignment depends only on (seed, id), so re-ingesting
+    or re-partitioning the corpus can never move a doc across the
+    split boundary.
+    """
+    draw = seeded_uniform(id_col, seed)
+    return df.withColumn(
+        split_col,
+        F.when(draw < F.lit(eval_fraction), F.lit("eval")).otherwise(F.lit("train")),
+    )

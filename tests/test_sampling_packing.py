@@ -1,0 +1,142 @@
+"""Deterministic sampling / corpus mixing / sequence packing tests.
+
+The stratified sample is additionally checked against a DuckDB twin to
+prove the seeded-hash draw is engine-portable (same recipe as the
+registered queries' oracles).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from terrorblade_spark.operators.packing import pack_sequences
+from terrorblade_spark.operators.sampling import (
+    stratified_quota_sample,
+    train_eval_split,
+    weighted_corpus_mix,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from terrorblade_spark.tables import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_stratified_quota_exact_and_deterministic(spark, docs, sf_dir):
+    got = stratified_quota_sample(docs, ["lang"], quota=7, id_col="doc_id", seed="s1")
+    per = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {lang: min(7, n) for lang, n in sizes.items()}
+    # rerun -> identical ids (no rand(): the sample is a pure function of seed+id)
+    a = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_quota_sample(docs, ["lang"], 7, "doc_id", seed="s1")
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
+    # different seed -> (almost surely) different sample
+    c = sorted(
+        r["doc_id"]
+        for r in stratified_quota_sample(docs, ["lang"], 7, "doc_id", seed="s2")
+        .select("doc_id")
+        .collect()
+    )
+    assert a != c
+
+
+def test_stratified_quota_matches_duckdb_twin(spark, docs, sf_dir):
+    got = sorted(
+        r["doc_id"]
+        for r in stratified_quota_sample(docs, ["lang"], 5, "doc_id", seed="s1")
+        .select("doc_id")
+        .collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY ('0x' || substring(md5('s1' || doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
+              ) AS rn
+              FROM '{sf_dir}/documents.parquet'
+            ) WHERE rn <= 5
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_weighted_mix_rates_and_no_shuffle(spark, docs):
+    mixed = weighted_corpus_mix([(docs, 1.0), (docs, 0.25)], "doc_id", seed="m1")
+    n = docs.count()
+    counts = {
+        r["mix_source"]: r["n"]
+        for r in mixed.groupBy("mix_source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts[0] == n                       # keep-all source
+    assert 0.15 * n < counts[1] < 0.35 * n      # ~25% of the second
+    # mixing must not shuffle: no Exchange in the plan
+    plan = mixed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # deterministic across reruns
+    again = weighted_corpus_mix([(docs, 1.0), (docs, 0.25)], "doc_id", seed="m1")
+    assert mixed.count() == again.count()
+
+
+def test_train_eval_split_deterministic_and_leak_proof(spark, docs):
+    s1 = train_eval_split(docs, "doc_id", 0.2, seed="sp1")
+    frac = s1.where(F.col("split") == "eval").count() / docs.count()
+    assert 0.1 < frac < 0.3
+    # repartitioning cannot move a doc across the split
+    s2 = train_eval_split(docs.repartition(7), "doc_id", 0.2, seed="sp1")
+    a = {r["doc_id"]: r["split"] for r in s1.select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in s2.select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_pack_sequences_respects_budget(spark, docs):
+    from terrorblade_spark.functions.exprs import tokens
+
+    d = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    packed = pack_sequences(d, "doc_id", "n_tokens", budget=256, num_shards=8, seed="p1")
+    # every doc assigned exactly once
+    assert packed.count() == d.count()
+    # no bin exceeds the budget except single oversized docs
+    bins = (
+        packed.groupBy("shard", "bin")
+        .agg(F.sum("bin_tokens").alias("tot"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in bins:
+        assert r["tot"] <= 256 or r["n"] == 1, (r["shard"], r["bin"], r["tot"], r["n"])
+    # deterministic across reruns
+    a = sorted(map(tuple, packed.select("doc_id", "shard", "bin").collect()))
+    b = sorted(
+        map(
+            tuple,
+            pack_sequences(d, "doc_id", "n_tokens", 256, 8, "p1")
+            .select("doc_id", "shard", "bin")
+            .collect(),
+        )
+    )
+    assert a == b
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin(spark):
+    rows = [(1, 10), (2, 9999), (3, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_sequences(df, "doc_id", "n_tokens", budget=100, num_shards=1, seed="p1")
+    got = {r["doc_id"]: (r["bin"], r["bin_tokens"]) for r in packed.collect()}
+    # the oversized doc is alone in its bin with capped accounting
+    oversized_bin = got[2][0]
+    assert got[2][1] == 100
+    assert [d for d, (b, _) in got.items() if b == oversized_bin] == [2]
