@@ -13,7 +13,8 @@ Layout
 - ``tables``     parquet table loaders for the test star schema
 - ``registry``   query + DuckDB-oracle registry consumed by __spark_entry__
 - ``operators/`` composable DataFrame -> DataFrame operators
-  (relational, windows, sessionization, dedup, text, vector)
+  (relational, windows, sessionization, dedup, components, sampling,
+  packing, text, vector)
 - ``sources/``   Telegram JSON export reader and normalizer
 - ``queries/``   the named query surface (imported to populate registry)
 - ``streaming/`` Structured Streaming variants (session/tumbling windows)
