@@ -1,0 +1,254 @@
+"""Corpus-curation operators: decontamination, repetition signals,
+Gopher-style quality rules, PII redaction.
+
+These are the filters a training-data pipeline runs between ingest and
+packing. All hot paths are Catalyst expressions or broadcast joins —
+no Python UDFs — so they stay inside whole-stage codegen and scale with
+input bytes, not row count x Python overhead.
+
+Scale notes
+-----------
+- ``decontaminate`` assumes the eval/benchmark side is small (eval sets
+  are thousands of documents); its distinct shingle set is broadcast, so
+  the 100 TB train side is never shuffled — each scan task probes the
+  broadcast hash table and only (doc_id, hit) pairs move.
+- ``repetition_signals`` is per-row arithmetic over the line/gram arrays
+  of ONE document (quadratic in lines-per-doc, bounded by document
+  length, embarrassingly parallel across docs).
+- ``redact_pii`` is a constant chain of regexp_replace ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from terrorblade_spark.functions.exprs import tokens
+from terrorblade_spark.operators.textops import shingles
+
+# ---------------------------------------------------------------------------
+# decontamination (train-vs-eval n-gram overlap; the GPT-3/PaLM method)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_overlap_ratio: float = 0.5,
+) -> DataFrame:
+    """Flag training documents that share n-gram shingles with any
+    evaluation document.
+
+    Returns ``train`` + ``n_shingles``, ``n_contaminated`` (how many of
+    the doc's distinct shingles appear anywhere in the eval corpus),
+    ``contamination_ratio``, and ``is_contaminated`` (ratio >
+    ``max_overlap_ratio``).
+
+    Plan shape: distinct eval shingles (small — eval sets are thousands
+    of docs) are broadcast; the train side explodes to (id, shingle),
+    inner-joins the broadcast set, and aggregates hit counts per id —
+    a narrow map-side probe, no shuffle of document bodies. The final
+    attach joins only (id, n_contaminated) back onto train.
+    """
+    eval_shingles = (
+        eval_df.select(F.explode(shingles(text_col, n)).alias("shingle")).distinct()
+    )
+    train_sh = train.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+    hits = (
+        train_sh.join(F.broadcast(eval_shingles), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    out = (
+        train.withColumn("n_shingles", F.size(shingles(text_col, n)).cast("long"))
+        .join(hits, id_col, "left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)).cast("long"))
+        .withColumn(
+            "contamination_ratio",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_contaminated").cast("double") / F.col("n_shingles").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("is_contaminated", F.col("contamination_ratio") > F.lit(max_overlap_ratio))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher §A1.1-style)
+# ---------------------------------------------------------------------------
+
+
+def _lines(text_col: str) -> Column:
+    return F.filter(F.split(F.col(text_col), "\n"), lambda x: F.length(F.trim(x)) > 0)
+
+
+def _grams(text_col: str, n: int) -> Column:
+    """Non-distinct lowercase word n-grams (shingles() dedups; counting
+    repetition needs multiplicity)."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    k = F.size(toks)
+    m = F.greatest(k - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(grams, F.slice(toks, j + 1, m), lambda g, t: F.concat_ws(" ", g, t))
+    return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition features:
+
+    - ``dup_line_char_frac``: fraction of line characters sitting in
+      lines that occur more than once in the document,
+    - ``max_line_repeat``: occurrence count of the most repeated line,
+    - ``top_bigram_char_frac``: fraction of text characters covered by
+      the most frequent word 2-gram (count * gram length / n_chars).
+
+    Each is a fold over the row's own line/gram arrays (O(len^2) per
+    doc, bounded by document size); nothing leaves the row, so the
+    operator is a pure map — no shuffle at any scale.
+    """
+    lines = _lines(text_col)
+    line_chars = F.aggregate(lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    dup_chars = F.aggregate(
+        lines,
+        F.lit(0).cast("long"),
+        lambda a, x: a
+        + F.when(F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)).otherwise(F.lit(0)),
+    )
+    max_rep = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0),
+        lambda a, x: F.greatest(a, F.size(F.filter(lines, lambda y: y == x))),
+    )
+
+    grams = _grams(text_col, 2)
+    n_chars = F.length(F.col(text_col)).cast("long")
+    # (covered chars, count, gram) per distinct gram; array_max picks the
+    # winner by covered chars with a deterministic gram tiebreak.
+    best = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.struct(
+                (F.size(F.filter(grams, lambda h: h == g)) * F.length(g))
+                .cast("long")
+                .alias("covered"),
+                g.alias("gram"),
+            ),
+        )
+    )
+    return (
+        df.withColumn(
+            "dup_line_char_frac",
+            F.when(line_chars > 0, dup_chars.cast("double") / line_chars.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn("max_line_repeat", F.coalesce(max_rep, F.lit(0)).cast("long"))
+        .withColumn(
+            "top_bigram_char_frac",
+            F.when(
+                (n_chars > 0) & best.isNotNull(),
+                best["covered"].cast("double") / n_chars.cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules
+# ---------------------------------------------------------------------------
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_dup_line_char_frac: float = 0.3,
+) -> DataFrame:
+    """Rule-based quality gate (Gopher §A1.1 shape, thresholds relaxed
+    for short-text corpora): word-count band, mean-word-length band,
+    symbol-to-word ratio (# and ellipsis), duplicate-line fraction.
+
+    Adds ``quality_reasons`` (array of failed rule names, empty = keep)
+    and ``keep`` — filtering is the caller's choice so rejects can be
+    audited. One pass of row-local expressions; no shuffle.
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks).cast("long")
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double")
+        / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"#|\.\.\.", ""))
+    ).cast("long")
+    sym_ratio = F.when(n_words > 0, n_symbols.cast("double") / n_words.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+    with_rep = repetition_signals(df, text_col)
+    checks = [
+        (F.col("__n_words") < F.lit(min_words), "too_few_words"),
+        (F.col("__n_words") > F.lit(max_words), "too_many_words"),
+        (F.col("__mean_wl") < F.lit(min_mean_word_len), "mean_word_len_low"),
+        (F.col("__mean_wl") > F.lit(max_mean_word_len), "mean_word_len_high"),
+        (F.col("__sym_ratio") > F.lit(max_symbol_word_ratio), "symbol_ratio"),
+        (F.col("dup_line_char_frac") > F.lit(max_dup_line_char_frac), "dup_lines"),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(name)).otherwise(F.lit(None)) for cond, name in checks]),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        with_rep.withColumn("__n_words", n_words)
+        .withColumn("__mean_wl", mean_wl)
+        .withColumn("__sym_ratio", sym_ratio)
+        .withColumn("quality_reasons", reasons)
+        .withColumn("keep", F.size(F.col("quality_reasons")) == 0)
+        .drop("__n_words", "__mean_wl", "__sym_ratio")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the regex subset Java and RE2 share (no
+# lookarounds), so DuckDB twins can replay them verbatim.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None) -> DataFrame:
+    """Replace emails / IPv4s / phone numbers with typed placeholders
+    and record per-kind match counts (``n_email``/``n_ipv4``/
+    ``n_phone``). Patterns apply in declaration order (emails first so
+    their user@host digits never half-match the phone pattern).
+    Pure regexp_replace/regexp_count chain — codegen'd, no shuffle.
+    """
+    out_col = out_col or text_col
+    redacted = F.col(text_col)
+    counts = {}
+    for kind, pat, token in PII_PATTERNS:
+        counts[kind] = F.regexp_count(redacted, F.lit(pat)).cast("long")
+        redacted = F.regexp_replace(redacted, pat, token)
+    out = df
+    for kind in counts:
+        out = out.withColumn(f"n_{kind}", counts[kind])
+    return out.withColumn(out_col, redacted)
