@@ -14,10 +14,11 @@ Layout
 - ``registry``   query + DuckDB-oracle registry consumed by __spark_entry__
 - ``operators/`` composable DataFrame -> DataFrame operators
   (relational, windows, sessionization, dedup, components, sampling,
-  packing, text, vector)
+  packing, curation, text, vector)
 - ``sources/``   Telegram JSON export reader and normalizer
 - ``queries/``   the named query surface (imported to populate registry)
 - ``streaming/`` Structured Streaming variants (session/tumbling windows)
+- ``api``        user-facing facade mirroring the reference's entry points
 """
 
 __version__ = "0.1.0"

@@ -265,3 +265,46 @@ def simhash_values(
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus_index: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest-time dedup: admit only batch docs whose content is new
+    relative to (a) the already-ingested corpus and (b) the batch itself.
+
+    ``corpus_index`` is the running exact-dedup index — just
+    (content_hash) rows, the only state the pipeline persists between
+    ingests (hashes, never bodies: at 100 TB the index is ~0.01% of
+    corpus bytes). Pass None on the first batch.
+
+    Returns ``(admitted, new_index)``: the batch rows to append (one
+    canonical row per new content hash, smallest id wins — deterministic
+    under retries, so the writer stays idempotent), and the index rows
+    to add. Plan: one groupBy of (hash, id) within the batch + one
+    left_anti join against the index — the join key is the hash, so AQE
+    broadcasts whichever side is small (a daily batch vs. a bucketed
+    index at scale).
+    """
+    from pyspark.sql import Window
+
+    hashed = batch.withColumn("content_hash", hash64(F.col(text_col)))
+
+    canon = (
+        hashed.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+            ),
+        )
+        .where(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    if corpus_index is not None:
+        canon = canon.join(
+            corpus_index.select("content_hash"), "content_hash", "left_anti"
+        )
+    return canon, canon.select("content_hash")

@@ -77,3 +77,53 @@ def pack_sequences(
         + [StructField("bin", LongType(), False), StructField("bin_tokens", LongType(), False)]
     )
     return keyed.groupBy("shard").applyInPandas(_pack, schema=packed_schema)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split long documents into overlapping fixed-size token windows
+    (the pre-packing step: chunk first, then ``pack_sequences`` the
+    chunks).
+
+    Emits one row per chunk: input columns minus ``text_col`` plus
+    ``chunk_idx``, ``chunk_text``, ``chunk_tokens``. Chunks start every
+    ``max_tokens - overlap`` tokens, so consecutive chunks share
+    ``overlap`` tokens of context; the final chunk may be short. Empty
+    documents produce no rows.
+
+    Pure Catalyst plan: tokenize once per row, build the slice-start
+    sequence, posexplode and slice — a narrow row-to-rows map with no
+    shuffle, so it composes with the scan at any scale.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    from terrorblade_spark.functions.exprs import tokens
+
+    step = max_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # starts: 1, 1+step, ... covering every token; ceil((n-overlap)/step)
+    n_chunks = F.when(n <= 0, F.lit(0).cast("long")).otherwise(
+        F.greatest(F.floor((n - overlap + step - 1) / F.lit(step)), F.lit(1).cast("long"))
+    )
+    starts = F.when(n_chunks > 0, F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.array_join(F.slice(toks, i * step + 1, max_tokens), " ").alias("chunk_text"),
+            F.least(n - i * step, F.lit(max_tokens)).cast("long").alias("chunk_tokens"),
+        ),
+    )
+    keep = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*keep, F.explode(chunks).alias("__c"))
+        .select(*keep, "__c.chunk_idx", "__c.chunk_text", "__c.chunk_tokens")
+    )

@@ -115,3 +115,34 @@ def test_hamming_near_dup_smaller_than_random(spark):
     pair = spark.createDataFrame([(sims[0], sims[1]), (sims[0], sims[2])], ["a", "b"])
     d01, d02 = [r["d"] for r in pair.select(hamming64(F.col("a"), F.col("b")).alias("d")).collect()]
     assert d01 < d02
+
+
+def test_incremental_dedup_two_batches(spark):
+    from terrorblade_spark.operators.dedup import incremental_dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma delta")],
+        "doc_id long, text string",
+    )
+    admitted1, idx1 = incremental_dedup(b1, None)
+    got1 = sorted(r["doc_id"] for r in admitted1.collect())
+    assert got1 == [1, 3]  # within-batch dup collapsed, smallest id wins
+    idx1 = idx1.persist()
+    assert idx1.count() == 2
+
+    # batch 2: one known doc, one new dup pair, one brand-new
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "epsilon"), (12, "epsilon"), (13, "zeta")],
+        "doc_id long, text string",
+    )
+    admitted2, idx2 = incremental_dedup(b2, idx1)
+    got2 = sorted(r["doc_id"] for r in admitted2.collect())
+    assert got2 == [11, 13]  # 10 already in corpus, 12 dups 11
+    # running index = union
+    total = idx1.unionByName(idx2).distinct().count()
+    assert total == 4
+
+    # idempotency: replaying batch 2 against the updated index admits nothing
+    full_idx = idx1.unionByName(idx2)
+    admitted3, _ = incremental_dedup(b2, full_idx)
+    assert admitted3.count() == 0

@@ -140,3 +140,44 @@ def test_pack_sequences_oversized_doc_gets_own_bin(spark):
     oversized_bin = got[2][0]
     assert got[2][1] == 100
     assert [d for d, (b, _) in got.items() if b == oversized_bin] == [2]
+
+
+def test_chunk_documents_covers_every_token(spark):
+    from terrorblade_spark.operators.packing import chunk_documents
+
+    text_a = " ".join(f"w{i}" for i in range(1000))
+    df = spark.createDataFrame(
+        [(1, text_a), (2, "a b c"), (3, "")], "doc_id long, text string"
+    )
+    got = chunk_documents(df, max_tokens=128, overlap=16).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts every 112 tokens; ceil((1000-16)/112) = 9 chunks
+    a = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert len(a) == 9
+    assert [r["chunk_idx"] for r in a] == list(range(9))
+    # every chunk except the last is full; reconstruction covers all tokens
+    seen = set()
+    for r in a:
+        toks = r["chunk_text"].split(" ")
+        assert len(toks) == r["chunk_tokens"] <= 128
+        seen.update(toks)
+    assert seen == {f"w{i}" for i in range(1000)}
+    # overlap: chunk k starts at 112*k, so chunk0[-16:] == chunk1[:16]
+    assert a[0]["chunk_text"].split(" ")[112:] == a[1]["chunk_text"].split(" ")[:16]
+    # short doc -> one whole chunk; empty doc -> no rows
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b c"
+    assert 3 not in by_doc
+
+
+def test_chunk_documents_is_narrow(spark, docs):
+    from terrorblade_spark.operators.packing import chunk_documents
+
+    plan = (
+        chunk_documents(docs.select("doc_id", "text"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
