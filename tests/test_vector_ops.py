@@ -176,3 +176,35 @@ def test_ivf_matches_exact_when_probing_all(spark):
         (r["vec_id"], r["cosine_sim"]) for r in ivf_topk(df, q, k=10, nprobe=3).collect()
     ]
     assert ivf_all == exact  # nprobe = all lists -> exact search
+
+
+def test_ivf_build_learned_lists(spark, sf_dir):
+    from terrorblade_spark.operators.vector import cosine_topk, ivf_build, ivf_topk
+    from terrorblade_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    n = emb.count()
+    assigned, cents = ivf_build(emb, n_lists=4, seed=7)
+    assigned = assigned.persist()
+    # every vector gets exactly one valid list
+    assert assigned.count() == n
+    lists = {r["list_id"] for r in assigned.select("list_id").distinct().collect()}
+    assert lists <= set(range(4)) and len(lists) >= 2
+    # centroids: one per non-empty list, right dimensionality
+    crows = cents.collect()
+    dim = len(emb.select("embedding").first()["embedding"])
+    assert all(len(r["centroid"]) == dim for r in crows)
+    # deterministic rebuild
+    again, _ = ivf_build(emb, n_lists=4, seed=7)
+    a = {r["vec_id"]: r["list_id"] for r in assigned.collect()}
+    b = {r["vec_id"]: r["list_id"] for r in again.collect()}
+    assert a == b
+    # identical vectors co-locate: the query's own row is always found
+    # when probing all lists, and ivf top-k == exact top-k at nprobe=4/4
+    query = emb.orderBy("vec_id").limit(1).select("embedding")
+    exact = [r["vec_id"] for r in cosine_topk(emb, query, 10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(assigned, query, 10, nprobe=4, list_col="list_id").collect()
+    ]
+    assert approx == exact
