@@ -244,3 +244,50 @@ def run_stateful_sessions_batch(
         .where("rn = 1")
         .drop("rn")
     )
+
+
+def content_dedup_writer(
+    stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming corpus ingest with content-level dedup: each
+    micro-batch goes through ``operators.dedup.incremental_dedup``
+    against the durable content-hash index, so only never-seen text is
+    appended — the streaming form of the batch ingest-dedup operator.
+
+    Index state is (content_hash) parquet — hashes only, never bodies,
+    so at 100 TB the index is ~0.01% of corpus bytes and the anti-join
+    side stays broadcast-or-bucket sized.
+
+    Failure contract (plain parquet has no cross-path transaction): the
+    corpus appends BEFORE the index, so a crash between the two writes
+    re-admits that batch's content on replay (duplicate corpus rows,
+    never lost rows). Recovery is mechanical — rebuild the index from
+    the corpus (`SELECT DISTINCT hash64(text)`) — and an atomic sink
+    (Delta/Iceberg) collapses the window entirely; the plan shape is
+    unchanged.
+    """
+    from terrorblade_spark.operators.dedup import incremental_dedup
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        spark = batch_df.sparkSession
+        try:
+            index = spark.read.parquet(index_path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise  # unreadable-but-existing index must fail the stream
+            index = None
+        admitted, new_index = incremental_dedup(batch_df, index, id_col, text_col)
+        admitted = admitted.persist()
+        try:
+            admitted.drop("content_hash").write.mode("append").parquet(corpus_path)
+            new_index.write.mode("append").parquet(index_path)
+        finally:
+            admitted.unpersist()
+
+    return stream.writeStream.foreachBatch(merge)

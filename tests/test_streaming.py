@@ -54,3 +54,37 @@ def test_dedup_merge_writer_raises_on_unreadable_target(spark, sf_dir, tmp_path)
     )
     with pytest.raises(StreamingQueryException):
         q.awaitTermination()
+
+
+def test_content_dedup_writer_cross_batch_and_restart(spark, tmp_path):
+    from terrorblade_spark.streaming.pipeline import content_dedup_writer
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus, index = str(tmp_path / "corpus"), str(tmp_path / "index")
+    schema = "doc_id long, text string"
+
+    def arrive(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+
+    # batch 1: one within-batch dup
+    arrive([(1, "alpha"), (2, "alpha"), (3, "beta")], "b1")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(src) + "/*"
+    )
+    _drain(content_dedup_writer(stream, corpus, index), str(tmp_path / "cp0"))
+    got1 = {(r["doc_id"], r["text"]) for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {(1, "alpha"), (3, "beta")}
+
+    # batch 2 arrives: one known text, one new
+    arrive([(10, "alpha"), (11, "gamma")], "b2")
+    _drain(content_dedup_writer(stream, corpus, index), str(tmp_path / "cp0"))
+    texts = sorted(r["text"] for r in spark.read.parquet(corpus).collect())
+    assert texts == ["alpha", "beta", "gamma"]
+
+    # full replay from a fresh checkpoint admits nothing new
+    _drain(content_dedup_writer(stream, corpus, index), str(tmp_path / "cp1"))
+    assert spark.read.parquet(corpus).count() == 3
+    assert spark.read.parquet(index).distinct().count() == 3
