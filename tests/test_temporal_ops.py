@@ -1,0 +1,131 @@
+"""As-of / range join tests: semantics on crafted rows, a DuckDB
+ASOF JOIN twin on real tables, and plan shape (no nested-loop join).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from terrorblade_spark.operators.temporal import asof_join, range_join
+
+
+def test_asof_join_backward_semantics(spark):
+    trades = spark.createDataFrame(
+        [("A", 10.0, 1), ("A", 20.0, 2), ("A", 25.0, 3), ("B", 5.0, 4)],
+        "sym string, t double, trade_id long",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 9.0, 100.0), ("A", 20.0, 101.0), ("A", 30.0, 102.0), ("C", 1.0, 999.0)],
+        "sym string, t double, px double",
+    )
+    got = {
+        r["trade_id"]: r["r_px"]
+        for r in asof_join(trades, quotes, on="t", by=["sym"]).collect()
+    }
+    assert got[1] == 100.0  # 9.0 quote is latest <= 10.0
+    assert got[2] == 101.0  # equal timestamp IS visible
+    assert got[3] == 101.0  # 30.0 is in the future
+    assert got[4] is None   # no quotes for B
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([("A", 100.0, 1)], "k string, t double, id long")
+    right = spark.createDataFrame([("A", 10.0, 5.0)], "k string, t double, v double")
+    with_tol = asof_join(left, right, on="t", by=["k"], tolerance_s=50.0).collect()[0]
+    assert with_tol["r_v"] is None  # match is 90s old, tolerance 50s
+    no_tol = asof_join(left, right, on="t", by=["k"]).collect()[0]
+    assert no_tol["r_v"] == 5.0
+
+
+def test_asof_join_matches_duckdb_on_events(spark, duck, sf_dir):
+    from terrorblade_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tus"), "value"
+    )
+    # right side: each user's events value stream; left: the same events
+    # shifted — every event asof-joins the latest event at least 1h older
+    left = ev.select("event_id", "user_id", (F.col("tus") - 3600_000_000).alias("tq"))
+    right = ev.select("user_id", F.col("tus").alias("tq"), F.col("value").alias("v"))
+    got = {
+        r["event_id"]: r["r_v"]
+        for r in asof_join(left, right, on="tq", by=["user_id"]).collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in duck.execute(
+            """
+            WITH ev AS (
+              SELECT event_id, user_id,
+                     epoch_us(ts::TIMESTAMP) AS tus, value
+              FROM events
+            ),
+            l AS (SELECT event_id, user_id, tus - 3600000000 AS tq FROM ev),
+            r AS (SELECT user_id, tus AS tq, value AS v FROM ev)
+            SELECT l.event_id, r.v
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.tq >= r.tq
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_asof_join_plan_no_nested_loop(spark):
+    left = spark.createDataFrame([("A", 1.0, 1)], "k string, t double, id long")
+    right = spark.createDataFrame([("A", 1.0, 2.0)], "k string, t double, v double")
+    plan = (
+        asof_join(left, right, on="t", by=["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_containment(spark):
+    points = spark.createDataFrame(
+        [("u1", 10.0, 1), ("u1", 3600.0, 2), ("u1", 99999.0, 3), ("u2", 10.0, 4)],
+        "user string, t double, pid long",
+    )
+    intervals = spark.createDataFrame(
+        [("u1", 0.0, 5000.0, "s1"), ("u1", 3000.0, 4000.0, "s2"), ("u2", 20.0, 30.0, "s3")],
+        "user string, s double, e double, sid string",
+    )
+    got = sorted(
+        (r["pid"], r["sid"])
+        for r in range_join(points, intervals, "t", "s", "e", by=["user"]).collect()
+    )
+    # pid1 in s1; pid2 in s1 AND s2 (3600 in [3000,4000)); pid3 nowhere;
+    # pid4 outside s3
+    assert got == [(1, "s1"), (2, "s1"), (2, "s2")]
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    points = spark.createDataFrame(
+        [("u1", 10.0, 1), ("u1", 7000.0, 2)], "user string, t double, pid long"
+    )
+    intervals = spark.createDataFrame(
+        [("u1", 0.0, 100.0, "s1")], "user string, s double, e double, sid string"
+    )
+    got = {
+        r["pid"]: r["sid"]
+        for r in range_join(
+            points, intervals, "t", "s", "e", by=["user"], how="left"
+        ).collect()
+    }
+    assert got == {1: "s1", 2: None}
+
+
+def test_range_join_chunk_boundary_exclusive_end(spark):
+    # end exactly on a chunk boundary: point at end must NOT match
+    points = spark.createDataFrame([("k", 7200.0, 1)], "g string, t double, pid long")
+    intervals = spark.createDataFrame(
+        [("k", 0.0, 7200.0, "s")], "g string, s double, e double, sid string"
+    )
+    assert (
+        range_join(points, intervals, "t", "s", "e", by=["g"], chunk_s=3600.0).count() == 0
+    )
