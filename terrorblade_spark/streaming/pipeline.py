@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from terrorblade_spark.tables import _enable_nanos_read
+from terrorblade_spark.tables import _enable_nanos_read, normalize_ts
 
 
 def stream_events(
@@ -31,8 +31,8 @@ def stream_events(
 ) -> DataFrame:
     """File-source stream over the events table (schema pinned from the
     batch loader — streams never infer)."""
-    # pin the RAW parquet schema (ts arrives as INT64 nanos under
-    # nanosAsLong); the ns->us conversion happens below, as in batch
+    # pin the RAW parquet schema (whatever physical type ts arrives as);
+    # normalize_ts below makes it TIMESTAMP for watermarks, as in batch
     _enable_nanos_read(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     reader = spark.readStream.schema(raw.schema)
@@ -41,10 +41,9 @@ def stream_events(
     # the sf dir holds every table; the file source needs a directory,
     # so glob-filter it down to the events file(s)
     df = reader.option("pathGlobFilter", "events*.parquet").parquet(sf_dir)
-    # same ns->us conversion as tables.load_table applies to batch reads
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    # same normalization as tables.load_table applies to batch reads:
+    # INT64-nanos / TIMESTAMP_NTZ / TIMESTAMP all land on TIMESTAMP
+    return normalize_ts(df)
 
 
 def session_aggregate(

@@ -46,19 +46,40 @@ def _enable_nanos_read(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (LTZ) regardless of
+    the parquet physical type it arrived as. The test fixtures have
+    shipped ``ts`` three different ways across rounds:
+
+    - TIMESTAMP(NANOS)  -> ``bigint`` under nanosAsLong: floor-divide to
+      µs (matches DuckDB's internal ns -> µs truncation bit-for-bit);
+    - ``timestamp[us]`` naive (isAdjustedToUTC=false) -> TIMESTAMP_NTZ
+      in Spark >= 3.4: cast to TIMESTAMP — value-preserving because the
+      session tz is pinned to UTC (``_enable_nanos_read``), and required
+      because ``unix_millis``/``withWatermark`` reject NTZ;
+    - ``timestamp[us]`` UTC-adjusted -> TIMESTAMP already: no-op.
+
+    Every reader of events (batch and stream) must go through this so a
+    fixture regeneration can never break event-time queries again.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}")
     if name == "events":
         _enable_nanos_read(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long via nanosAsLong: convert to a
-        # microsecond timestamp with integer division (floor), matching
-        # DuckDB's internal ns -> µs truncation bit-for-bit.
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_ts(df)
     return df
 
 

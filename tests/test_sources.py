@@ -85,3 +85,51 @@ def test_load_table_pins_caller_session_for_events(spark, sf_dir):
         assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+@pytest.mark.parametrize("physical", ["int64_nanos", "us_ntz", "us_utc"])
+def test_events_ts_robust_to_parquet_physical_type(spark, tmp_path, physical):
+    """The events fixture has shipped ts three different ways across
+    driver rounds (TIMESTAMP(NANOS), naive timestamp[us] -> NTZ,
+    UTC-adjusted timestamp[us]). load_table and stream_events must yield
+    TimestampType with identical values for ALL of them — this is the
+    regression gate for the round-2 NTZ outage."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from terrorblade_spark.streaming.pipeline import stream_events
+    from terrorblade_spark.tables import load_table
+
+    micros = [1_700_000_000_000_000 + i * 61_000_000 for i in range(5)]
+    if physical == "int64_nanos":
+        ts_arr = pa.array([m * 1000 for m in micros], pa.timestamp("ns"))
+    elif physical == "us_ntz":
+        ts_arr = pa.array(micros, pa.timestamp("us"))
+    else:
+        ts_arr = pa.array(micros, pa.timestamp("us", tz="UTC"))
+    table = pa.table(
+        {
+            "event_id": pa.array(range(5), pa.int64()),
+            "ts": ts_arr,
+            "user_id": pa.array([1] * 5, pa.int64()),
+            "event_type": pa.array(["view"] * 5),
+            "value": pa.array([1.0] * 5),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    sf_dir = str(tmp_path / physical)
+    os.makedirs(sf_dir)
+    pq.write_table(table, os.path.join(sf_dir, "events.parquet"))
+
+    df = load_table(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    from pyspark.sql import functions as F
+
+    got = [r[0] for r in df.select(F.unix_millis("ts")).orderBy("event_id").collect()]
+    assert got == [m // 1000 for m in micros]
+
+    sdf = stream_events(spark, sf_dir)
+    assert isinstance(sdf.schema["ts"].dataType, TimestampType)
+    # withWatermark is the call that rejected NTZ in round 2
+    sdf.withWatermark("ts", "1 hour")
