@@ -127,14 +127,17 @@ def near_dup_components(
     own canonical. The join back to the full id set is on a long key —
     text never shuffles after the signature stage.
     """
-    from terrorblade_spark.operators.dedup import jaccard_pairs, minhash_lsh_candidates
+    from terrorblade_spark.operators.dedup import jaccard_for_pairs, minhash_lsh_candidates
 
     cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
     if jaccard_threshold is not None:
-        verified = jaccard_pairs(
-            df, id_col, text_col, shingle_n, threshold=jaccard_threshold
-        ).select("id_a", "id_b")
-        cand = cand.join(verified, ["id_a", "id_b"], "leftsemi")
+        # exact Jaccard is scored ONLY on the banded candidates (never a
+        # corpus-wide inverted-index self-join) — the corpus-scale default
+        cand = (
+            jaccard_for_pairs(df, cand, id_col, text_col, shingle_n)
+            .where(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b")
+        )
     comp = connected_components(cand, "id_a", "id_b")
     return (
         df.select(F.col(id_col).cast("long").alias(id_col))

@@ -181,6 +181,7 @@ def jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     bucket_cols: list[str] | None = None,
+    max_shingle_df: int | float | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity for candidate pairs.
 
@@ -188,6 +189,17 @@ def jaccard_pairs(
     optionally restricted to the same ``bucket_cols`` partition (the
     scale guard — at 100 TB you ALWAYS bucket, by LSH band or metadata).
     Jaccard = |inter| / (|A| + |B| - |inter|), exact integer counts.
+
+    ``max_shingle_df`` caps shingle document frequency: shingles in
+    more than that many docs (an int cap, or a float fraction of the
+    corpus) are dropped from every doc's shingle set BEFORE the
+    self-join. This is the skew guard for the inverted index — one
+    corpus-frequent shingle (boilerplate line, common 3-gram) is a hot
+    join key whose bucket blows up quadratically at scale, and a
+    df-capped shingle carries ~no similarity signal anyway (standard
+    MinHash-LSH practice). Semantics: the cap redefines each doc's
+    shingle SET (numerator and denominator both use the filtered set),
+    so Jaccard stays a true set similarity.
     """
     bucket_cols = bucket_cols or []
     # one narrow (bucket, doc, shingle) relation; shingle sets are
@@ -200,6 +212,24 @@ def jaccard_pairs(
         F.col(id_col).alias("doc"),
         F.explode(shingles(text_col, shingle_n)).alias("shingle"),
     )
+    if max_shingle_df is not None:
+        if isinstance(max_shingle_df, float):
+            # fraction of the corpus -> absolute cap; the count is one
+            # scalar aggregate job (same class as banded.count above)
+            n_docs = df.select(id_col).count()
+            cap = max(1, int(n_docs * max_shingle_df))
+        else:
+            cap = int(max_shingle_df)
+        # shingles are distinct per doc, so count(*) per shingle IS the
+        # document frequency. The hot set is tiny by construction
+        # (only shingles above the cap), so the anti-join broadcasts.
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > cap)
+            .select("shingle")
+        )
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
     counts = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")
@@ -223,6 +253,68 @@ def jaccard_pairs(
     return sized.withColumn("jaccard", jac).where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
+
+
+def jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for the supplied candidate
+    ``pairs`` (id_a, id_b) — the corpus-scale default: LSH bands
+    (``minhash_lsh_candidates``) propose, this verifies. The full
+    inverted-index self-join in ``jaccard_pairs`` touches every
+    co-shingled pair in the corpus; here the shingle relation is first
+    semi-joined down to docs that appear in some candidate pair, and
+    the only joins are pair-bounded equi-joins on (doc) and
+    (doc, shingle) — no self-join, no quadratic term, text never
+    shuffles past the shingle projection.
+
+    Pairs whose shingle sets are disjoint (or docs too short to
+    shingle) get jaccard 0.0 — every input pair appears in the output.
+    """
+    ex = spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    cand_docs = (
+        pairs.select(F.col("id_a").alias("doc"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc")))
+        .distinct()
+    )
+    # only candidate docs are shingled onward; at 100 TB candidates are
+    # a sliver of the corpus, so this semi-join is the big pruner
+    ex = ex.join(cand_docs, "doc", "leftsemi")
+    counts = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(
+            ex.select(F.col("doc").alias("id_a"), "shingle"), "id_a"
+        )
+        .join(ex.select(F.col("doc").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sized = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(
+            counts.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"),
+            "id_a",
+            "left",
+        )
+        .join(
+            counts.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b"),
+            "id_b",
+            "left",
+        )
+        .na.fill(0, ["n_inter", "n_a", "n_b"])
+    )
+    union_size = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    jac = F.when(union_size > 0, F.col("n_inter").cast("double") / union_size.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return sized.select("id_a", "id_b", jac.alias("jaccard"))
 
 
 def simhash_values(

@@ -150,33 +150,55 @@ def q33_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q34: bounded n-gram Jaccard pairs --------------------------------------
 
+# shingles in more than this fraction of docs are dropped before the
+# self-join (skew guard; see operators.dedup.jaccard_pairs)
+_MAX_SHINGLE_DF = 0.01
+
+
 @query(
     "q34_ngram_jaccard",
     oracle=f"""
     WITH shingled AS (
       SELECT lang, source, doc_id, {_SH} AS sh FROM documents
-    ), sized AS (
-      SELECT *, CAST(len(sh) AS BIGINT) AS n_sh FROM shingled WHERE len(sh) > 0
+    ), ex0 AS (
+      SELECT lang, source, doc_id, unnest(sh) AS shingle
+      FROM shingled WHERE len(sh) > 0
+    ), cap AS (
+      SELECT greatest(1, CAST(floor({_MAX_SHINGLE_DF} * count(*)) AS BIGINT)) AS v
+      FROM documents
     ), ex AS (
-      SELECT lang, source, doc_id, n_sh, unnest(sh) AS shingle FROM sized
+      SELECT * FROM ex0 WHERE shingle NOT IN (
+        SELECT shingle FROM ex0 GROUP BY shingle
+        HAVING count(*) > (SELECT v FROM cap)
+      )
+    ), counts AS (
+      SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
     ), inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
-             count(*) AS n_inter
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
       FROM ex a JOIN ex b
         ON a.lang = b.lang AND a.source = b.source AND a.shingle = b.shingle
       WHERE a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
+      GROUP BY 1, 2
     )
-    SELECT id_a, id_b, n_inter::DOUBLE / (n_a + n_b - n_inter)::DOUBLE AS jaccard
+    SELECT id_a, id_b,
+           n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter)::DOUBLE AS jaccard
     FROM inter
-    WHERE n_inter::DOUBLE / (n_a + n_b - n_inter)::DOUBLE >= 0.2
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter)::DOUBLE >= 0.2
     ORDER BY id_a, id_b
     """,
 )
 def q34_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(
-        d, "doc_id", "text", shingle_n=3, threshold=0.2, bucket_cols=["lang", "source"]
+        d,
+        "doc_id",
+        "text",
+        shingle_n=3,
+        threshold=0.2,
+        bucket_cols=["lang", "source"],
+        max_shingle_df=_MAX_SHINGLE_DF,
     ).orderBy("id_a", "id_b")
 
 

@@ -146,3 +146,61 @@ def test_incremental_dedup_two_batches(spark):
     full_idx = idx1.unionByName(idx2)
     admitted3, _ = incremental_dedup(b2, full_idx)
     assert admitted3.count() == 0
+
+
+def test_jaccard_df_cap_bounds_hot_shingle_skew(spark):
+    # skew probe: one boilerplate shingle injected into 10% of docs.
+    # Without a df cap the inverted index joins that shingle's bucket
+    # quadratically; with the cap the hot shingle is dropped and only
+    # genuine near-dup pairs survive.
+    n = 100
+    hot = [(i, "legal boilerplate footer " + f"unique{i} tok{i} word{i}") for i in range(10)]
+    rest = [(i, f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(10, n - 2)]
+    neardup = [(n - 2, "real shared content sentence here"), (n - 1, "real shared content sentence here")]
+    df = spark.createDataFrame(hot + rest + neardup, ["doc_id", "text"])
+
+    uncapped = jaccard_pairs(df, "doc_id", threshold=0.0)
+    capped = jaccard_pairs(df, "doc_id", threshold=0.0, max_shingle_df=5)
+    # the hot shingle ("legal boilerplate footer") co-shingles all 10
+    # injected docs -> 45 pairs uncapped; capped keeps only the true pair
+    assert uncapped.count() == 45 + 1
+    got = capped.collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(n - 2, n - 1)}
+    assert got[0]["jaccard"] == 1.0
+
+    # fractional cap: 5% of 100 docs = 5 -> same result
+    frac = jaccard_pairs(df, "doc_id", threshold=0.0, max_shingle_df=0.05)
+    assert {(r["id_a"], r["id_b"]) for r in frac.collect()} == {(n - 2, n - 1)}
+
+
+def test_jaccard_for_pairs_matches_full_join(spark):
+    from terrorblade_spark.operators.dedup import jaccard_for_pairs
+
+    df = _docs(
+        spark,
+        [
+            "a b c d e f",
+            "a b c d e g",
+            "a b c x y z",
+            "totally different words entirely here now",
+            "t s",  # too short to shingle
+        ],
+    )
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, "doc_id", threshold=0.0).collect()
+    }
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], ["id_a", "id_b"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_for_pairs(df, pairs, "doc_id").collect()
+    }
+    # agrees with the corpus-wide join on overlapping pairs...
+    assert abs(got[(0, 1)] - full[(0, 1)]) < 1e-12
+    assert abs(got[(0, 2)] - full[(0, 2)]) < 1e-12
+    # ...and returns 0.0 (not a dropped row) for disjoint/short pairs
+    assert got[(0, 3)] == 0.0
+    assert got[(0, 4)] == 0.0
+    assert len(got) == 4
