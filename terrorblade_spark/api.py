@@ -285,6 +285,63 @@ class TerrorbladeSpark:
             F.expr("percentile(n_words, 0.997)").alias("p997"),
         )
 
+    # -- LLM summarize surface (Q11) ----------------------------------------
+
+    def get_cluster_summary_data(self, chat_id: int, group_id: int) -> DataFrame:
+        """Q11 data prep (cluster_analysis_cli.py:339-376): one cluster's
+        messages formatted for LLM summarization — ``[ts] name: text``
+        lines, latest known sender name attached, chronological. One
+        declarative plan (the reference runs per-call SQL + a Python
+        format loop); returns (date, line) rows so the caller picks
+        collect vs write."""
+        from terrorblade_spark.operators.relational import latest_by
+
+        latest_names = latest_by(
+            self.messages.select("from_id", "from_name", "date").where(
+                F.col("from_name").isNotNull()
+            ),
+            ["from_id"],
+            [F.desc("date")],
+        ).select("from_id", F.col("from_name").alias("__latest_name"))
+        g = (
+            self._with_groups()
+            .where((F.col("chat_id") == chat_id) & (F.col("group_id") == group_id))
+            .where(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+        )
+        # the name dim is one row per user — broadcast at any corpus size
+        line = F.concat(
+            F.lit("["),
+            F.date_format("date", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("] "),
+            F.coalesce(F.col("__latest_name"), F.col("from_id").cast("string")),
+            F.lit(": "),
+            F.trim("text"),
+        )
+        return (
+            g.join(F.broadcast(latest_names), "from_id", "left")
+            .select("date", "message_id", line.alias("line"))
+            .orderBy("date", "message_id")
+        )
+
+    def summarize_cluster(
+        self,
+        chat_id: int,
+        group_id: int,
+        summarize_fn=None,
+        max_chars: int = 120_000,
+    ) -> str:
+        """Q11 (cluster_analysis_cli.py:379-459): format the cluster and
+        hand it to a pluggable ``summarize_fn(str) -> str`` (the
+        reference hardcodes an OpenAI call; here any callable — or None
+        to get the formatted transcript back, keeping the correctness
+        path LLM-free). The ONLY driver-side materialization is the one
+        bounded cluster being summarized."""
+        lines = self.get_cluster_summary_data(chat_id, group_id).select("line").collect()
+        text = "\n".join(r["line"] for r in lines)[:max_chars]
+        if summarize_fn is None:
+            return text
+        return summarize_fn(text)
+
     # -- vector search (Q9/V5) ----------------------------------------------
 
     def cluster_search(self, query_text: str, k: int = 5) -> DataFrame:

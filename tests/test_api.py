@@ -114,3 +114,40 @@ def test_cluster_search_requires_embeddings_or_works(tb, spark):
 
     with pytest.raises(ValueError):
         TerrorbladeSpark(spark, tb.messages, clusters=tb.clusters).cluster_search("x")
+
+
+def test_cluster_summary_data_format(tb):
+    c = tb.get_large_clusters(min_size=2).collect()[0]
+    rows = tb.get_cluster_summary_data(c["chat_id"], c["group_id"]).collect()
+    assert rows
+    import re
+
+    # [yyyy-MM-dd HH:mm:ss] name: text — reference format
+    # (cluster_analysis_cli.py:366-373)
+    pat = re.compile(r"^\[\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\] .+: .+$")
+    assert all(pat.match(r["line"]) for r in rows)
+    # chronological
+    dates = [r["date"] for r in rows]
+    assert dates == sorted(dates)
+
+
+def test_summarize_cluster_pluggable_hook(tb):
+    c = tb.get_large_clusters(min_size=2).collect()[0]
+    # no hook -> the formatted transcript itself (LLM-free path)
+    transcript = tb.summarize_cluster(c["chat_id"], c["group_id"])
+    assert transcript.count("\n") == c["n_messages"] - 1
+
+    # pluggable hook receives exactly that transcript
+    seen = {}
+
+    def fake_llm(text: str) -> str:
+        seen["text"] = text
+        return f"SUMMARY({len(text)} chars)"
+
+    out = tb.summarize_cluster(c["chat_id"], c["group_id"], summarize_fn=fake_llm)
+    assert seen["text"] == transcript
+    assert out == f"SUMMARY({len(transcript)} chars)"
+
+    # max_chars truncates before the hook sees the text
+    short = tb.summarize_cluster(c["chat_id"], c["group_id"], summarize_fn=len, max_chars=10)
+    assert short == 10
