@@ -89,6 +89,23 @@ def minhash_signatures(
     instead would cost k md5s per shingle AND emit k large codegen
     bodies (dominant JIT-code-cache pressure, see session.py).
     """
+    sig = _minhash_core(df, id_col, text_col, num_hashes, shingle_n)
+    sentinel = F.array(*[F.lit(-1).cast("long") for _ in range(num_hashes)])
+    return (
+        df.select(id_col)
+        .join(sig, on=id_col, how="left")
+        .select(F.col(id_col), F.coalesce(F.col("signature"), sentinel).alias("signature"))
+    )
+
+
+def _minhash_core(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_n: int
+) -> DataFrame:
+    """Signatures for docs that HAVE shingles (shorter docs absent).
+    ``minhash_signatures`` adds the -1 sentinel rows via a left join;
+    LSH banding skips that join entirely — sentinel docs can never be
+    candidates, so attaching rows just to filter them out again would
+    be a wasted full-corpus join."""
     base = (
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 14), 16, 10).cast("long")
         % MINHASH_PRIME
@@ -102,14 +119,8 @@ def minhash_signatures(
             for i, (a, b) in enumerate(minhash_params(num_hashes))
         ]
     )
-    sig = mins.select(
+    return mins.select(
         F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
-    )
-    sentinel = F.array(*[F.lit(-1).cast("long") for _ in range(num_hashes)])
-    return (
-        df.select(id_col)
-        .join(sig, on=id_col, how="left")
-        .select(F.col(id_col), F.coalesce(F.col("signature"), sentinel).alias("signature"))
     )
 
 
@@ -154,10 +165,10 @@ def minhash_lsh_candidates(
     holds at cluster scale where the text itself is 1000x larger.
     """
     rows = num_hashes // bands
-    sig = (
-        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-        .select(F.col(id_col).alias("doc"), F.col("signature").alias("sig"))
-        .where(F.element_at("sig", 1) != -1)
+    # _minhash_core omits unshingleable docs, which is exactly the
+    # `signature[0] != -1` filter — no sentinel join, no re-filter
+    sig = _minhash_core(df, id_col, text_col, num_hashes, shingle_n).select(
+        F.col(id_col).alias("doc"), F.col("signature").alias("sig")
     )
     banded = sig.select("doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash")
