@@ -28,6 +28,8 @@ HEADLINE = [
     "q47_streaming_sessions",
     "q48_media_profile",
     "q53_ivf_ann_topk",
+    "q63_corpus_shuffle",
+    "q64_embedding_quantize",
 ]
 
 

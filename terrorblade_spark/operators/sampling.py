@@ -105,3 +105,37 @@ def train_eval_split(
         split_col,
         F.when(draw < F.lit(eval_fraction), F.lit("eval")).otherwise(F.lit("train")),
     )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "v1",
+    n_shards: int = 1024,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    (shard, pos) coordinate that is a pure function of (seed, key).
+
+    Training pipelines need the corpus in a "random" order that is
+    reproducible across reruns and resumable mid-epoch; ``rand()``
+    and ``df.orderBy(rand())`` give neither. Here the shuffle key is
+    the seeded 60-bit hash: shard = key-hash mod n_shards, pos = rank
+    of the hash within the shard. Readers stream shards in order and
+    rows by pos, which is statistically indistinguishable from a
+    uniform permutation for training purposes.
+
+    Scale shape: one hash projection + ONE window partitioned by shard
+    (never a global row_number — a single-partition window serializes
+    the corpus through one task). At write time pair with
+    ``repartition(n_shards, "shard")`` + ``sortWithinPartitions("pos")``
+    so each output file IS a shard in reading order. A new epoch is a
+    new ``seed`` — a full reshuffle with zero state carried over.
+    """
+    h = hash64(F.col(key_col).cast("string"), salt=f"{seed}/")
+    w = Window.partitionBy("shard").orderBy("h", key_col)
+    return (
+        df.withColumn("h", h)
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("h")
+    )

@@ -283,3 +283,31 @@ def ivf_build(
         f"list_id int, centroid array<double>",
     )
     return assigned, centroids
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", qvec_col: str = "qvec", scale_col: str = "scale"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v| / 127,
+    q[i] = round(v[i] / scale) in [-127, 127] (all-zero vectors get
+    scale 0 and an all-zero qvec). Dequantize as q[i] * scale.
+
+    The memory lever for billion-vector ANN: float32 -> int8 is a 4x
+    cut (float64 8x), which at 100 TB decides whether an IVF list or
+    LSH bucket fits an executor's memory or spills. Pure JVM
+    higher-order functions — one aggregate fold for the max, one
+    transform for the rounding; no UDF, no shuffle, row-local.
+    """
+    maxabs = F.aggregate(
+        vec_col, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    d = df.withColumn(scale_col, maxabs / F.lit(127.0))
+    q = F.transform(
+        vec_col,
+        lambda x: F.when(
+            F.col(scale_col) > 0, F.round(x.cast("double") / F.col(scale_col), 0)
+        )
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+    return d.withColumn(qvec_col, q)

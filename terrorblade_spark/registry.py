@@ -42,6 +42,7 @@ def _load_all() -> None:
     # import for side effect: modules register their queries
     from terrorblade_spark.queries import (  # noqa: F401
         dedup,
+        llmdata,
         multimodal,
         relational,
         semantic,

@@ -181,3 +181,59 @@ def test_chunk_documents_is_narrow(spark, docs):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_shuffle_corpus_deterministic_and_balanced(spark):
+    from terrorblade_spark.operators.sampling import shuffle_corpus
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = shuffle_corpus(df, "doc_id", seed="s1", n_shards=16)
+    b = shuffle_corpus(df.repartition(7), "doc_id", seed="s1", n_shards=16)
+    rows_a = {r["doc_id"]: (r["shard"], r["pos"]) for r in a.collect()}
+    rows_b = {r["doc_id"]: (r["shard"], r["pos"]) for r in b.collect()}
+    # pure function of (seed, key): partitioning must not matter
+    assert rows_a == rows_b
+    # (shard, pos) is a dense coordinate: positions are 0..n_i-1 per shard
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for shard, pos in rows_a.values():
+        by_shard[shard].append(pos)
+    assert set(by_shard) == set(range(16))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # roughly balanced shards (2000/16 = 125 expected)
+    sizes = [len(v) for v in by_shard.values()]
+    assert min(sizes) > 60 and max(sizes) < 190
+
+    # a different seed is a genuinely different permutation
+    c = shuffle_corpus(df, "doc_id", seed="s2", n_shards=16)
+    rows_c = {r["doc_id"]: (r["shard"], r["pos"]) for r in c.collect()}
+    assert rows_c != rows_a
+
+
+def test_quantize_int8_roundtrip_and_edge_cases(spark):
+    from terrorblade_spark.operators.vector import quantize_int8
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, -2.0, 0.5]),
+            (1, [0.0, 0.0, 0.0]),          # all-zero -> scale 0, qvec zeros
+            (2, [127.0, -127.0, 63.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert rows[1]["scale"] == 0.0 and rows[1]["qvec"] == [0, 0, 0]
+    # max|v| maps to ±127 exactly
+    assert rows[0]["qvec"][1] == -127
+    assert rows[2]["qvec"][:2] == [127, -127]
+    assert all(-127 <= q <= 127 for r in rows.values() for q in r["qvec"])
+    # dequantization error bounded by scale/2 per element
+    for r in rows.values():
+        v = [1.0, -2.0, 0.5] if r["vec_id"] == 0 else None
+        if v is None:
+            continue
+        deq = [q * r["scale"] for q in r["qvec"]]
+        assert all(abs(x - y) <= r["scale"] / 2 + 1e-12 for x, y in zip(v, deq))
