@@ -204,3 +204,55 @@ def test_jaccard_for_pairs_matches_full_join(spark):
     assert got[(0, 3)] == 0.0
     assert got[(0, 4)] == 0.0
     assert len(got) == 4
+
+
+def test_estimated_jaccard_from_signatures(spark):
+    from terrorblade_spark.operators.dedup import (
+        _minhash_core,
+        estimated_jaccard_for_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    df = _docs(
+        spark,
+        [
+            "a b c d e f g h",
+            "a b c d e f g h",          # identical -> estimate exactly 1.0
+            "a b c d e f g x",          # near-dup -> high estimate
+            "totally different words entirely here now friend",  # -> low
+        ],
+    )
+    sig = _minhash_core(df, "doc_id", "text", 16, 3).select(
+        F.col("doc_id").alias("doc"), F.col("signature").alias("sig")
+    )
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["id_a", "id_b"])
+    est = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in estimated_jaccard_for_pairs(sig, pairs).collect()
+    }
+    assert est[(0, 1)] == 1.0
+    assert est[(0, 2)] > est[(0, 3)]
+    assert all(0.0 <= v <= 1.0 for v in est.values())
+    # estimates are multiples of 1/16 (k agreeing positions out of 16)
+    assert all(abs(v * 16 - round(v * 16)) < 1e-9 for v in est.values())
+
+
+def test_near_dup_components_estimate_matches_exact_on_clean_data(spark):
+    from terrorblade_spark.operators.components import near_dup_components
+
+    texts = []
+    for i in range(20):
+        base = f"group {i} sentence alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"
+        texts.append(base)
+        texts.append(base)  # exact twin
+    texts.append("a lone document with no duplicate partner at all zeta")
+    df = _docs(spark, texts)
+
+    est = near_dup_components(df, "doc_id", jaccard_threshold=0.8)
+    exact = near_dup_components(df, "doc_id", jaccard_threshold=0.8, exact_verify=True)
+    rows_est = {r["doc_id"]: r["canonical_id"] for r in est.collect()}
+    rows_exact = {r["doc_id"]: r["canonical_id"] for r in exact.collect()}
+    assert rows_est == rows_exact
+    # 20 twin-groups collapse, the loner stays canonical
+    n_canon = sum(1 for d, c in rows_est.items() if d == c)
+    assert n_canon == 21

@@ -147,3 +147,30 @@ def test_random_cluster_no_global_sort_of_events(spark, sf_dir):
     plan = _plan(get_queries()["q62_random_cluster"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_shuffle_single_exchange(spark, sf_dir):
+    from terrorblade_spark.operators.sampling import shuffle_corpus
+    from terrorblade_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    plan = (
+        shuffle_corpus(d, "doc_id", n_shards=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # ONE shard-partitioned window -> exactly one hash exchange, and
+    # never a single-partition (global row_number) exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_quantize_int8_no_exchange_no_udf(spark, sf_dir):
+    from terrorblade_spark.operators.vector import quantize_int8
+    from terrorblade_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plan = quantize_int8(e)._jdf.queryExecution().executedPlan().toString()
+    # row-local JVM folds: no shuffle, no Python crossing
+    assert "Exchange" not in plan, plan[:2000]
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
