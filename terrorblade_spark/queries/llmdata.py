@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from terrorblade_spark.operators.sampling import shuffle_corpus
+from terrorblade_spark.operators.sketches import sketch_profile
 from terrorblade_spark.operators.vector import quantize_int8
 from terrorblade_spark.registry import query
 from terrorblade_spark.tables import load_table
@@ -71,3 +72,19 @@ def q64_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scale",
         F.array_join(F.transform("qvec", lambda v: v.cast("string")), ",").alias("qvec"),
     ).orderBy("vec_id")
+
+
+# --- q65: sketch-based corpus profile (no oracle: HLL / rank-sketch ---------
+# estimates are engine-specific; Spark's are deterministic, DuckDB's
+# differ by design, so the driver runs its rows-only check)
+
+@query("q65_sketch_profile")
+def q65_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sketch_profile(
+        ev,
+        ["event_type"],
+        ["user_id"],
+        percentile_col="value",
+        percentiles=(0.5, 0.9, 0.99),
+    ).orderBy("event_type")

@@ -1,0 +1,74 @@
+"""Sketch profiling tests: HLL estimates within tolerance of exact,
+mergeability (daily partials -> global rollup == direct global), and
+map-side-combine plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from terrorblade_spark.operators.sketches import hll_merge, hll_partial, sketch_profile
+
+
+def test_sketch_profile_tolerance(spark):
+    # 40k rows, 20k distinct users, uniform values
+    df = spark.range(0, 40_000).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 20_000).alias("user_id"),
+        (F.col("id") % 1000).cast("double").alias("value"),
+    )
+    rows = {
+        r["g"]: r
+        for r in sketch_profile(
+            df, ["g"], ["user_id"], percentile_col="value", percentiles=(0.5, 0.99)
+        ).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    for r in rows.values():
+        assert r["n_rows"] == 10_000
+        # each g sees 5,000 distinct users; HLL default rsd ~2.3%
+        assert abs(r["approx_n_user_id"] - 5_000) / 5_000 < 0.05
+        # uniform 0..999 -> p50 ~ 500, p99 ~ 990 (exact-rank sketch)
+        assert 450 <= r["p5_value"] <= 550
+        assert 970 <= r["p99_value"] <= 999
+
+
+def test_hll_partials_merge_equals_direct(spark):
+    df = spark.range(0, 30_000).select(
+        (F.col("id") % 30).alias("day"),
+        (F.col("id") % 7).alias("source"),
+        F.concat(F.lit("u"), (F.col("id") % 9_000).cast("string")).alias("user"),
+    )
+    # per-(day, source) partials -> rollup to source
+    partials = hll_partial(df, ["day", "source"], "user")
+    merged = {r["source"]: r for r in hll_merge(partials, ["source"]).collect()}
+    # direct sketch at source granularity
+    direct = {
+        r["source"]: r
+        for r in hll_merge(hll_partial(df, ["source"], "user"), ["source"]).collect()
+    }
+    exact = {
+        r["source"]: r["n"]
+        for r in df.groupBy("source").agg(F.countDistinct("user").alias("n")).collect()
+    }
+    for s in exact:
+        # union-of-partials re-encodes internally (Datasketches HLL), so
+        # it's not bit-identical to direct — but both must sit within
+        # the sketch's error envelope of each other and of exact
+        rel = abs(merged[s]["approx_distinct"] - direct[s]["approx_distinct"]) / exact[s]
+        assert rel < 0.02
+        assert merged[s]["n_rows"] == direct[s]["n_rows"]
+        assert abs(merged[s]["approx_distinct"] - exact[s]) / exact[s] < 0.05
+
+
+def test_sketch_aggs_partial_combine(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("v")
+    )
+    plan = (
+        sketch_profile(df, ["g"], ["v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # two-phase hash aggregate (partial before the exchange)
+    assert plan.count("HashAggregate") >= 2
+    p2 = hll_partial(df, ["g"], "v")._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" in p2 or "HashAggregate" in p2
