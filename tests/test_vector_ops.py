@@ -208,3 +208,29 @@ def test_ivf_build_learned_lists(spark, sf_dir):
         for r in ivf_topk(assigned, query, 10, nprobe=4, list_col="list_id").collect()
     ]
     assert approx == exact
+
+
+def test_vector_ops_robust_to_embedding_element_type(spark, tmp_path):
+    # the embeddings fixture has shipped float32 lists; if a future
+    # round ships float64 (or a caller supplies them), every fold must
+    # behave identically — same guard class as the events.ts test
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vecs = [[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [1.0, 1.0, 0.0]]
+    for elem_type, name in [(pa.float32(), "f32"), (pa.float64(), "f64")]:
+        table = pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(elem_type)),
+            }
+        )
+        path = str(tmp_path / f"emb_{name}.parquet")
+        pq.write_table(table, path)
+        df = spark.read.parquet(path)
+        q = df.where(F.col("vec_id") == 0).select("embedding")
+        from terrorblade_spark.operators.vector import cosine_topk
+
+        got = cosine_topk(df, q, k=3, vec_col="embedding").collect()
+        assert [r["vec_id"] for r in got] == [0, 2, 1]
+        assert abs(got[0]["cosine_sim"] - 1.0) < 1e-6
