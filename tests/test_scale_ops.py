@@ -97,3 +97,44 @@ def test_salted_join_matches_plain(spark, sf_dir):
     p = {r["user_id"]: (r["n"], r["s"]) for r in plain.collect()}
     s = {r["user_id"]: (r["n"], r["s"]) for r in salted.collect()}
     assert s == p
+
+
+def test_incremental_dedup_against_bucketed_index_shuffles_batch_only(spark, sf_dir):
+    """The ingest-dedup scale contract: the durable content-hash index
+    is stored bucketed by hash, so the per-batch anti-join repartitions
+    ONLY the (small) batch — the corpus-sized index is read in place,
+    never re-shuffled per ingest."""
+    from terrorblade_spark.functions.exprs import hash64
+    from terrorblade_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index = docs.select(hash64(F.col("text")).alias("content_hash")).distinct()
+    write_bucketed(index, "t_hash_index", ["content_hash"], n_buckets=8,
+                   sort_cols=["content_hash"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch = spark.createDataFrame(
+            [(1, "a brand new document"), (2, "another new one")],
+            "doc_id long, text string",
+        )
+        admitted, _ = incremental_dedup(
+            batch, spark.table("t_hash_index"), id_col="doc_id"
+        )
+        plan = admitted._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        # ONE exchange in the whole plan — the batch side's, shared by
+        # its window dedup and the anti-join (both keyed on the hash);
+        # the bucketed index scan contributes none
+        assert plan.count("Exchange") == 1, plan
+        assert "Bucketed: true" in plan
+        assert admitted.count() == 2  # both new, both admitted
+        # replay: everything now known -> nothing admitted
+        idx2 = spark.table("t_hash_index").unionByName(
+            admitted.select("content_hash")
+        )
+        again, _ = incremental_dedup(batch, idx2, id_col="doc_id")
+        assert again.count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_hash_index")
