@@ -193,3 +193,62 @@ def test_forward_fill_matches_pandas(spark, rows):
     assert [
         None if pd.isna(x) else x for x in got["filled"]
     ] == [None if pd.isna(x) else x for x in want]
+
+
+_keys = st.lists(
+    st.integers(min_value=0, max_value=1_000_000), min_size=1, max_size=60, unique=True
+)
+
+
+@given(keys=_keys)
+@_slow
+def test_shuffle_corpus_is_valid_permutation_any_partitioning(spark, keys):
+    from terrorblade_spark.operators.sampling import shuffle_corpus
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    a = shuffle_corpus(df.repartition(1), "doc_id", seed="p", n_shards=4)
+    b = shuffle_corpus(df.repartition(5), "doc_id", seed="p", n_shards=4)
+    ra = {r["doc_id"]: (r["shard"], r["pos"]) for r in a.collect()}
+    rb = {r["doc_id"]: (r["shard"], r["pos"]) for r in b.collect()}
+    assert ra == rb  # pure function of (seed, key)
+    # (shard, pos) coordinates are unique and dense per shard
+    coords = sorted(ra.values())
+    assert len(set(coords)) == len(keys)
+    from collections import Counter
+
+    per_shard = Counter(s for s, _ in coords)
+    for s, n in per_shard.items():
+        assert sorted(p for sh, p in coords if sh == s) == list(range(n))
+
+
+_vecs = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+        ),
+        min_size=3,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(vecs=_vecs)
+@_slow
+def test_quantize_int8_error_bound_property(spark, vecs):
+    from terrorblade_spark.operators.vector import quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    for r in quantize_int8(df).collect():
+        v = vecs[r["vec_id"]]
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+        if r["scale"] == 0.0:
+            assert all(q == 0 for q in r["qvec"])
+            continue
+        for x, q in zip(v, r["qvec"]):
+            # dequantization error is at most half a quantization step
+            assert abs(x - q * r["scale"]) <= r["scale"] / 2 + 1e-9
