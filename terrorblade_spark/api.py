@@ -141,6 +141,14 @@ class TerrorbladeSpark:
             .orderBy(F.desc("n_messages"), "chat_id")
         )
 
+    def find_chat_by_name(self, name_query: str) -> DataFrame:
+        """Q4 helper (cluster_analysis_cli.py:134-165): case-insensitive
+        partial chat-name match over the chats list — the filter composes
+        onto the grouped plan, so the match predicate reaches the scan."""
+        return self.get_chats_list().where(
+            F.lower(F.col("chat_name")).contains(name_query.strip().lower())
+        )
+
     # -- clusters (Q3/Q5/Q6/Q10) --------------------------------------------
 
     def get_large_clusters(self, chat_id: int | None = None, min_size: int = 5) -> DataFrame:

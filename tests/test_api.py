@@ -151,3 +151,13 @@ def test_summarize_cluster_pluggable_hook(tb):
     # max_chars truncates before the hook sees the text
     short = tb.summarize_cluster(c["chat_id"], c["group_id"], summarize_fn=len, max_chars=10)
     assert short == 10
+
+
+def test_find_chat_by_name_partial_case_insensitive(tb):
+    # fixture chats carry distinct names; probe with a mixed-case infix
+    any_name = tb.messages.select("chat_name").first()["chat_name"]
+    infix = any_name[1:-1] if len(any_name) > 2 else any_name
+    rows = tb.find_chat_by_name(infix.upper()).collect()
+    assert rows
+    assert all(infix.lower() in r["chat_name"].lower() for r in rows)
+    assert tb.find_chat_by_name("no-such-chat-name-xyz").count() == 0
