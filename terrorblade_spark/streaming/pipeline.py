@@ -290,3 +290,102 @@ def content_dedup_writer(
             admitted.unpersist()
 
     return stream.writeStream.foreachBatch(merge)
+
+
+def neardup_dedup_writer(
+    stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+):
+    """Streaming NEAR-dup ingest gate: each micro-batch is MinHash-LSH
+    banded and admitted only if no band collides with the durable band
+    index — the streaming form of ``minhash_lsh_candidates``, applied
+    at ingest so near-duplicate content never lands in the corpus.
+
+    Admission rule, deterministic and single-pass (no per-batch
+    connected-components driver loop):
+
+    - a doc whose any band matches the index is rejected (near-dup of
+      already-ingested content, within LSH's probabilistic contract);
+    - within the batch, a doc is admitted iff it holds the MINIMUM id
+      in EVERY band bucket it occupies — exactly one representative
+      per near-dup pair; a chain A~B~C may admit only A (conservative
+      toward dedup, the right bias for an ingest gate);
+    - docs too short to shingle have no bands: always admitted, never
+      indexed (they cannot near-dup-collide).
+
+    Index state is (band, band_hash) longs for ADMITTED docs only, so
+    it grows with canonical content, not corpus size. Failure contract
+    matches ``content_dedup_writer``: corpus appends before index, so
+    a crash between writes re-admits (duplicates, never loses) one
+    batch on replay; rebuild = re-band the corpus.
+    """
+    from terrorblade_spark.operators.dedup import _minhash_core, lsh_band_keys
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        spark = batch_df.sparkSession
+        try:
+            index = spark.read.parquet(index_path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            index = None
+
+        sig = _minhash_core(batch_df, id_col, text_col, num_hashes, shingle_n).select(
+            F.col(id_col).alias("doc"), F.col("signature").alias("sig")
+        )
+        banded = sig.select(
+            "doc", F.explode(lsh_band_keys(F.col("sig"), bands, num_hashes // bands)).alias("bk")
+        ).select("doc", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+        banded = banded.persist()
+        try:
+            if index is not None:
+                # any band collision with the corpus index -> rejected
+                hit = (
+                    banded.join(index, ["band", "band_hash"], "leftsemi")
+                    .select("doc")
+                    .distinct()
+                )
+                fresh = banded.join(hit, "doc", "left_anti")
+            else:
+                fresh = banded
+            # within-batch: admitted iff min id in EVERY occupied bucket
+            from pyspark.sql import Window
+
+            wmin = Window.partitionBy("band", "band_hash")
+            admit_ids = (
+                fresh.withColumn("min_doc", F.min("doc").over(wmin))
+                .groupBy("doc")
+                .agg(F.max((F.col("doc") != F.col("min_doc")).cast("int")).alias("beaten"))
+                .where(F.col("beaten") == 0)
+                .select("doc")
+            )
+            banded_docs = banded.select("doc").distinct()
+            admitted = (
+                batch_df.join(
+                    banded_docs.withColumnRenamed("doc", id_col), id_col, "left_anti"
+                )  # unshingleable: always admitted
+                .unionByName(
+                    batch_df.join(
+                        admit_ids.withColumnRenamed("doc", id_col), id_col, "leftsemi"
+                    )
+                )
+                .persist()
+            )
+            admitted.write.mode("append").parquet(corpus_path)
+            new_bands = banded.join(
+                admit_ids, "doc", "leftsemi"
+            ).select("band", "band_hash")
+            new_bands.write.mode("append").parquet(index_path)
+            admitted.unpersist()
+        finally:
+            banded.unpersist()
+
+    return stream.writeStream.foreachBatch(merge)

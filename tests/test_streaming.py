@@ -88,3 +88,60 @@ def test_content_dedup_writer_cross_batch_and_restart(spark, tmp_path):
     _drain(content_dedup_writer(stream, corpus, index), str(tmp_path / "cp1"))
     assert spark.read.parquet(corpus).count() == 3
     assert spark.read.parquet(index).distinct().count() == 3
+
+
+def test_neardup_dedup_writer_cross_batch_and_chains(spark, tmp_path):
+    from terrorblade_spark.streaming.pipeline import neardup_dedup_writer
+
+    src = tmp_path / "ndsrc"
+    src.mkdir()
+    corpus, index = str(tmp_path / "ndcorpus"), str(tmp_path / "ndindex")
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+
+    def arrive(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+
+    def stream():
+        return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+            str(src) + "/*"
+        )
+
+    # batch 1: a near-dup pair (1,2), an unrelated doc, a too-short doc
+    arrive(
+        [
+            (1, base),
+            (2, base + " extra"),
+            (3, "completely unrelated content about spark parquet shuffles and joins"),
+            (4, "too short"),
+        ],
+        "b1",
+    )
+    _drain(neardup_dedup_writer(stream(), corpus, index), str(tmp_path / "ndcp0"))
+    got1 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    # min-id representative of the near-dup pair + unrelated + unshingleable
+    assert got1 == [1, 3, 4]
+
+    # batch 2: near-dup of already-ingested content + genuinely new
+    arrive(
+        [
+            (10, base + " indeed"),
+            (11, "fresh new material never seen before in any prior batch at all"),
+        ],
+        "b2",
+    )
+    _drain(neardup_dedup_writer(stream(), corpus, index), str(tmp_path / "ndcp0"))
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert got2 == [1, 3, 4, 11]
+
+    # replay from a fresh checkpoint: band index rejects everything known
+    _drain(neardup_dedup_writer(stream(), corpus, index), str(tmp_path / "ndcp1"))
+    # unshingleable docs carry no bands -> re-admitted on full replay
+    assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [
+        1, 3, 4, 4, 11,
+    ]
+
+    # index holds bands for admitted shingleable docs only (3 of them)
+    assert spark.read.parquet(index).distinct().count() <= 3 * 4
