@@ -148,3 +148,25 @@ def duck_bpe_ish(expr: str) -> str:
     """DuckDB twin of :func:`bpe_ish_tokens` (pattern single-quoted)."""
     pat = BPE_ISH_PATTERN.replace("'", "''")
     return f"regexp_extract_all(lower({expr}), '{pat}')"
+
+
+def canonical_text(text_col: str = "text") -> Column:
+    """Canonical form for near-exact dedup: lowercase, control chars ->
+    spaces, whitespace runs collapsed, trimmed. The tier between exact
+    (byte-identical) and MinHash (semantic) dedup — it collapses the
+    re-crawl variants that differ only in case/whitespace/linebreaks,
+    which in practice are the bulk of "duplicates" a crawler emits.
+    Pure JVM regex (global-by-default in Spark; the DuckDB twin passes
+    the 'g' flag), no UDF.
+    """
+    lowered = F.lower(F.col(text_col))
+    no_ctrl = F.regexp_replace(lowered, "[\\x00-\\x1f]", " ")
+    return F.trim(F.regexp_replace(no_ctrl, "\\s+", " "))
+
+
+def duck_canonical_text(expr: str) -> str:
+    """DuckDB twin of :func:`canonical_text`."""
+    return (
+        "trim(regexp_replace(regexp_replace(lower(" + expr + "), "
+        "'[\\x00-\\x1f]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )

@@ -16,7 +16,7 @@ from terrorblade_spark.operators.dedup import (
     simhash_values,
 )
 from terrorblade_spark.functions.exprs import csv_join
-from terrorblade_spark.operators.textops import duck_shingles
+from terrorblade_spark.operators.textops import canonical_text, duck_canonical_text, duck_shingles
 from terrorblade_spark.registry import query
 from terrorblade_spark.tables import load_table
 
@@ -66,6 +66,63 @@ def q31_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_hash", "canonical_id",
         csv_join("member_ids").alias("member_ids"), "n_members",
     ).orderBy("content_hash")
+
+
+# --- q66: near-exact dedup (canonicalized text) -----------------------------
+# The corpus: documents UNION ALL noisy re-crawls of the same documents
+# (upper-cased, whitespace-mangled) — exact dedup sees nothing, the
+# canonical form collapses every pair.
+
+_NOISY_OFFSET = 2_000_000_000
+
+
+@query(
+    "q66_canonical_dedup",
+    oracle=f"""
+    SELECT canon_hash, canonical_id,
+           array_to_string(member_ids, ',') AS member_ids, n_members FROM (
+      SELECT ('0x' || substring(md5({duck_canonical_text("text")}), 1, 15))::BIGINT
+               AS canon_hash,
+             min(doc_id) AS canonical_id,
+             array_agg(doc_id ORDER BY doc_id) AS member_ids,
+             count(*) AS n_members
+      FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_NOISY_OFFSET} AS doc_id,
+               upper(text) || '   ' AS text
+        FROM documents
+      )
+      GROUP BY 1
+    ) WHERE n_members > 1
+    ORDER BY canon_hash
+    """,
+)
+def q66_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.functions.exprs import hash64
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = d.select(
+        (F.col("doc_id") + F.lit(_NOISY_OFFSET)).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("   ")).alias("text"),
+    )
+    corpus = d.unionByName(noisy)
+    g = (
+        corpus.select(
+            "doc_id", hash64(canonical_text("text")).alias("canon_hash")
+        )
+        .groupBy("canon_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .where(F.col("n_members") > 1)
+    )
+    return g.select(
+        "canon_hash", "canonical_id",
+        csv_join("member_ids").alias("member_ids"), "n_members",
+    ).orderBy("canon_hash")
 
 
 # --- q32: MinHash signatures ------------------------------------------------

@@ -256,3 +256,21 @@ def test_near_dup_components_estimate_matches_exact_on_clean_data(spark):
     # 20 twin-groups collapse, the loner stays canonical
     n_canon = sum(1 for d, c in rows_est.items() if d == c)
     assert n_canon == 21
+
+
+def test_canonical_text_collapses_noise_variants(spark):
+    from terrorblade_spark.operators.textops import canonical_text
+
+    df = spark.createDataFrame(
+        [
+            (0, "Hello   World"),
+            (1, "hello world"),
+            (2, "HELLO\tWORLD\n"),
+            (3, "hello\x01world"),      # control char -> space
+            (4, "hello worldly"),       # genuinely different
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["c"] for r in df.select("doc_id", canonical_text("text").alias("c")).collect()}
+    assert rows[0] == rows[1] == rows[2] == rows[3] == "hello world"
+    assert rows[4] != rows[0]
