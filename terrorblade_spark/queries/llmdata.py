@@ -74,6 +74,114 @@ def q64_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# --- q67: eval-set decontamination ------------------------------------------
+# eval set = first 20 docs by id (deterministic); every train doc gets
+# its shingle-overlap contamination stats against that broadcast set
+
+_DECON_N = 3
+_DECON_MAX = 0.5
+
+
+def _q67_oracle() -> str:
+    from terrorblade_spark.operators.textops import duck_shingles
+
+    sh = duck_shingles("text", _DECON_N)
+    return f"""
+    WITH shingled AS (SELECT doc_id, {sh} AS sh FROM documents),
+    eval_ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20),
+    eval_sh AS (
+      SELECT DISTINCT unnest(sh) AS shingle FROM shingled
+      WHERE doc_id IN (SELECT doc_id FROM eval_ids)
+    ),
+    train_sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+    hits AS (
+      SELECT t.doc_id, count(*) AS n_contaminated
+      FROM train_sh t JOIN eval_sh e USING (shingle) GROUP BY 1
+    )
+    SELECT s.doc_id,
+           CAST(len(s.sh) AS BIGINT) AS n_shingles,
+           coalesce(h.n_contaminated, 0) AS n_contaminated,
+           CASE WHEN len(s.sh) > 0
+                THEN coalesce(h.n_contaminated, 0)::DOUBLE / len(s.sh)::DOUBLE
+                ELSE 0.0 END AS contamination_ratio,
+           CAST(CASE WHEN len(s.sh) > 0
+                 AND coalesce(h.n_contaminated, 0)::DOUBLE / len(s.sh)::DOUBLE
+                     > {_DECON_MAX}
+                THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
+    FROM shingled s LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@query("q67_decontaminate", oracle=_q67_oracle())
+def q67_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.curation import decontaminate
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = d.orderBy("doc_id").limit(20)
+    out = decontaminate(d, eval_df, n=_DECON_N, max_overlap_ratio=_DECON_MAX)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        "contamination_ratio",
+        F.col("is_contaminated").cast("long").alias("is_contaminated"),
+    ).orderBy("doc_id")
+
+
+# --- q68: repetition signals (Gopher-style dup-line / top-bigram) -----------
+
+_Q68_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS lines,
+         list_transform(
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+           t -> lower(t)
+         ) AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, lines,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS gs,
+         len(text) AS n_chars
+  FROM base
+), stats AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(lines, x -> len(x))), 0) AS line_chars,
+         coalesce(list_sum(list_transform(lines,
+           x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1
+                     THEN len(x) ELSE 0 END)), 0) AS dup_chars,
+         coalesce(list_max(list_transform(list_distinct(lines),
+           x -> len(list_filter(lines, y -> y = x)))), 0) AS max_rep,
+         coalesce(list_max(list_transform(list_distinct(gs),
+           g -> len(list_filter(gs, h -> h = g)) * len(g))), 0) AS top_covered,
+         n_chars
+  FROM grams
+)
+SELECT doc_id,
+       CASE WHEN line_chars > 0 THEN dup_chars::DOUBLE / line_chars::DOUBLE
+            ELSE 0.0 END AS dup_line_char_frac,
+       CAST(max_rep AS BIGINT) AS max_line_repeat,
+       CASE WHEN n_chars > 0 AND top_covered > 0
+            THEN top_covered::DOUBLE / n_chars::DOUBLE
+            ELSE 0.0 END AS top_bigram_char_frac
+FROM stats
+ORDER BY doc_id
+"""
+
+
+@query("q68_repetition_signals", oracle=_Q68_ORACLE)
+def q68_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.curation import repetition_signals
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(d).select(
+        "doc_id", "dup_line_char_frac", "max_line_repeat", "top_bigram_char_frac"
+    ).orderBy("doc_id")
+
+
 # --- q65: sketch-based corpus profile (no oracle: HLL / rank-sketch ---------
 # estimates are engine-specific; Spark's are deterministic, DuckDB's
 # differ by design, so the driver runs its rows-only check)
