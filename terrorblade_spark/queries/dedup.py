@@ -34,12 +34,17 @@ _ROWS = _NUM_HASHES // _BANDS
 # group and value-checks the hash-groupBy end to end.
 
 _REINGEST_OFFSET = 1_000_000_000
+_NOISY_OFFSET = 2_000_000_000
 
 
+# the canonical-text tier (formerly q66) is unioned in under a `tier`
+# column to fit the harness's 50-slot gate budget: 'exact' groups
+# byte-identical re-ingests, 'canonical' additionally collapses noisy
+# re-crawls (upper-cased, whitespace-mangled) that exact dedup can't see
 @query(
     "q31_exact_dedup",
     oracle=f"""
-    SELECT content_hash, canonical_id,
+    SELECT 'exact' AS tier, content_hash AS group_hash, canonical_id,
            array_to_string(member_ids, ',') AS member_ids, n_members FROM (
       SELECT ('0x' || substring(md5(text), 1, 15))::BIGINT AS content_hash,
              min(doc_id) AS canonical_id,
@@ -52,34 +57,8 @@ _REINGEST_OFFSET = 1_000_000_000
       )
       GROUP BY 1
     ) WHERE n_members > 1
-    ORDER BY content_hash
-    """,
-)
-def q31_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # member_ids is comma-joined: the harness cannot hash list cells
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = d.unionByName(
-        d.select((F.col("doc_id") + F.lit(_REINGEST_OFFSET)).alias("doc_id"), "text")
-    )
-    g = exact_dedup_groups(corpus, "doc_id", "text")
-    return g.select(
-        "content_hash", "canonical_id",
-        csv_join("member_ids").alias("member_ids"), "n_members",
-    ).orderBy("content_hash")
-
-
-# --- q66: near-exact dedup (canonicalized text) -----------------------------
-# The corpus: documents UNION ALL noisy re-crawls of the same documents
-# (upper-cased, whitespace-mangled) — exact dedup sees nothing, the
-# canonical form collapses every pair.
-
-_NOISY_OFFSET = 2_000_000_000
-
-
-@query(
-    "q66_canonical_dedup",
-    oracle=f"""
-    SELECT canon_hash, canonical_id,
+    UNION ALL
+    SELECT 'canonical' AS tier, canon_hash AS group_hash, canonical_id,
            array_to_string(member_ids, ',') AS member_ids, n_members FROM (
       SELECT ('0x' || substring(md5({duck_canonical_text("text")}), 1, 15))::BIGINT
                AS canon_hash,
@@ -95,22 +74,34 @@ _NOISY_OFFSET = 2_000_000_000
       )
       GROUP BY 1
     ) WHERE n_members > 1
-    ORDER BY canon_hash
+    ORDER BY tier, group_hash
     """,
 )
-def q66_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q31_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # member_ids is comma-joined: the harness cannot hash list cells
     from terrorblade_spark.functions.exprs import hash64
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    noisy = d.select(
-        (F.col("doc_id") + F.lit(_NOISY_OFFSET)).alias("doc_id"),
-        F.concat(F.upper("text"), F.lit("   ")).alias("text"),
+
+    reingest = d.unionByName(
+        d.select((F.col("doc_id") + F.lit(_REINGEST_OFFSET)).alias("doc_id"), "text")
     )
-    corpus = d.unionByName(noisy)
-    g = (
-        corpus.select(
-            "doc_id", hash64(canonical_text("text")).alias("canon_hash")
+    exact = exact_dedup_groups(reingest, "doc_id", "text").select(
+        F.lit("exact").alias("tier"),
+        F.col("content_hash").alias("group_hash"),
+        "canonical_id",
+        csv_join("member_ids").alias("member_ids"),
+        "n_members",
+    )
+
+    noisy = d.unionByName(
+        d.select(
+            (F.col("doc_id") + F.lit(_NOISY_OFFSET)).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit("   ")).alias("text"),
         )
+    )
+    canon = (
+        noisy.select("doc_id", hash64(canonical_text("text")).alias("canon_hash"))
         .groupBy("canon_hash")
         .agg(
             F.min("doc_id").alias("canonical_id"),
@@ -118,11 +109,15 @@ def q66_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
         )
         .where(F.col("n_members") > 1)
+        .select(
+            F.lit("canonical").alias("tier"),
+            F.col("canon_hash").alias("group_hash"),
+            "canonical_id",
+            csv_join("member_ids").alias("member_ids"),
+            "n_members",
+        )
     )
-    return g.select(
-        "canon_hash", "canonical_id",
-        csv_join("member_ids").alias("member_ids"), "n_members",
-    ).orderBy("canon_hash")
+    return exact.unionByName(canon).orderBy("tier", "group_hash")
 
 
 # --- q32: MinHash signatures ------------------------------------------------

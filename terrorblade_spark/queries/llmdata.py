@@ -74,9 +74,12 @@ def q64_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-# --- q67: eval-set decontamination ------------------------------------------
-# eval set = first 20 docs by id (deterministic); every train doc gets
-# its shingle-overlap contamination stats against that broadcast set
+# --- q67: curation profile (decontamination + repetition + Gopher gate) -----
+# ONE gated query for the whole curation stack — eval-set shingle
+# decontamination (eval = first 20 docs by id, broadcast probe),
+# repetition signals, and the Gopher-style quality reasons — so a
+# single CORRECTNESS slot value-checks all three operators (the
+# harness verifies only the first 50 registered queries).
 
 _DECON_N = 3
 _DECON_MAX = 0.5
@@ -87,98 +90,151 @@ def _q67_oracle() -> str:
 
     sh = duck_shingles("text", _DECON_N)
     return f"""
-    WITH shingled AS (SELECT doc_id, {sh} AS sh FROM documents),
+    WITH base AS (
+      SELECT doc_id, text, {sh} AS sh,
+             list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS lines,
+             list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t)
+             ) AS toks
+      FROM documents
+    ),
     eval_ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20),
     eval_sh AS (
-      SELECT DISTINCT unnest(sh) AS shingle FROM shingled
+      SELECT DISTINCT unnest(sh) AS shingle FROM base
       WHERE doc_id IN (SELECT doc_id FROM eval_ids)
     ),
-    train_sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+    train_sh AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
     hits AS (
       SELECT t.doc_id, count(*) AS n_contaminated
       FROM train_sh t JOIN eval_sh e USING (shingle) GROUP BY 1
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE [] END AS gs
+      FROM base
+    ),
+    sig AS (
+      SELECT b.doc_id,
+             CAST(len(b.sh) AS BIGINT) AS n_shingles,
+             coalesce(h.n_contaminated, 0) AS n_contaminated,
+             CAST(len(b.toks) AS BIGINT) AS n_words,
+             CASE WHEN len(b.toks) > 0
+                  THEN coalesce(list_sum(list_transform(b.toks, t -> len(t))), 0)::DOUBLE
+                       / len(b.toks)::DOUBLE
+                  ELSE 0.0 END AS mean_wl,
+             CASE WHEN len(b.toks) > 0
+                  THEN (len(b.text) - len(regexp_replace(b.text, '#|\\.\\.\\.', '', 'g')))::DOUBLE
+                       / len(b.toks)::DOUBLE
+                  ELSE 0.0 END AS sym_ratio,
+             coalesce(list_sum(list_transform(b.lines, x -> len(x))), 0) AS line_chars,
+             coalesce(list_sum(list_transform(b.lines,
+               x -> CASE WHEN len(list_filter(b.lines, y -> y = x)) > 1
+                         THEN len(x) ELSE 0 END)), 0) AS dup_chars,
+             coalesce(list_max(list_transform(list_distinct(b.lines),
+               x -> len(list_filter(b.lines, y -> y = x)))), 0) AS max_rep,
+             coalesce(list_max(list_transform(list_distinct(g.gs),
+               gg -> len(list_filter(g.gs, h2 -> h2 = gg)) * len(gg))), 0) AS top_covered,
+             len(b.text) AS n_chars
+      FROM base b LEFT JOIN hits h USING (doc_id) JOIN grams g USING (doc_id)
+    ),
+    fr AS (
+      SELECT *,
+             CASE WHEN line_chars > 0 THEN dup_chars::DOUBLE / line_chars::DOUBLE
+                  ELSE 0.0 END AS dup_frac
+      FROM sig
     )
-    SELECT s.doc_id,
-           CAST(len(s.sh) AS BIGINT) AS n_shingles,
-           coalesce(h.n_contaminated, 0) AS n_contaminated,
-           CASE WHEN len(s.sh) > 0
-                THEN coalesce(h.n_contaminated, 0)::DOUBLE / len(s.sh)::DOUBLE
+    SELECT doc_id, n_shingles, n_contaminated,
+           CASE WHEN n_shingles > 0
+                THEN n_contaminated::DOUBLE / n_shingles::DOUBLE
                 ELSE 0.0 END AS contamination_ratio,
-           CAST(CASE WHEN len(s.sh) > 0
-                 AND coalesce(h.n_contaminated, 0)::DOUBLE / len(s.sh)::DOUBLE
-                     > {_DECON_MAX}
-                THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
-    FROM shingled s LEFT JOIN hits h USING (doc_id)
+           CAST(CASE WHEN n_shingles > 0
+                 AND n_contaminated::DOUBLE / n_shingles::DOUBLE > {_DECON_MAX}
+                THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated,
+           dup_frac AS dup_line_char_frac,
+           CAST(max_rep AS BIGINT) AS max_line_repeat,
+           CASE WHEN n_chars > 0 AND top_covered > 0
+                THEN top_covered::DOUBLE / n_chars::DOUBLE
+                ELSE 0.0 END AS top_bigram_char_frac,
+           coalesce(array_to_string(list_filter([
+             CASE WHEN n_words < 5 THEN 'too_few_words' END,
+             CASE WHEN n_words > 100000 THEN 'too_many_words' END,
+             CASE WHEN mean_wl < 2.0 THEN 'mean_word_len_low' END,
+             CASE WHEN mean_wl > 12.0 THEN 'mean_word_len_high' END,
+             CASE WHEN sym_ratio > 0.1 THEN 'symbol_ratio' END,
+             CASE WHEN dup_frac > 0.3 THEN 'dup_lines' END
+           ], x -> x IS NOT NULL), ','), '') AS quality_reasons,
+           CAST(CASE WHEN n_words >= 5 AND n_words <= 100000
+                      AND mean_wl >= 2.0 AND mean_wl <= 12.0
+                      AND sym_ratio <= 0.1 AND dup_frac <= 0.3
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM fr
     ORDER BY doc_id
     """
 
 
-@query("q67_decontaminate", oracle=_q67_oracle())
-def q67_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from terrorblade_spark.operators.curation import decontaminate
+@query("q67_curation_profile", oracle=_q67_oracle())
+def q67_curation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.functions.exprs import csv_join
+    from terrorblade_spark.operators.curation import decontaminate, gopher_filter
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     eval_df = d.orderBy("doc_id").limit(20)
-    out = decontaminate(d, eval_df, n=_DECON_N, max_overlap_ratio=_DECON_MAX)
+    out = gopher_filter(decontaminate(d, eval_df, n=_DECON_N, max_overlap_ratio=_DECON_MAX))
     return out.select(
         "doc_id",
         "n_shingles",
         "n_contaminated",
         "contamination_ratio",
         F.col("is_contaminated").cast("long").alias("is_contaminated"),
+        "dup_line_char_frac",
+        "max_line_repeat",
+        "top_bigram_char_frac",
+        csv_join("quality_reasons").alias("quality_reasons"),
+        F.col("keep").cast("long").alias("keep"),
     ).orderBy("doc_id")
 
 
-# --- q68: repetition signals (Gopher-style dup-line / top-bigram) -----------
-
-_Q68_ORACLE = """
-WITH base AS (
-  SELECT doc_id, text,
-         list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS lines,
-         list_transform(
-           list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
-           t -> lower(t)
-         ) AS toks
-  FROM documents
-), grams AS (
-  SELECT doc_id, lines,
-         CASE WHEN len(toks) >= 2
-              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
-              ELSE [] END AS gs,
-         len(text) AS n_chars
-  FROM base
-), stats AS (
-  SELECT doc_id,
-         coalesce(list_sum(list_transform(lines, x -> len(x))), 0) AS line_chars,
-         coalesce(list_sum(list_transform(lines,
-           x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1
-                     THEN len(x) ELSE 0 END)), 0) AS dup_chars,
-         coalesce(list_max(list_transform(list_distinct(lines),
-           x -> len(list_filter(lines, y -> y = x)))), 0) AS max_rep,
-         coalesce(list_max(list_transform(list_distinct(gs),
-           g -> len(list_filter(gs, h -> h = g)) * len(g))), 0) AS top_covered,
-         n_chars
-  FROM grams
-)
-SELECT doc_id,
-       CASE WHEN line_chars > 0 THEN dup_chars::DOUBLE / line_chars::DOUBLE
-            ELSE 0.0 END AS dup_line_char_frac,
-       CAST(max_rep AS BIGINT) AS max_line_repeat,
-       CASE WHEN n_chars > 0 AND top_covered > 0
-            THEN top_covered::DOUBLE / n_chars::DOUBLE
-            ELSE 0.0 END AS top_bigram_char_frac
-FROM stats
-ORDER BY doc_id
-"""
+# --- q70: PII redaction -------------------------------------------------------
+# counts are taken on the PROGRESSIVELY redacted text (emails first, so
+# address digits never half-match the phone pattern) — mirrored below
 
 
-@query("q68_repetition_signals", oracle=_Q68_ORACLE)
-def q68_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from terrorblade_spark.operators.curation import repetition_signals
+def _q70_oracle() -> str:
+    from terrorblade_spark.operators.curation import PII_PATTERNS
+
+    sql_pat = {k: p.replace("\\", "\\\\").replace("'", "''") for k, p, _ in PII_PATTERNS}
+    tok = {k: t for k, _, t in PII_PATTERNS}
+    return f"""
+    WITH s0 AS (SELECT doc_id, text FROM documents),
+    s1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{sql_pat["email"]}')) AS BIGINT) AS n_email,
+             regexp_replace(text, '{sql_pat["email"]}', '{tok["email"]}', 'g') AS text
+      FROM s0
+    ), s2 AS (
+      SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(text, '{sql_pat["ipv4"]}')) AS BIGINT) AS n_ipv4,
+             regexp_replace(text, '{sql_pat["ipv4"]}', '{tok["ipv4"]}', 'g') AS text
+      FROM s1
+    )
+    SELECT doc_id, n_email, n_ipv4,
+           CAST(len(regexp_extract_all(text, '{sql_pat["phone"]}')) AS BIGINT) AS n_phone,
+           regexp_replace(text, '{sql_pat["phone"]}', '{tok["phone"]}', 'g') AS text
+    FROM s2
+    ORDER BY doc_id
+    """
+
+
+@query("q70_pii_redaction", oracle=_q70_oracle())
+def q70_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.curation import redact_pii
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return repetition_signals(d).select(
-        "doc_id", "dup_line_char_frac", "max_line_repeat", "top_bigram_char_frac"
+    return redact_pii(d).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "text"
     ).orderBy("doc_id")
 
 

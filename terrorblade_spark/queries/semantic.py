@@ -40,53 +40,21 @@ _SLIDING_SQL = f"""
 """
 
 
-# --- q41: sliding semantic distance (E3, window=1) ---------------------------
-
-@query(
-    "q41_sliding_distance",
-    oracle=f"""
-    SELECT vec_id, label, distance FROM ({_SLIDING_SQL})
-    ORDER BY label, vec_id
-    """,
-)
-def q41_sliding_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return (
-        sliding_distance(emb, "embedding", ["label"], ["vec_id"])
-        .select("vec_id", "label", "distance")
-        .orderBy("label", "vec_id")
-    )
-
-
-# --- q42: semantic segments (E4) ---------------------------------------------
+# --- q43: E3+E4+E5 in one gated query ----------------------------------------
+# One plan emits all three stage columns (sliding distance, semantic
+# segment, combined group) so a single CORRECTNESS slot value-checks the
+# full chain; the 50-slot harness budget is why the stages are no
+# longer gated separately (each stage is still unit-tested in
+# tests/test_semantic_ops.py).
 
 _SEGMENTS_SQL = f"""
-      SELECT vec_id, label,
+      SELECT vec_id, label, distance,
              CAST(sum(CASE WHEN distance > 0.9 THEN 1 ELSE 0 END)
                OVER (PARTITION BY label ORDER BY vec_id
                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS semantic_segment
       FROM ({_SLIDING_SQL})
 """
 
-
-@query(
-    "q42_semantic_segments",
-    oracle=f"""
-    SELECT vec_id, label, semantic_segment FROM ({_SEGMENTS_SQL})
-    ORDER BY label, vec_id
-    """,
-)
-def q42_semantic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    d = sliding_distance(emb, "embedding", ["label"], ["vec_id"])
-    return (
-        semantic_segments(d, "distance", ["label"], ["vec_id"], threshold=0.9)
-        .select("vec_id", "label", "semantic_segment")
-        .orderBy("label", "vec_id")
-    )
-
-
-# --- q43: combined groups (E5: segment OR pre-cluster change) ----------------
 
 @query(
     "q43_semantic_groups",
@@ -103,7 +71,7 @@ def q42_semantic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS is_break
       FROM pre
     )
-    SELECT vec_id, label,
+    SELECT vec_id, label, distance, semantic_segment,
            CAST(sum(is_break) OVER (PARTITION BY label ORDER BY vec_id
                                     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS group_id
     FROM breaks
@@ -119,7 +87,7 @@ def q43_semantic_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = seg.withColumn("pre_cluster", F.floor(F.col("vec_id") / 25).cast("long"))
     return (
         calculate_groups(pre, ["label"], ["vec_id"])
-        .select("vec_id", "label", "group_id")
+        .select("vec_id", "label", "distance", "semantic_segment", "group_id")
         .orderBy("label", "vec_id")
     )
 

@@ -47,6 +47,9 @@ def _duck_pred_lang() -> str:
     )
 
 
+# q30 (fingerprints) was merged into this query's `fingerprint` column
+# to fit the harness's 50-slot gate budget; the operator keeps its own
+# unit coverage in tests/test_exprs.py.
 @query(
     "q26_text_profile",
     oracle=f"""
@@ -65,7 +68,9 @@ def _duck_pred_lang() -> str:
             ELSE 0.0 END) AS upper_ratio,
            (CASE WHEN len({_DUCK_TOKENS}) > 0 THEN
              list_sum(list_transform({_DUCK_TOKENS}, t -> length(t)))::DOUBLE / len({_DUCK_TOKENS})::DOUBLE
-            ELSE 0.0 END) AS mean_token_len
+            ELSE 0.0 END) AS mean_token_len,
+           ('0x' || substring(md5(array_to_string({_DUCK_LTOKENS}, ' ')), 1, 15))::BIGINT
+             AS fingerprint
     FROM documents
     ORDER BY doc_id
     """,
@@ -73,10 +78,11 @@ def _duck_pred_lang() -> str:
 def q26_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
-        predict_language(quality_score(d, "text"), "text")
+        fingerprint(predict_language(quality_score(d, "text"), "text"), "text")
         .select(
             "doc_id", "lang", "source", "n_tokens", "n_chars_q", "pred_lang",
             "punct_ratio", "digit_ratio", "upper_ratio", "mean_token_len",
+            "fingerprint",
         )
         .orderBy("doc_id")
     )
@@ -114,22 +120,6 @@ def q27_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
-
-
-# --- q30: document fingerprints ---------------------------------------------
-
-@query(
-    "q30_fingerprints",
-    oracle=f"""
-    SELECT doc_id,
-           ('0x' || substring(md5(array_to_string({_DUCK_LTOKENS}, ' ')), 1, 15))::BIGINT AS fingerprint
-    FROM documents
-    ORDER BY doc_id
-    """,
-)
-def q30_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return fingerprint(d, "text").select("doc_id", "fingerprint").orderBy("doc_id")
 
 
 def _duck_bpe() -> str:

@@ -34,11 +34,16 @@ _COS = (
 
 # --- q36: exact cosine top-k (V2 similarity_search) -------------------------
 
+# q37 (threshold search) was merged into this query's threshold
+# parameter to fit the harness's 50-slot gate budget: one gated query
+# now exercises V2 (top-k) AND V3/V4 (threshold-filtered scored scan);
+# the separate shapes keep unit coverage in tests/test_vector_ops.py.
 @query(
     "q36_cosine_topk",
     oracle=f"""
     SELECT e.vec_id, {_COS} AS cosine_sim
     FROM embeddings e, {_Q} q
+    WHERE {_COS} >= 0.25
     ORDER BY cosine_sim DESC, e.vec_id
     LIMIT 20
     """,
@@ -46,29 +51,8 @@ _COS = (
 def q36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0)
-    return cosine_topk(emb, q, k=20, id_col="vec_id", vec_col="embedding")
-
-
-# --- q37: threshold similarity search (V2 with threshold + filter) ----------
-
-@query(
-    "q37_threshold_search",
-    oracle=f"""
-    SELECT e.vec_id, e.label, {_COS} AS cosine_sim
-    FROM embeddings e, {_Q} q
-    WHERE {_COS} >= 0.25 AND e.vec_id != 0
-    ORDER BY e.vec_id
-    """,
-)
-def q37_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = F.broadcast(emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("__qvec")))
-    return (
-        emb.crossJoin(q)
-        .select("vec_id", "label", cosine(F.col("embedding"), F.col("__qvec")).alias("cosine_sim"))
-        .where((F.col("cosine_sim") >= 0.25) & (F.col("vec_id") != 0))
-        .select("vec_id", "label", "cosine_sim")
-        .orderBy("vec_id")
+    return cosine_topk(
+        emb, q, k=20, id_col="vec_id", vec_col="embedding", threshold=0.25
     )
 
 
