@@ -157,16 +157,16 @@ def canonical_text(text_col: str = "text") -> Column:
     re-crawl variants that differ only in case/whitespace/linebreaks,
     which in practice are the bulk of "duplicates" a crawler emits.
     Pure JVM regex (global-by-default in Spark; the DuckDB twin passes
-    the 'g' flag), no UDF.
+    the 'g' flag), no UDF. Control chars fold into the whitespace
+    class so the whole canonicalization is ONE regex pass.
     """
     lowered = F.lower(F.col(text_col))
-    no_ctrl = F.regexp_replace(lowered, "[\\x00-\\x1f]", " ")
-    return F.trim(F.regexp_replace(no_ctrl, "\\s+", " "))
+    return F.trim(F.regexp_replace(lowered, "[\\x00-\\x1f\\s]+", " "))
 
 
 def duck_canonical_text(expr: str) -> str:
     """DuckDB twin of :func:`canonical_text`."""
     return (
-        "trim(regexp_replace(regexp_replace(lower(" + expr + "), "
-        "'[\\x00-\\x1f]', ' ', 'g'), '\\s+', ' ', 'g'))"
+        "trim(regexp_replace(lower(" + expr + "), "
+        "'[\\x00-\\x1f\\s]+', ' ', 'g'))"
     )
