@@ -277,6 +277,14 @@ def jaccard_pairs(
             .select("shingle")
         )
         ex = ex.join(hot, "shingle", "left_anti")
+    # ex is consumed FOUR times (per-doc counts + both self-join sides,
+    # plus the hot-shingle agg above); without a persist each consumer
+    # re-derives the explode from raw text — same fix as the banded
+    # relation in lsh_candidates_from_signatures. The cached relation is
+    # (bucket, doc, shingle) — bigger than LSH bands but disk-spillable,
+    # and still far cheaper than 3 extra full shingle passes.
+    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    ex.count()  # eager: lazy persist would race the join branches
     counts = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")

@@ -9,7 +9,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from terrorblade_spark.operators.dedup import (
-    exact_dedup_groups,
     jaccard_pairs,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -83,26 +82,58 @@ def q31_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
-    reingest = d.unionByName(
-        d.select((F.col("doc_id") + F.lit(_REINGEST_OFFSET)).alias("doc_id"), "text")
+    # Both tiers in ONE scan -> 4-row explode -> ONE groupBy. The naive
+    # shape (two unions, two aggregates, unionByName) costs two shuffles
+    # and two whole-stage-codegen pipelines; measured at sf0.1 the
+    # compile alone dominated (4.1 s first run vs 0.8 s warm). Here the
+    # only shuffle is (tier, hash, id) — text never leaves the scan —
+    # and the aggregate is a single map-side-combined groupBy, the plan
+    # that holds when the corpus is 10^6x bigger than the group count.
+    # exact-tier hash is computed once and reused by both exact rows;
+    # the canonical tier mirrors the oracle's expressions verbatim
+    # (canonical of the raw text vs. of the upper+padded re-crawl).
+    # hashes are hoisted into one narrow projection (computed ONCE per
+    # doc); the explode below only references plain columns, keeping the
+    # generated code small (big duplicated md5/regex trees inside the
+    # explode array measurably blow up Janino compile time)
+    hashed = d.select(
+        "doc_id",
+        hash64(F.col("text")).alias("h_exact"),
+        hash64(canonical_text("text")).alias("h_canon"),
+        hash64(
+            F.trim(
+                F.regexp_replace(
+                    F.lower(F.concat(F.upper("text"), F.lit("   "))),
+                    "[\\x00-\\x1f\\s]+",
+                    " ",
+                )
+            )
+        ).alias("h_canon_noisy"),
     )
-    exact = exact_dedup_groups(reingest, "doc_id", "text").select(
-        F.lit("exact").alias("tier"),
-        F.col("content_hash").alias("group_hash"),
-        "canonical_id",
-        csv_join("member_ids").alias("member_ids"),
-        "n_members",
-    )
-
-    noisy = d.unionByName(
-        d.select(
-            (F.col("doc_id") + F.lit(_NOISY_OFFSET)).alias("doc_id"),
-            F.concat(F.upper("text"), F.lit("   ")).alias("text"),
-        )
-    )
-    canon = (
-        noisy.select("doc_id", hash64(canonical_text("text")).alias("canon_hash"))
-        .groupBy("canon_hash")
+    rows = hashed.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("exact").alias("tier"), F.col("h_exact").alias("group_hash"), F.col("doc_id")),
+                F.struct(
+                    F.lit("exact").alias("tier"),
+                    F.col("h_exact").alias("group_hash"),
+                    (F.col("doc_id") + F.lit(_REINGEST_OFFSET)).alias("doc_id"),
+                ),
+                F.struct(
+                    F.lit("canonical").alias("tier"),
+                    F.col("h_canon").alias("group_hash"),
+                    F.col("doc_id"),
+                ),
+                F.struct(
+                    F.lit("canonical").alias("tier"),
+                    F.col("h_canon_noisy").alias("group_hash"),
+                    (F.col("doc_id") + F.lit(_NOISY_OFFSET)).alias("doc_id"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return (
+        rows.groupBy("tier", "group_hash")
         .agg(
             F.min("doc_id").alias("canonical_id"),
             F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
@@ -110,14 +141,14 @@ def q31_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_members") > 1)
         .select(
-            F.lit("canonical").alias("tier"),
-            F.col("canon_hash").alias("group_hash"),
+            "tier",
+            "group_hash",
             "canonical_id",
             csv_join("member_ids").alias("member_ids"),
             "n_members",
         )
+        .orderBy("tier", "group_hash")
     )
-    return exact.unionByName(canon).orderBy("tier", "group_hash")
 
 
 # --- q32: MinHash signatures ------------------------------------------------
