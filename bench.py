@@ -55,18 +55,38 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     warm = spark.read.parquet(f"{sf_dir}/region.parquet")
-    (
+    hashed = (
         warm.select(
             "r_regionkey",
             F.conv(F.substring(F.md5(F.col("r_name")), 1, 15), 16, 10).cast("long").alias("h"),
             F.trim(F.regexp_replace(F.lower("r_name"), "[\\s]+", " ")).alias("t"),
+            # higher-order-function lambda machinery (transform/zip_with/
+            # aggregate) is its own first-touch cost center
+            F.aggregate(
+                F.zip_with(
+                    F.transform(F.split("r_name", ""), lambda c: F.lit(1)),
+                    F.transform(F.split("r_name", ""), lambda c: F.lit(1)),
+                    lambda a, b: a + b,
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).alias("z"),
             F.explode(F.array(F.lit(1), F.lit(2))).alias("e"),
         )
+        .persist()  # block-manager/MemoryStore path
+    )
+    hashed.count()
+    a, b = hashed.alias("a"), hashed.alias("b")
+    (
+        a.join(b, "e")  # shuffle join + distinct machinery
+        .select(F.col("a.h").alias("h"), F.col("a.e").alias("e"))
+        .distinct()
         .groupBy("e")
         .agg(F.sort_array(F.collect_list("h")).alias("hs"), F.count(F.lit(1)).alias("n"))
         .orderBy("e")
         .count()
     )
+    hashed.unpersist()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
