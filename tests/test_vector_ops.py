@@ -234,3 +234,70 @@ def test_vector_ops_robust_to_embedding_element_type(spark, tmp_path):
         got = cosine_topk(df, q, k=3, vec_col="embedding").collect()
         assert [r["vec_id"] for r in got] == [0, 2, 1]
         assert abs(got[0]["cosine_sim"] - 1.0) < 1e-6
+
+
+def test_pq_encode_decode_geometry(spark):
+    # two tight clusters in each 2-d subspace: codes must separate them
+    from terrorblade_spark.operators.vector import pq_build, pq_encode
+
+    vecs = []
+    for i in range(20):
+        base = [10.0, 10.0, -10.0, -10.0] if i % 2 == 0 else [-10.0, -10.0, 10.0, 10.0]
+        vecs.append([b + (i % 5) * 0.01 for b in base])
+    df = _vecs(spark, vecs)
+    cb = pq_build(df, m=2, n_codes=2, max_iter=10)
+    assert cb.count() == 4  # 2 subspaces x 2 codes
+    enc = pq_encode(df, cb, m=2)
+    rows = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    assert all(len(c) == 2 for c in rows.values())
+    assert all(all(0 <= x < 2 for x in c) for c in rows.values())
+    # every even row shares codes with every even row, differs from odd
+    assert rows[0] == rows[2] and rows[1] == rows[3]
+    assert rows[0] != rows[1]
+    # deterministic rebuild -> identical codes
+    cb2 = pq_build(df, m=2, n_codes=2, max_iter=10)
+    enc2 = {r["vec_id"]: r["codes"] for r in pq_encode(df, cb2, m=2).collect()}
+    assert rows == enc2
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_dir):
+    # ADC top-k on the real embeddings fixture must land most of the
+    # exact squared-L2 top-k (and beat a random baseline by far)
+    from terrorblade_spark.operators.vector import (
+        _sq_l2,
+        pq_adc_topk,
+        pq_build,
+        pq_encode,
+    )
+    from terrorblade_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    # 4-d subspaces (m=16 over 64 dims): measured sweet spot on this
+    # fixture — recall@10-in-50 of 0.5/0.9/1.0 at m=8,nc=16 / m=8,nc=64
+    # / m=16,nc=16; still a 16x compression over float32
+    k, m, n_codes = 10, 16, 16
+    cb = pq_build(emb, m=m, n_codes=n_codes)
+    enc = pq_encode(emb, cb, m=m).persist()
+    qrow = emb.orderBy("vec_id").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+
+    exact = [
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id",
+            _sq_l2(F.col("embedding").cast("array<double>"), F.array(*[F.lit(v) for v in qvec])).alias("d"),
+        )
+        .orderBy(F.asc("d"), F.col("vec_id"))
+        .limit(k)
+        .collect()
+    ]
+    # the operational contract is shortlist-then-rerank: ADC proposes a
+    # 5k candidate pool, exact distance re-ranks it — so the gate is
+    # "how much of the exact top-k the shortlist captures"
+    shortlist = [r["vec_id"] for r in pq_adc_topk(enc, cb, qvec, 5 * k, m=m).collect()]
+    recall = len(set(exact) & set(shortlist)) / k
+    n = emb.count()
+    assert recall >= 0.7, f"ADC shortlist recall@{k} {recall} too low"
+    assert recall > 3 * (5 * k / n)  # far above the random-pick baseline
+    # the query's own (distance-0) row must always survive quantization
+    assert qrow["vec_id"] in shortlist
