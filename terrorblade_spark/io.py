@@ -20,6 +20,9 @@ optimization:
   aggregations.
 - ``salted_join``: replicate the small side across salts so a skewed
   big side spreads over ``factor`` reducers per hot key.
+- ``cluster_write``: range-clustered sorted files — parquet min/max
+  stats become zone maps for high-cardinality range keys.
+- ``compact``: rewrite micro-batch debris into target-sized files.
 """
 
 from __future__ import annotations
@@ -58,6 +61,75 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def cluster_write(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered sorted write: rows are range-partitioned on
+    ``cluster_cols`` (each output file owns a disjoint key range) and
+    sorted within files, so parquet row-group min/max stats become
+    zone maps — a point or range predicate on the cluster key prunes
+    every file/row-group whose range can't match, BEFORE any row is
+    decoded.
+
+    This is the third layout lever next to hive partitioning (low-
+    cardinality columns only — one directory per value) and bucketing
+    (join co-location): clustering handles HIGH-cardinality range keys
+    (timestamps, ids) where a directory per value is absurd but scans
+    are range-selective. The write costs one range-exchange (with a
+    sampling pass to pick balanced bounds) — paid once, amortized over
+    every subsequent pruned scan.
+    """
+    if n_files is None:
+        n_files = df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    preserve_sort: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite ``src_path`` into files of
+    ~``target_file_bytes``. Streaming/incremental ingest produces one
+    file per micro-batch per partition; at 100 TB that is millions of
+    KB-sized files whose per-file open/footer overhead dominates scans
+    and crushes the driver's split enumeration. Returns the file count
+    written.
+
+    Sizing uses the SOURCE's on-disk bytes (file metadata, no data
+    read). With ``preserve_sort`` the rewrite goes through
+    ``cluster_write`` to keep zone-map clustering; otherwise a plain
+    coalesce-style repartition (round-robin, no skew) suffices.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    if preserve_sort:
+        cluster_write(df, dst_path, preserve_sort, n_files=n_files)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files
 
 
 def with_salt(df: DataFrame, n_salts: int, out_col: str = "__salt") -> DataFrame:

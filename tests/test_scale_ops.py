@@ -138,3 +138,74 @@ def test_incremental_dedup_against_bucketed_index_shuffles_batch_only(spark, sf_
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_hash_index")
+
+
+def test_cluster_write_builds_zone_maps(spark, sf_dir, tmp_path):
+    # range-clustered files own disjoint key ranges -> a point predicate
+    # can prune all but one file from its parquet stats alone
+    import pyarrow.parquet as pq
+    import os
+
+    from terrorblade_spark.io import cluster_write
+    from terrorblade_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "ev_clustered")
+    cluster_write(ev, path, ["user_id"], n_files=8)
+
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "user_id"
+        )
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            los.append(st.min); his.append(st.max)
+        ranges.append((min(los), max(his)))
+    assert len(ranges) > 1
+    ranges.sort()
+    # disjoint: each file's max < next file's min (range partitioner
+    # assigns every key to exactly one partition)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    # a point lookup matches exactly one file's range
+    probe = ranges[len(ranges) // 2][0]
+    containing = [r for r in ranges if r[0] <= probe <= r[1]]
+    assert len(containing) == 1
+    # rewrite preserved every row
+    assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_compact_rewrites_to_target_file_count(spark, sf_dir, tmp_path):
+    import os
+
+    from terrorblade_spark.io import compact
+    from terrorblade_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    debris = str(tmp_path / "debris")
+    # simulate micro-batch debris: 16 files for a tiny table
+    ev.repartition(16).write.parquet(debris)
+    n_small = len([f for f in os.listdir(debris) if f.endswith(".parquet")])
+    assert n_small >= 16
+
+    out = str(tmp_path / "compacted")
+    total = sum(
+        os.path.getsize(os.path.join(debris, f))
+        for f in os.listdir(debris) if f.endswith(".parquet")
+    )
+    written = compact(spark, debris, out, target_file_bytes=total)  # fits in ~1
+    n_big = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert written == 1 and n_big == 1
+    assert spark.read.parquet(out).count() == n
+
+    # sort-preserving variant keeps zone maps (delegates to cluster_write)
+    out2 = str(tmp_path / "compacted_sorted")
+    compact(spark, debris, out2, target_file_bytes=total // 4, preserve_sort=["user_id"])
+    assert spark.read.parquet(out2).count() == n
