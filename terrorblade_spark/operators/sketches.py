@@ -64,6 +64,74 @@ def hll_partial(
     )
 
 
+def frequent_items(
+    df: DataFrame,
+    col: str,
+    capacity: int = 256,
+    k: int | None = None,
+    exact_recount: bool = True,
+) -> DataFrame:
+    """Heavy hitters with bounded memory: per-partition Misra-Gries
+    summaries merged into global candidates, then (by default) an exact
+    recount of the candidates only.
+
+    Why not just ``groupBy(col).count().orderBy(...)``? That shuffles
+    one row per DISTINCT value — at 100 TB a high-cardinality column
+    (URLs, user agents, shingles) makes the aggregate itself the
+    bottleneck, and the job's memory is proportional to the distinct
+    count, not to ``k``. Misra-Gries caps per-task state at
+    ``capacity`` counters with the classic guarantee: any value with
+    frequency > N/(capacity+1) SURVIVES the summary (undercounted by at
+    most N_partition/(capacity+1), never overcounted). Summaries merge
+    by summation — the merged bound is the sum of per-partition bounds
+    — so the only full-data pass is the narrow per-partition scan; the
+    shuffle moves ≤ capacity rows per partition.
+
+    The exact recount closes the loop: candidates (≤ capacity values)
+    broadcast back as a semi-join filter, and only matching rows reach
+    the count aggregate — exact counts for the survivors without ever
+    paying the full-cardinality shuffle. Set ``exact_recount=False``
+    for one-pass lower-bound estimates (streaming/profiling mode).
+
+    Returns (value, n) sorted by n desc, value asc, limited to ``k``
+    if given. ``col`` values are carried as strings (the summary dict
+    is type-erased through Arrow).
+    """
+    import pandas as pd
+
+    source = df.select(F.col(col).cast("string").alias("value")).where(
+        F.col("value").isNotNull()
+    )
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for value, n in pdf["value"].value_counts().items():
+                counters[value] = counters.get(value, 0) + int(n)
+            if len(counters) > capacity:
+                # batched Misra-Gries decrement: subtract the
+                # (capacity+1)-th largest count from everyone, drop <=0
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {v: c - cut for v, c in counters.items() if c > cut}
+        yield pd.DataFrame(
+            {"value": list(counters.keys()), "n_lower": list(counters.values())}
+        )
+
+    summaries = source.mapInPandas(mg_partition, "value string, n_lower long")
+    merged = summaries.groupBy("value").agg(F.sum("n_lower").alias("n_lower"))
+
+    if exact_recount:
+        out = (
+            source.join(F.broadcast(merged.select("value")), "value", "leftsemi")
+            .groupBy("value")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    else:
+        out = merged.withColumnRenamed("n_lower", "n")
+    out = out.orderBy(F.desc("n"), F.asc("value"))
+    return out.limit(k) if k is not None else out
+
+
 def hll_merge(partials: DataFrame, rollup_cols: Sequence[str]) -> DataFrame:
     """Union per-group sketches up to ``rollup_cols`` granularity and
     estimate: the incremental-rollup half of the pair. The union is

@@ -72,3 +72,56 @@ def test_sketch_aggs_partial_combine(spark):
     assert plan.count("HashAggregate") >= 2
     p2 = hll_partial(df, ["g"], "v")._jdf.queryExecution().executedPlan().toString()
     assert "ObjectHashAggregate" in p2 or "HashAggregate" in p2
+
+
+def test_frequent_items_exact_recount_finds_true_heavy_hitters(spark):
+    """Zipf-ish column: a handful of hot values over a wide tail. The
+    MG summary must surface every value above the N/(capacity+1)
+    guarantee, and the recount must report exact counts."""
+    from terrorblade_spark.operators.sketches import frequent_items
+
+    # 60k rows: value "hot_i" appears (10-i)*2000 times for i in 0..4
+    # (20k, 16k, ...), tail of 20k distinct singletons
+    hot = spark.range(0, 40_000).select(
+        F.concat(F.lit("hot_"), (F.col("id") % 5).cast("string")).alias("v")
+    )
+    tail = spark.range(0, 20_000).select(
+        F.concat(F.lit("tail_"), F.col("id").cast("string")).alias("v")
+    )
+    df = hot.unionByName(tail).repartition(8)
+
+    top = frequent_items(df, "v", capacity=64, k=5).collect()
+    assert [r["value"] for r in top] == [f"hot_{i}" for i in range(5)]
+    assert all(r["n"] == 8_000 for r in top)  # exact counts, 40k/5 each
+
+
+def test_frequent_items_lower_bound_mode(spark):
+    """One-pass mode: counts are lower bounds (never overcounts), and
+    values above the guarantee threshold always survive."""
+    from terrorblade_spark.operators.sketches import frequent_items
+
+    hot = spark.range(0, 30_000).select(F.lit("dominant").alias("v"))
+    tail = spark.range(0, 30_000).select(
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("v")
+    )
+    df = hot.unionByName(tail).repartition(4)
+    rows = {
+        r["value"]: r["n"]
+        for r in frequent_items(df, "v", capacity=32, exact_recount=False).collect()
+    }
+    assert "dominant" in rows  # freq 0.5 >> 1/33 guarantee
+    assert rows["dominant"] <= 30_000  # lower bound, never overcount
+
+
+def test_frequent_items_shuffles_summaries_not_rows(spark):
+    """The merge aggregate's input is the MG summary (<= capacity rows
+    per partition), not the raw column — assert no full-cardinality
+    groupBy feeds the merge by checking the summary row count."""
+    from terrorblade_spark.operators.sketches import frequent_items
+
+    df = spark.range(0, 50_000).select(
+        F.concat(F.lit("v"), (F.col("id") % 10_000).cast("string")).alias("v")
+    ).repartition(8)
+    out = frequent_items(df, "v", capacity=16, exact_recount=False)
+    # 8 partitions x <= 16 counters each -> <= 128 candidate rows
+    assert out.count() <= 128
