@@ -209,3 +209,61 @@ def test_compact_rewrites_to_target_file_count(spark, sf_dir, tmp_path):
     out2 = str(tmp_path / "compacted_sorted")
     compact(spark, debris, out2, target_file_bytes=total // 4, preserve_sort=["user_id"])
     assert spark.read.parquet(out2).count() == n
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Linear clustering on x gives a y-predicate nothing to prune;
+    z-order gives every file a tight envelope in BOTH dims, so a
+    selective filter on either column skips most files on footer
+    stats alone."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from terrorblade_spark.io import cluster_write, zorder_write
+
+    # 64k points on a 256x256 grid, shuffled arrival order
+    df = (
+        spark.range(0, 65_536)
+        .select(
+            (F.col("id") % 256).alias("x"),
+            (F.col("id") / 256).cast("long").alias("y"),
+        )
+        .repartition(16)
+    )
+
+    lin_path, z_path = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    cluster_write(df, lin_path, ["x"], n_files=16)
+    zorder_write(df, z_path, ["x", "y"], bits=4, n_files=16)
+
+    def file_ranges(path, col):
+        out = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            ci = next(
+                i
+                for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            stats = [md.row_group(rg).column(ci).statistics for rg in range(md.num_row_groups)]
+            out.append((min(s.min for s in stats), max(s.max for s in stats)))
+        return out
+
+    def files_matching(ranges, lo, hi):
+        return sum(1 for mn, mx in ranges if not (mx < lo or mn > hi))
+
+    # y-band predicate: y BETWEEN 0 AND 15 (1/16 of the data)
+    lin_hit = files_matching(file_ranges(lin_path, "y"), 0, 15)
+    z_hit = files_matching(file_ranges(z_path, "y"), 0, 15)
+    assert lin_hit == 16  # x-clustered files all span full y
+    assert z_hit <= 8  # z-order prunes at least half on y alone
+
+    # and the x dimension still prunes too (the point of interleaving)
+    zx_hit = files_matching(file_ranges(z_path, "x"), 0, 15)
+    assert zx_hit <= 8
+
+    # round-trip: no rows lost or duplicated
+    assert spark.read.parquet(z_path).count() == 65_536
