@@ -33,6 +33,7 @@ negative):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -127,6 +128,78 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc"))
         .limit(k)
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal-rank fusion of several (id, score) rankings — the
+    standard hybrid-search combiner (lexical BM25 + vector cosine, or
+    any mix of retrievers): rrf(d) = sum_r 1/(c + rank_r(d)).
+
+    Rank-based (not score-based) fusion means no cross-retriever score
+    calibration is needed — BM25's unbounded sums and cosine's [-1, 1]
+    fuse cleanly. Each input is a top-k result (k rows, not a corpus),
+    so the window rank and the union are over k*|rankings| rows —
+    driver-trivial at any corpus scale; the heavy lifting already
+    happened inside each retriever.
+
+    Ties within a ranking break by id (deterministic); documents
+    missing from a ranking simply contribute nothing for it.
+    """
+    from pyspark.sql import Window
+
+    tagged = []
+    for i, r in enumerate(rankings):
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        tagged.append(
+            r.select(id_col, score_col)
+            .withColumn("rank", F.row_number().over(w))
+            .select(id_col, (F.lit(1.0) / (F.lit(c) + F.col("rank"))).alias("rrf"))
+        )
+    unioned = tagged[0]
+    for t in tagged[1:]:
+        unioned = unioned.unionByName(t)
+    return (
+        unioned.groupBy(id_col)
+        .agg(F.sum("rrf").alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_text: str,
+    query_vec: DataFrame,
+    k: int = 10,
+    fetch_k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rrf_c: int = 60,
+) -> DataFrame:
+    """Lexical + vector retrieval fused by RRF: BM25 top-``fetch_k``
+    and cosine top-``fetch_k`` each run their scale-native plan
+    (query-term pruning / broadcast-1-row scan), then fuse on ranks.
+    ``embeddings``'s ``vec_id`` must align with ``docs``'s ``doc_id``.
+    """
+    from terrorblade_spark.operators.vector import cosine_topk
+
+    idx = bm25_index(docs, id_col, text_col)
+    lexical = bm25_topk(idx, query_text, k=fetch_k)
+    semantic = cosine_topk(
+        embeddings, query_vec, k=fetch_k, id_col=vec_id_col, vec_col=vec_col
+    ).select(F.col(vec_id_col).alias("doc"), F.col("cosine_sim").alias("score"))
+    fused = rrf_fuse([lexical, semantic], k=k, c=rrf_c)
+    idx.postings.unpersist()
+    return fused
 
 
 def bm25_search_text(

@@ -97,3 +97,54 @@ def test_bm25_scores_are_query_term_bounded(spark, index):
     n_docs_with = index.postings.where(F.col("term") == "data").count()
     scored = bm25_topk(index, "data", k=1_000_000)
     assert scored.count() == n_docs_with
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Two 3-doc rankings with a hand-computed fusion: docs 1 and 3
+    each take one 1st and one 3rd (1/61 + 1/63), which beats doc 2's
+    two 2nds (2/62) by convexity of 1/x; the 1-vs-3 tie breaks by id."""
+    from terrorblade_spark.operators.search import rrf_fuse
+
+    r1 = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)], "doc long, score double")
+    r2 = spark.createDataFrame([(3, 0.9), (2, 0.5), (1, 0.1)], "doc long, score double")
+    got = [(r["doc"], r["rrf_score"]) for r in rrf_fuse([r1, r2], k=3).collect()]
+    import math
+
+    want = sorted(
+        [
+            (1, 1 / 61 + 1 / 63),
+            (2, 1 / 62 + 1 / 62),
+            (3, 1 / 63 + 1 / 61),
+        ],
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12)
+    assert [d for d, _ in got] == [1, 3, 2]
+
+
+def test_rrf_handles_disjoint_rankings(spark):
+    from terrorblade_spark.operators.search import rrf_fuse
+
+    r1 = spark.createDataFrame([(1, 2.0)], "doc long, score double")
+    r2 = spark.createDataFrame([(9, 2.0)], "doc long, score double")
+    rows = rrf_fuse([r1, r2], k=10).collect()
+    assert {r["doc"] for r in rows} == {1, 9}
+
+
+def test_hybrid_search_runs_end_to_end(spark, sf_dir):
+    from terrorblade_spark.operators.search import hybrid_search
+    from terrorblade_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == emb.select(F.min("vec_id")).first()[0]).select(
+        "embedding"
+    )
+    out = hybrid_search(docs, emb, "data model", qvec, k=5, fetch_k=20)
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    assert out.columns == ["doc", "rrf_score"]
+    # fused score is bounded by the two-retriever maximum 2/(c+1)
+    assert all(0 < r["rrf_score"] <= 2 / 61 for r in rows)
