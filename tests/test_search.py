@@ -54,7 +54,7 @@ def index(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     idx = bm25_index(docs, "doc_id")
     yield idx
-    idx.postings.unpersist()
+    idx.unpersist()
 
 
 def test_bm25_matches_duckdb(spark, duck, sf_dir, index):

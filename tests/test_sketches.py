@@ -125,3 +125,20 @@ def test_frequent_items_shuffles_summaries_not_rows(spark):
     out = frequent_items(df, "v", capacity=16, exact_recount=False)
     # 8 partitions x <= 16 counters each -> <= 128 candidate rows
     assert out.count() <= 128
+
+
+def test_frequent_items_sample_mode(spark):
+    """Sampled-candidate mode: JVM-only path, same exact recounts for
+    values comfortably above the sampling detection floor."""
+    from terrorblade_spark.operators.sketches import frequent_items
+
+    hot = spark.range(0, 40_000).select(
+        F.concat(F.lit("hot_"), (F.col("id") % 4).cast("string")).alias("v")
+    )
+    tail = spark.range(0, 10_000).select(
+        F.concat(F.lit("tail_"), F.col("id").cast("string")).alias("v")
+    )
+    df = hot.unionByName(tail).repartition(8)
+    top = frequent_items(df, "v", capacity=32, k=4, method="sample", sample_fraction=0.1).collect()
+    assert [r["value"] for r in top] == [f"hot_{i}" for i in range(4)]
+    assert all(r["n"] == 10_000 for r in top)
