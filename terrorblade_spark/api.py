@@ -352,6 +352,64 @@ class TerrorbladeSpark:
 
     # -- vector search (Q9/V5) ----------------------------------------------
 
+    def text_search(self, query_text: str, k: int = 5) -> DataFrame:
+        """Lexical BM25 search over message text — the keyword
+        counterpart to ``cluster_search``'s embedding similarity
+        (exact-phrase names, ids, rare terms the hash/model embedding
+        smears out). Messages are keyed by (chat_id, message_id) as a
+        struct so the index id stays one column."""
+        from terrorblade_spark.operators.search import bm25_index, bm25_topk
+
+        docs = self.messages.select(
+            F.struct("chat_id", "message_id").alias("mid"), "text"
+        )
+        idx = bm25_index(docs, "mid", "text", persist=False)
+        top = bm25_topk(idx, query_text, k=k)
+        return (
+            top.select(F.col("doc.chat_id").alias("chat_id"),
+                       F.col("doc.message_id").alias("message_id"),
+                       "score")
+            .join(self.messages, ["chat_id", "message_id"])
+            .select("message_id", "chat_id", "score", "text", "date", "from_id")
+            .orderBy(F.desc("score"), "chat_id", "message_id")
+        )
+
+    def hybrid_search(self, query_text: str, k: int = 5, fetch_k: int = 20) -> DataFrame:
+        """Reciprocal-rank fusion of lexical (BM25) and semantic
+        (embedding cosine) retrieval over messages: each retriever
+        contributes its rank, no score calibration needed."""
+        from terrorblade_spark.operators.search import bm25_index, bm25_topk, rrf_fuse
+
+        if self.embeddings is None:
+            raise ValueError("hybrid_search needs an embeddings DataFrame")
+        docs = self.messages.select(
+            F.struct("chat_id", "message_id").alias("mid"), "text"
+        )
+        idx = bm25_index(docs, "mid", "text", persist=False)
+        lexical = bm25_topk(idx, query_text, k=fetch_k)
+        q = (
+            self.spark.createDataFrame([(query_text,)], "q string")
+            .select(embed_text()(F.col("q")).alias("__qvec"))
+        )
+        semantic = (
+            self.embeddings.crossJoin(F.broadcast(q))
+            .select(
+                F.struct("chat_id", "message_id").alias("doc"),
+                cosine(F.col("embeddings"), F.col("__qvec")).alias("score"),
+            )
+            .orderBy(F.desc("score"), "doc")
+            .limit(fetch_k)
+        )
+        fused = rrf_fuse([lexical, semantic], k=k)
+        return (
+            fused.select(F.col("doc.chat_id").alias("chat_id"),
+                         F.col("doc.message_id").alias("message_id"),
+                         "rrf_score")
+            .join(self.messages, ["chat_id", "message_id"])
+            .select("message_id", "chat_id", "rrf_score", "text", "date", "from_id")
+            .orderBy(F.desc("rrf_score"), "chat_id", "message_id")
+        )
+
     def cluster_search(self, query_text: str, k: int = 5) -> DataFrame:
         """Q9 (mcp/server.py:191-276): embed the query, top-k cosine
         over message embeddings, best hit per cluster — set-wise, no

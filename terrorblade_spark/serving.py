@@ -108,6 +108,33 @@ TOOL_SPECS: list[dict[str, Any]] = [
         },
     },
     {
+        "name": "text_search",
+        "description": "Lexical BM25 keyword search over message text — "
+        "exact terms, names, and ids that embedding similarity smears out.",
+        "parameters": {
+            "type": "object",
+            "properties": {
+                "query": {"type": "string"},
+                "top_k": {"type": "integer", "default": 10, "minimum": 1, "maximum": 1000},
+            },
+            "required": ["query"],
+        },
+    },
+    {
+        "name": "hybrid_search",
+        "description": "Hybrid retrieval: BM25 and embedding-cosine top-k "
+        "fused by reciprocal rank; robust to queries that only one "
+        "retriever handles well.",
+        "parameters": {
+            "type": "object",
+            "properties": {
+                "query": {"type": "string"},
+                "top_k": {"type": "integer", "default": 10, "minimum": 1, "maximum": 1000},
+            },
+            "required": ["query"],
+        },
+    },
+    {
         "name": "random_large_cluster",
         "description": "A deterministic pseudo-random cluster with at least "
         "min_size messages; returns its full message list.",
@@ -217,6 +244,20 @@ class ToolDispatcher:
                 "message_id", "chat_id", "text", "from_id", "date"
             )
         )
+
+    def _tool_text_search(self, query: str, top_k: int = 10) -> list[dict[str, Any]]:
+        if not isinstance(query, str) or not query.strip():
+            raise ValueError("query must be a non-empty string")
+        if not 1 <= top_k <= 1000:
+            raise ValueError("top_k must be in the range 1..1000")
+        return _rows(self.tb.text_search(query, k=top_k))
+
+    def _tool_hybrid_search(self, query: str, top_k: int = 10) -> list[dict[str, Any]]:
+        if not isinstance(query, str) or not query.strip():
+            raise ValueError("query must be a non-empty string")
+        if not 1 <= top_k <= 1000:
+            raise ValueError("top_k must be in the range 1..1000")
+        return _rows(self.tb.hybrid_search(query, k=top_k))
 
     def _tool_random_large_cluster(
         self, min_size: int = 10, seed: str = "v1"

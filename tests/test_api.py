@@ -161,3 +161,35 @@ def test_find_chat_by_name_partial_case_insensitive(tb):
     assert rows
     assert all(infix.lower() in r["chat_name"].lower() for r in rows)
     assert tb.find_chat_by_name("no-such-chat-name-xyz").count() == 0
+
+
+def test_text_search_finds_exact_terms(tb):
+    # pick a distinctive word from some fixture message
+    row = tb.messages.where(F.length("text") > 20).first()
+    term = max(row["text"].split(), key=len).lower().strip(".,!?")
+    hits = tb.text_search(term, k=5).collect()
+    assert hits
+    assert all(term in r["text"].lower() for r in hits)
+    scores = [r["score"] for r in hits]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_hybrid_search_fuses_both_retrievers(tb, spark):
+    from terrorblade_spark.functions.embed import embed_text
+
+    tb2 = TerrorbladeSpark(
+        spark,
+        tb.messages,
+        embeddings=tb.messages.select(
+            "message_id", "chat_id", embed_text()(F.col("text")).alias("embeddings")
+        ),
+        clusters=tb.clusters,
+    )
+    row = tb.messages.where(F.length("text") > 20).first()
+    query = " ".join(row["text"].split()[:4])
+    hits = tb2.hybrid_search(query, k=5, fetch_k=10).collect()
+    assert hits
+    # the query's source message must surface (top lexical AND semantic)
+    ids = {(r["chat_id"], r["message_id"]) for r in hits}
+    assert (row["chat_id"], row["message_id"]) in ids
+    assert all(0 < r["rrf_score"] <= 2 / 61 for r in hits)

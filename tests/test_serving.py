@@ -35,7 +35,10 @@ def dispatcher(spark):
 
 def test_tool_specs_cover_reference_surface(dispatcher):
     names = {s["name"] for s in dispatcher.list_tools()}
-    assert names == {"vector_search", "cluster_search", "get_cluster", "random_large_cluster"}
+    assert names == {
+        "vector_search", "cluster_search", "get_cluster",
+        "random_large_cluster", "text_search", "hybrid_search",
+    }
     # every spec is valid JSON schema-shaped and serializable
     json.dumps(TOOL_SPECS)
 
@@ -93,3 +96,24 @@ def test_prompts_render(dispatcher):
     assert "find the meetup" in p1
     p2 = PROMPTS["cluster_summary_template"]("Chat A", ">>> hi")
     assert "Chat A" in p2 and ">>> hi" in p2
+
+
+def test_text_and_hybrid_search_tools(dispatcher):
+    msgs = dispatcher.tb.messages
+    row = msgs.where(F.length("text") > 20).first()
+    term = max(row["text"].split(), key=len).lower().strip(".,!?")
+
+    hits = dispatcher.call("text_search", query=term, top_k=5)
+    assert hits and all(term in h["text"].lower() for h in hits)
+    json.dumps(hits)  # JSON-serializable contract
+
+    fused = dispatcher.call("hybrid_search", query=term, top_k=5)
+    assert fused and all("rrf_score" in h for h in fused)
+    json.dumps(fused)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dispatcher.call("text_search", query="  ")
+    with _pt.raises(ValueError):
+        dispatcher.call("hybrid_search", query="x", top_k=0)
