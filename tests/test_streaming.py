@@ -6,6 +6,7 @@ are test harnesses and are exercised via q47/q57's oracle rows instead.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from terrorblade_spark.streaming.pipeline import dedup_merge_writer, stream_events
 from terrorblade_spark.tables import load_table
@@ -145,3 +146,37 @@ def test_neardup_dedup_writer_cross_batch_and_chains(spark, tmp_path):
 
     # index holds bands for admitted shingleable docs only (3 of them)
     assert spark.read.parquet(index).distinct().count() <= 3 * 4
+
+
+def test_rollup_writer_maintains_aggregates_from_stream(spark, sf_dir, tmp_path):
+    """End-to-end: the incremental rollup maintained by a real stream
+    (availableNow backlog) equals the direct batch aggregate, and a
+    checkpointed restart over the same backlog adds nothing (batch-id
+    markers make the foreachBatch merge replay-safe)."""
+    from terrorblade_spark.operators.rollup import rollup_read, rollup_writer
+
+    state = str(tmp_path / "rollup_state")
+    applied = str(tmp_path / "applied")
+    for i in range(2):  # second drain = fresh checkpoint replays backlog
+        _drain(
+            rollup_writer(
+                stream_events(spark, sf_dir),
+                state,
+                keys=["user_id"],
+                applied_dir=applied,
+                sum_cols=["value"],
+            ),
+            str(tmp_path / f"cp{i}"),
+        )
+    got = {
+        r["user_id"]: (r["n_rows"], r["sum_value"])
+        for r in rollup_read(spark, state).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
