@@ -245,6 +245,74 @@ def run_stateful_sessions_batch(
     )
 
 
+def streaming_frequent_items(
+    stream: DataFrame,
+    col: str,
+    capacity: int = 128,
+    n_groups: int = 16,
+    watermark_col: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Bounded-state streaming heavy hitters: the 24/7 form of
+    ``operators.sketches.frequent_items``.
+
+    Values hash into ``n_groups`` state keys; each key holds one
+    Misra-Gries summary (≤ ``capacity`` counters) updated per
+    micro-batch via ``applyInPandasWithState`` — total state is
+    n_groups x capacity counters FOREVER, regardless of how many
+    distinct values the stream has seen. Each batch emits every
+    group's current summary (update mode); the union of the latest
+    emissions is the global candidate set with the per-group guarantee
+    (any value with frequency > N_group/(capacity+1) survives).
+
+    ``watermark_col`` opts into an event-time watermark when the
+    source needs one; the counters themselves are count-based and
+    never expire (heavy-hitter state is the product, not a window).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            values, counts = state.get
+            counters = pd.Series(list(counts), index=list(values), dtype="int64")
+        else:
+            counters = pd.Series(dtype="int64")
+        for pdf in pdfs:
+            vc = pdf["value"].value_counts()
+            counters = pd.concat([counters, vc]).groupby(level=0).sum()
+            if len(counters) > capacity:
+                cut = counters.nlargest(capacity + 1).iloc[-1]
+                counters = counters[counters > cut] - cut
+        state.update((list(counters.index), [int(c) for c in counters.to_numpy()]))
+        yield pd.DataFrame(
+            {
+                "group": [key[0]] * len(counters),
+                "value": counters.index,
+                "n_lower": counters.to_numpy("int64"),
+            }
+        )
+
+    source = stream.select(F.col(col).cast("string").alias("value")).where(
+        F.col("value").isNotNull()
+    )
+    if watermark_col is not None:
+        source = stream.withWatermark(watermark_col, watermark).select(
+            F.col(col).cast("string").alias("value")
+        ).where(F.col("value").isNotNull())
+    return (
+        source.withColumn("group", F.pmod(F.hash("value"), F.lit(n_groups)))
+        .groupBy("group")
+        .applyInPandasWithState(
+            update,
+            outputStructType="group int, value string, n_lower long",
+            stateStructType="values array<string>, counts array<long>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def content_dedup_writer(
     stream: DataFrame,
     corpus_path: str,

@@ -180,3 +180,56 @@ def test_rollup_writer_maintains_aggregates_from_stream(spark, sf_dir, tmp_path)
         .collect()
     }
     assert got == want
+
+
+def test_streaming_frequent_items_bounded_state(spark, tmp_path):
+    """Heavy hitters maintained across micro-batches with fixed-size
+    state: hot values survive, counts are exact lower bounds, and the
+    per-group summary never exceeds its capacity."""
+    from terrorblade_spark.streaming.pipeline import streaming_frequent_items
+
+    src = tmp_path / "fisrc"
+    src.mkdir()
+    schema = "v string"
+
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    hot = [("hot",)] * 500
+    spark.createDataFrame(hot + [(f"a{i}",) for i in range(400)], schema).coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    spark.createDataFrame(hot + [(f"b{i}",) for i in range(400)], schema).coalesce(
+        1
+    ).write.parquet(str(src / "b2"))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(src) + "/*"
+    )
+    out = streaming_frequent_items(stream, "v", capacity=32, n_groups=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_fi")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ficp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("stream_fi").collect()
+    # latest emission per (group, value): totals are monotone lower bounds
+    latest = {}
+    for r in rows:
+        latest[(r["group"], r["value"])] = max(
+            latest.get((r["group"], r["value"]), 0), r["n_lower"]
+        )
+    hot_counts = [n for (g, v), n in latest.items() if v == "hot"]
+    assert hot_counts, "the hot value must survive both batches"
+    # survived with a lower bound <= true 1000 and at least batch-1 floor
+    assert max(hot_counts) <= 1000
+    assert max(hot_counts) >= 1000 - 2 * (900 // 33)  # MG decrement bound per batch
+    # state is bounded: each batch emits its group's summary (<= capacity
+    # rows), so across the 2 batches a group shows at most 2x capacity
+    # distinct values — far below the ~200 distinct it actually saw
+    from collections import Counter
+
+    per_group = Counter(g for (g, v) in latest)
+    assert all(n <= 2 * 32 for n in per_group.values())
