@@ -17,6 +17,9 @@ pure shuffle-and-window / equi-join plans:
 
 from __future__ import annotations
 
+# (resample_events below complements the as-of/range joins in this
+# module: grid alignment is the third standard temporal re-shaping.)
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -154,3 +157,73 @@ def range_join(
                 bucket_hit_no_match = bucket_hit_no_match.withColumn(c, F.lit(None))
         return matched.unionByName(unmatched.unionByName(bucket_hit_no_match))
     raise ValueError(f"unsupported how={how!r}")
+
+
+def resample_events(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+    agg: str = "sum",
+    fill: str = "zero",
+) -> DataFrame:
+    """Regular time-grid resampling per entity: one row per (entity,
+    bucket) over the entity's OWN [first, last] activity span, with
+    the bucket aggregate of ``value_col`` and gaps filled.
+
+    Gap semantics: ``fill="zero"`` (counts/sums — an empty hour IS
+    zero), ``fill="ffill"`` (gauge-style values — last observation
+    carries forward), ``fill="null"`` (leave gaps visible).
+
+    Plan shape, and why it scales: ONE aggregation of the raw events
+    to (entity, bucket) partials — the only pass over the data — then
+    the dense grid is generated per entity with ``sequence()`` from
+    the min/max bucket (an aggregate row per entity, exploded to the
+    grid width) and left-joined to the partials on (entity, bucket).
+    Events are never collected per entity; the explode's width is the
+    entity's activity span in buckets, data-independent of its event
+    COUNT (the usual blowup risk). ffill is the standard last-non-null
+    window over the already-bucketed grid — rows are grid cells, not
+    events.
+    """
+    aggs = {
+        "sum": F.sum(value_col),
+        "avg": F.avg(value_col),
+        "min": F.min(value_col),
+        "max": F.max(value_col),
+        "count": F.count(F.lit(1)),
+    }
+    if agg not in aggs:
+        raise ValueError(f"agg must be one of {sorted(aggs)}")
+    if fill not in ("zero", "ffill", "null"):
+        raise ValueError("fill must be zero|ffill|null")
+    # window() buckets at arbitrary step sizes ('15 minutes'); the
+    # bucket key is the window start
+    b = F.window(F.col(ts_col), step)["start"]
+    partials = (
+        events.groupBy(F.col(entity_col), b.alias("bucket"))
+        .agg(aggs[agg].alias("v"))
+    )
+    spans = partials.groupBy(entity_col).agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        entity_col,
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("bucket"),
+    )
+    out = grid.join(partials, [entity_col, "bucket"], "left")
+    if fill == "zero":
+        out = out.withColumn("v", F.coalesce(F.col("v"), F.lit(0)))
+    elif fill == "ffill":
+        from pyspark.sql import Window as _W
+
+        w = (
+            _W.partitionBy(entity_col)
+            .orderBy("bucket")
+            .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        )
+        out = out.withColumn("v", F.last("v", ignorenulls=True).over(w))
+    return out.withColumnRenamed("v", f"{agg}_{value_col}").orderBy(entity_col, "bucket")

@@ -129,3 +129,69 @@ def test_range_join_chunk_boundary_exclusive_end(spark):
     assert (
         range_join(points, intervals, "t", "s", "e", by=["g"], chunk_s=3600.0).count() == 0
     )
+
+
+def test_resample_dense_grid_and_zero_fill(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 2.0),
+            (1, "2024-01-01 00:40:00", 3.0),
+            # 01:00 hour is EMPTY for u1 -> grid row with 0
+            (1, "2024-01-01 02:05:00", 5.0),
+            (2, "2024-01-01 03:00:00", 7.0),
+        ],
+        "user_id long, ts_s string, value double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    from terrorblade_spark.operators.temporal import resample_events
+
+    rows = resample_events(ev, step="1 hour", agg="sum").collect()
+    got = {(r["user_id"], r["bucket"].hour): r["sum_value"] for r in rows}
+    assert got == {(1, 0): 5.0, (1, 1): 0.0, (1, 2): 5.0, (2, 3): 7.0}
+    # grid spans each entity's own range only: u2 has exactly one row
+    assert sum(1 for r in rows if r["user_id"] == 2) == 1
+
+
+def test_resample_ffill_carries_last_value(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10.0),
+            (1, "2024-01-01 03:00:00", 40.0),
+        ],
+        "user_id long, ts_s string, value double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    from terrorblade_spark.operators.temporal import resample_events
+
+    rows = resample_events(ev, step="1 hour", agg="max", fill="ffill").collect()
+    vals = [r["max_value"] for r in sorted(rows, key=lambda r: r["bucket"])]
+    assert vals == [10.0, 10.0, 10.0, 40.0]
+
+
+def test_resample_matches_duckdb_on_events(spark, duck, sf_dir):
+    from terrorblade_spark.operators.temporal import resample_events
+    from terrorblade_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        (r["user_id"], r["bucket"]): r["sum_value"]
+        for r in resample_events(ev, step="1 day", agg="sum").collect()
+    }
+    sql = """
+    WITH partials AS (
+      SELECT user_id, date_trunc('day', ts) AS bucket,
+             sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM partials GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+      FROM spans
+    )
+    SELECT g.user_id, g.bucket, coalesce(p.v, 0) AS v
+    FROM grid g LEFT JOIN partials p USING (user_id, bucket)
+    """
+    want = {(u, b): v for u, b, v in duck.execute(sql).fetchall()}
+    assert set(got) == set(want)
+    # sums are float folds over differing orders -> compare tolerantly
+    import math
+
+    assert all(math.isclose(got[k], want[k], rel_tol=1e-9, abs_tol=1e-9) for k in got)
