@@ -174,3 +174,34 @@ def test_quantize_int8_no_exchange_no_udf(spark, sf_dir):
     assert "Exchange" not in plan, plan[:2000]
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_temporal_and_funnel_plans_no_nested_loops(spark, sf_dir):
+    """Every temporal/funnel/BM25 plan must stay equi-join shaped:
+    a BroadcastNestedLoopJoin or CartesianProduct (other than the
+    deliberate 1-row broadcast stats join) means a range predicate
+    leaked into the join condition and the plan dies at scale."""
+    from terrorblade_spark.operators.funnel import funnel_counts, retention_matrix
+    from terrorblade_spark.operators.search import bm25_index, bm25_topk
+    from terrorblade_spark.operators.temporal import resample_events
+    from terrorblade_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plans = {
+        "funnel": funnel_counts(ev, ["view", "click", "purchase"])
+        ._jdf.queryExecution().executedPlan().toString(),
+        "retention": retention_matrix(ev)
+        ._jdf.queryExecution().executedPlan().toString(),
+        "resample": resample_events(ev)
+        ._jdf.queryExecution().executedPlan().toString(),
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, (name, plan[:1500])
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:1500])
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = bm25_index(docs, "doc_id", persist=False)
+    plan = bm25_topk(idx, "data model", k=5)._jdf.queryExecution().executedPlan().toString()
+    # the single intended nested-loop: the 1-row corpus-stats broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
