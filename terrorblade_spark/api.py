@@ -382,6 +382,7 @@ class TerrorbladeSpark:
 
         if self.embeddings is None:
             raise ValueError("hybrid_search needs an embeddings DataFrame")
+        fetch_k = max(fetch_k, k)  # a retriever must fetch at least k
         docs = self.messages.select(
             F.struct("chat_id", "message_id").alias("mid"), "text"
         )

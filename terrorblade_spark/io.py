@@ -108,13 +108,22 @@ def zorder_expr(
     skewed real data: boundaries come from ``approxQuantile`` — a
     sampling sketch pass whose output is 2^bits-1 numbers of METADATA
     on the driver, not data — so each bucket holds ~1/2^bits of the
-    rows regardless of the value distribution.
+    rows regardless of the value distribution. All cluster columns are
+    rank-bucketed through a ``double`` cast (timestamps/dates become
+    epoch seconds — approxQuantile itself only accepts numerics), and
+    ALL columns' boundaries come from ONE multi-column quantile job,
+    not one scan per dimension.
     """
     dims = len(cluster_cols)
-    buckets = []
     n_b = (1 << bits) - 1  # boundaries between 2^bits buckets
-    for c in cluster_cols:
-        bounds = df.stat.approxQuantile(c, [i / (n_b + 1) for i in range(1, n_b + 1)], rel_err)
+    probs = [i / (n_b + 1) for i in range(1, n_b + 1)]
+    casted = df.select(
+        *[F.col(c).cast("double").alias(f"__zc_{i}") for i, c in enumerate(cluster_cols)]
+    )
+    all_bounds = casted.stat.approxQuantile(
+        [f"__zc_{i}" for i in range(dims)], probs, rel_err
+    )
+    def rank_bucket(col_name: str, bounds: list[float]) -> Column:
         # strictly increasing (approxQuantile can repeat on ties);
         # collapsed boundaries just merge adjacent buckets
         uniq: list[float] = []
@@ -123,13 +132,14 @@ def zorder_expr(
                 uniq.append(v)
         barr = F.array(*[F.lit(v) for v in uniq])
         # bucket = number of boundaries <= value (0 .. 2^bits-1)
-        buckets.append(
-            F.aggregate(
-                barr,
-                F.lit(0).cast("long"),
-                lambda acc, bd: acc + F.when(F.col(c).cast("double") >= bd, 1).otherwise(0).cast("long"),
-            )
+        return F.aggregate(
+            barr,
+            F.lit(0).cast("long"),
+            lambda acc, bd: acc
+            + F.when(F.col(col_name).cast("double") >= bd, 1).otherwise(0).cast("long"),
         )
+
+    buckets = [rank_bucket(c, bounds) for c, bounds in zip(cluster_cols, all_bounds)]
     z = F.lit(0).cast("long")
     for j in range(bits):
         for i, bk in enumerate(buckets):

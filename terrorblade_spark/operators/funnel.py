@@ -89,7 +89,10 @@ def funnel_counts(
     per_entity = funnel_steps(events, steps, entity_col, type_col, ts_col, within_ms)
     counts = per_entity.agg(
         *[
-            F.sum((F.col("steps_completed") >= i).cast("long")).alias(f"n_{i}")
+            # coalesce: an empty step-1 base must report 0, not NULL
+            F.coalesce(
+                F.sum((F.col("steps_completed") >= i).cast("long")), F.lit(0)
+            ).alias(f"n_{i}")
             for i in range(1, len(steps) + 1)
         ]
     )

@@ -94,6 +94,18 @@ def rollup_update(
     from pyspark.errors.exceptions.captured import AnalysisException
 
     spark = batch.sparkSession
+    # the bucket function is part of the state's layout: a different
+    # n_buckets re-buckets keys, so an update would miss (and then
+    # duplicate) existing rows. Pin it in a sidecar on first write and
+    # refuse mismatched updates.
+    meta = os.path.join(state_path, "_n_buckets")
+    if os.path.exists(meta):
+        stored = int(open(meta).read().strip())
+        if stored != n_buckets:
+            raise ValueError(
+                f"rollup state at {state_path} was built with n_buckets={stored}; "
+                f"got n_buckets={n_buckets} — rebucketing requires a full rebuild"
+            )
     part = _partials(batch, keys, sum_cols, min_cols, max_cols, distinct_col, lg_k)
     part = part.withColumn(
         BUCKET_COL, F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets))
@@ -113,6 +125,9 @@ def rollup_update(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(state_path)
+        if not os.path.exists(meta):
+            with open(meta, "w") as fh:
+                fh.write(str(n_buckets))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
         part.unpersist()

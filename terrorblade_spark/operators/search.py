@@ -118,8 +118,10 @@ def bm25_topk(
     """
     terms = _query_terms(query)
     if not terms:
-        spark = index.postings.sparkSession
-        return spark.createDataFrame([], "doc long, score double")
+        # empty result with the INDEX's doc type (ids may be structs)
+        return index.postings.select(
+            "doc", F.lit(0.0).alias("score")
+        ).limit(0)
     spark = index.postings.sparkSession
     qterms = F.broadcast(spark.createDataFrame([(t,) for t in terms], "term string"))
 
@@ -210,6 +212,9 @@ def hybrid_search(
     """
     from terrorblade_spark.operators.vector import cosine_topk
 
+    # a fused top-k can only surface docs one retriever fetched; with
+    # fetch_k < k the result silently truncates below k
+    fetch_k = max(fetch_k, k)
     idx = bm25_index(docs, id_col, text_col, persist=False)
     lexical = bm25_topk(idx, query_text, k=fetch_k)
     semantic = cosine_topk(

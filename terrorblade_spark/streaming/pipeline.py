@@ -293,13 +293,11 @@ def streaming_frequent_items(
             }
         )
 
+    if watermark_col is not None:
+        stream = stream.withWatermark(watermark_col, watermark)
     source = stream.select(F.col(col).cast("string").alias("value")).where(
         F.col("value").isNotNull()
     )
-    if watermark_col is not None:
-        source = stream.withWatermark(watermark_col, watermark).select(
-            F.col(col).cast("string").alias("value")
-        ).where(F.col("value").isNotNull())
     return (
         source.withColumn("group", F.pmod(F.hash("value"), F.lit(n_groups)))
         .groupBy("group")

@@ -110,3 +110,9 @@ def test_retention_matrix_matches_duckdb(events, duck):
     assert all(
         n <= cohort_sizes[c] for (c, o), n in got.items()
     ), "no later-week cell can exceed its cohort size"
+
+
+def test_funnel_empty_base_reports_zero(spark, events):
+    rows = funnel_counts(events, ["no_such_event_type", "also_missing"]).collect()
+    assert [r["n_entities"] for r in rows] == [0, 0]
+    assert all(r["conversion"] == 0.0 for r in rows)

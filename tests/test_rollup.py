@@ -112,3 +112,12 @@ def test_merge_fn_skips_replayed_batches(spark, tmp_path):
     assert row["n"] == 4_000
     direct = _events(spark, 0, 2_000).agg(F.sum("value")).first()[0]
     assert row["s"] == 2 * direct
+
+
+def test_rebucketing_is_refused(spark, tmp_path):
+    import pytest
+
+    state = str(tmp_path / "guard")
+    rollup_update(_events(spark, 0, 1_000), state, keys=["user_id"], n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets=16"):
+        rollup_update(_events(spark, 0, 1_000), state, keys=["user_id"], n_buckets=8)

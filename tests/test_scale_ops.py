@@ -267,3 +267,15 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
 
     # round-trip: no rows lost or duplicated
     assert spark.read.parquet(z_path).count() == 65_536
+
+
+def test_zorder_accepts_timestamp_columns(spark, sf_dir, tmp_path):
+    """(entity, time) is the advertised use case: timestamp cluster
+    keys must rank-bucket through the double cast, not crash."""
+    from terrorblade_spark.io import zorder_write
+    from terrorblade_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "zts")
+    zorder_write(ev, path, ["user_id", "ts"], bits=3, n_files=4)
+    assert spark.read.parquet(path).count() == ev.count()

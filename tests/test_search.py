@@ -148,3 +148,28 @@ def test_hybrid_search_runs_end_to_end(spark, sf_dir):
     assert out.columns == ["doc", "rrf_score"]
     # fused score is bounded by the two-retriever maximum 2/(c+1)
     assert all(0 < r["rrf_score"] <= 2 / 61 for r in rows)
+
+
+def test_bm25_empty_query_preserves_struct_ids(spark):
+    """A blank query must return an EMPTY result with the index's own
+    doc type (struct ids from the facade), not a hardcoded long."""
+    docs = spark.createDataFrame(
+        [((1, 10), "alpha beta"), ((1, 11), "gamma")],
+        "mid struct<chat_id:long,message_id:long>, text string",
+    )
+    idx = bm25_index(docs, "mid", persist=False)
+    out = bm25_topk(idx, "   ")
+    assert out.count() == 0
+    assert out.schema["doc"].dataType.simpleString().startswith("struct")
+
+
+def test_hybrid_fetch_k_clamped_to_k(spark, sf_dir):
+    from terrorblade_spark.operators.search import hybrid_search
+    from terrorblade_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.limit(1).select("embedding")
+    # k > fetch_k: the clamp must let up to k docs through
+    out = hybrid_search(docs, emb, "data", qvec, k=30, fetch_k=5)
+    assert out.count() > 5
