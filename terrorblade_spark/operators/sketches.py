@@ -172,6 +172,34 @@ def frequent_items(
     return _recount_or_rank(source, merged, exact_recount, k)
 
 
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k most frequent values per group: one map-side-combined
+    count aggregate, then a rank window over the already-aggregated
+    (group, value) relation — the window input is the DISTINCT pair
+    count, not the raw rows, so the sort is over aggregated data. Ties
+    break by value ascending (deterministic).
+
+    For a group whose distinct-value count itself explodes, cap the
+    aggregate first with ``frequent_items``' candidates; this operator
+    is the exact form for the common case (per-language top tokens,
+    per-source top domains).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(*group_cols).orderBy(F.desc("n"), F.asc(value_col))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(*group_cols, "rank")
+    )
+
+
 def _recount_or_rank(
     source: DataFrame, merged: DataFrame, exact_recount: bool, k: int | None
 ) -> DataFrame:

@@ -245,6 +245,23 @@ def run_stateful_sessions_batch(
     )
 
 
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Engine-native late-duplicate drop: keep the first row per key,
+    holding each key's dedup state only until the event-time watermark
+    passes it (``dropDuplicatesWithinWatermark``). The in-engine
+    counterpart to ``dedup_merge_writer``'s durable anti-join sink:
+    use THIS when duplicates arrive close together (retries, at-least-
+    once sources) and the sink form when they can reappear arbitrarily
+    late (its index is durable; this state is watermark-bounded, which
+    is exactly what lets it run forever)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def streaming_frequent_items(
     stream: DataFrame,
     col: str,

@@ -142,3 +142,30 @@ def test_frequent_items_sample_mode(spark):
     top = frequent_items(df, "v", capacity=32, k=4, method="sample", sample_fraction=0.1).collect()
     assert [r["value"] for r in top] == [f"hot_{i}" for i in range(4)]
     assert all(r["n"] == 10_000 for r in top)
+
+
+def test_top_k_per_group_matches_duckdb(spark, duck, sf_dir):
+    from terrorblade_spark.operators.sketches import top_k_per_group
+    from terrorblade_spark.tables import load_table
+
+    df = load_table(spark, sf_dir, "events")
+    got = [
+        (r["user_id"], r["event_type"], r["n"], r["rank"])
+        for r in top_k_per_group(
+            df.select("user_id", "event_type"), ["user_id"], "event_type", k=2
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in duck.execute(
+            """
+            SELECT user_id, event_type, n, rank FROM (
+              SELECT user_id, event_type, count(*) AS n,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY count(*) DESC, event_type ASC) AS rank
+              FROM events GROUP BY 1, 2
+            ) WHERE rank <= 2 ORDER BY user_id, rank
+            """
+        ).fetchall()
+    ]
+    assert got == want

@@ -233,3 +233,37 @@ def test_streaming_frequent_items_bounded_state(spark, tmp_path):
 
     per_group = Counter(g for (g, v) in latest)
     assert all(n <= 2 * 32 for n in per_group.values())
+
+
+def test_dedup_within_watermark_drops_near_duplicates(spark, tmp_path):
+    from terrorblade_spark.streaming.pipeline import dedup_within_watermark
+
+    src = tmp_path / "wmsrc"
+    src.mkdir()
+    schema = "event_id long, ts_s string"
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),  # retry duplicate, within watermark
+        (2, "2024-01-01 00:20:00"),
+        (2, "2024-01-01 00:20:00"),  # exact duplicate
+        (3, "2024-01-01 01:00:00"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(src) + "/*")
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    out = dedup_within_watermark(stream, ["event_id"], watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wmcp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["event_id"] for r in spark.table("wm_dedup").collect())
+    assert got == [1, 2, 3]
