@@ -1,0 +1,190 @@
+"""Corpus n-gram language-model scoring: the perplexity-style quality
+signal (CCNet/Gopher-era pipelines filter or bucket documents by LM
+score; the reference has no analog — this is part of the engine's
+beyond-reference curation surface).
+
+A unigram-backoff bigram model fit on the corpus itself (or a held-out
+reference corpus), applied as a per-document mean negative log
+likelihood. Everything is counts + logs — deterministic, JVM-side,
+reproducible in SQL.
+
+Scale design:
+
+- FIT is two map-side-combined groupBys over the exploded token
+  stream (unigram counts, bigram counts), each capped to a top-V
+  vocabulary — model size is V + V_bi rows of (ngram, logp),
+  independent of corpus size.
+- SCORE is explode -> equi-join against the model relation(s) ->
+  per-doc aggregation. The model is ≤ a few hundred thousand rows, so
+  AQE broadcasts it; the corpus side never shuffles more than
+  (doc, token) pairs into the final per-doc groupBy.
+- Out-of-vocabulary tokens get a fixed floor logp (standard smoothing
+  shortcut) so scores stay finite and the join can stay inner+fill.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from terrorblade_spark.functions.exprs import tokens
+from terrorblade_spark.tables import spread
+
+
+@dataclass(frozen=True)
+class NgramLM:
+    unigrams: DataFrame  # (tok, logp) — logp = ln(count / total)
+    bigrams: DataFrame  # (tok_a, tok_b, logp_cond) — ln(c(ab)/c(a))
+    oov_logp: float
+
+    def unpersist(self) -> None:
+        self.unigrams.unpersist()
+        self.bigrams.unpersist()
+
+
+def _token_stream(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias(
+            "pos", "tok"
+        ),
+    )
+
+
+def fit_ngram_lm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 65_536,
+    bigram_vocab: int = 262_144,
+    oov_logp: float = -20.0,
+) -> NgramLM:
+    """Fit unigram + bigram maximum-likelihood tables, truncated to the
+    top ``vocab_size`` / ``bigram_vocab`` most frequent entries (the
+    long tail backs off to ``oov_logp``)."""
+    toks = _token_stream(df, id_col, text_col).persist()
+    uni = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(vocab_size)
+    ).persist()
+    total = uni.agg(F.sum("c").alias("t"))
+    unigrams = (
+        uni.crossJoin(F.broadcast(total))
+        .select("tok", F.log(F.col("c").cast("double") / F.col("t").cast("double")).alias("logp"))
+        .persist()
+    )
+    # adjacent-token pairs within a doc: self-join on (doc, pos+1) —
+    # an equi-join, no window sort needed
+    nxt = toks.select("doc", (F.col("pos") + 1).alias("pos"), F.col("tok").alias("tok_a"))
+    pairs = toks.join(nxt, ["doc", "pos"]).select("tok_a", F.col("tok").alias("tok_b"))
+    bi = (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .orderBy(F.desc("c_ab"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(bigram_vocab)
+    )
+    bigrams = (
+        bi.join(uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a")), "tok_a")
+        .select(
+            "tok_a",
+            "tok_b",
+            F.log(F.col("c_ab").cast("double") / F.col("c_a").cast("double")).alias("logp_cond"),
+        )
+        .persist()
+    )
+    bigrams.count()
+    toks.unpersist()
+    uni.unpersist()
+    return NgramLM(unigrams=unigrams, bigrams=bigrams, oov_logp=oov_logp)
+
+
+def score_documents(
+    df: DataFrame,
+    lm: NgramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order: int = 2,
+) -> DataFrame:
+    """Per-document mean negative log likelihood (lower = more fluent
+    under the corpus LM) as (id, n_scored_tokens, mean_nll).
+
+    ``order=1`` scores unigrams only; ``order=2`` scores the first
+    token by unigram and subsequent tokens by conditional bigram with
+    unigram backoff for unseen pairs.
+
+    Docs with no tokens score NULL (nothing to judge — callers decide;
+    forcing 0 would rank empty docs as maximally fluent).
+    """
+    toks = _token_stream(df, id_col, text_col)
+    # disambiguated model relations (the corpus side also has `tok`)
+    uni = lm.unigrams.select(F.col("tok").alias("u_tok"), F.col("logp").alias("uni_logp"))
+    if order == 1:
+        scored = toks.join(uni, F.col("tok") == F.col("u_tok"), "left").select(
+            "doc", F.coalesce(F.col("uni_logp"), F.lit(lm.oov_logp)).alias("lp")
+        )
+    elif order == 2:
+        bi = lm.bigrams.select(
+            F.col("tok_a").alias("b_tok_a"),
+            F.col("tok_b").alias("b_tok_b"),
+            "logp_cond",
+        )
+        nxt = toks.select(
+            "doc", (F.col("pos") + 1).alias("pos"), F.col("tok").alias("prev_tok")
+        )
+        ctx = toks.join(nxt, ["doc", "pos"], "left")  # prev_tok null at pos 0
+        scored = (
+            ctx.join(
+                bi,
+                (F.col("prev_tok") == F.col("b_tok_a")) & (F.col("tok") == F.col("b_tok_b")),
+                "left",
+            )
+            .join(uni, F.col("tok") == F.col("u_tok"), "left")
+            .select(
+                "doc",
+                F.coalesce(
+                    F.col("logp_cond"),
+                    F.col("uni_logp"),
+                    F.lit(lm.oov_logp),
+                ).alias("lp"),
+            )
+        )
+    else:
+        raise ValueError("order must be 1 or 2")
+    return (
+        scored.groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_scored_tokens"), F.avg(-F.col("lp")).alias("mean_nll"))
+        .withColumnRenamed("doc", id_col)
+    )
+
+
+def perplexity_bucket(
+    scores: DataFrame,
+    nll_col: str = "mean_nll",
+    n_buckets: int = 3,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """CCNet-style head/middle/tail split by LM score: documents bucket
+    by mean NLL into ``n_buckets`` ~equal-frequency buckets (bucket 0 =
+    most fluent).
+
+    Boundaries come from ``approxQuantile`` (driver-side metadata, one
+    sketch pass) and the assignment is a row-local comparison — NEVER a
+    global ntile window, whose single-partition sort would serialize
+    billions of per-doc rows through one task at scale."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = scores.stat.approxQuantile(nll_col, probs, rel_err)
+    uniq: list[float] = []
+    for v in bounds:
+        if not uniq or v > uniq[-1]:
+            uniq.append(v)
+    barr = F.array(*[F.lit(v) for v in uniq])
+    bucket = F.aggregate(
+        barr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(nll_col) > b, 1).otherwise(0),
+    )
+    return scores.withColumn("ppl_bucket", bucket.cast("int"))

@@ -1,0 +1,100 @@
+"""n-gram LM quality scoring: DuckDB twin for the unigram path,
+hand-checked bigram backoff, fluency ordering, and bucket split."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from terrorblade_spark.operators.lm import (
+    fit_ngram_lm,
+    perplexity_bucket,
+    score_documents,
+)
+from terrorblade_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def lm(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_ngram_lm(docs, vocab_size=100_000)
+    yield model
+    model.unpersist()
+
+
+def test_unigram_scores_match_duckdb(spark, duck, sf_dir, lm):
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: (r["n_scored_tokens"], r["mean_nll"])
+        for r in score_documents(docs, lm, order=1).collect()
+    }
+    sql = """
+    WITH tok AS (
+      SELECT doc_id, lower(t) AS tok
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x <> '')) AS u(t)
+    ), uni AS (
+      SELECT tok, count(*) AS c FROM tok GROUP BY 1
+    ), total AS (SELECT sum(c) AS t FROM uni)
+    SELECT doc_id, count(*) AS n,
+           avg(-ln(uni.c::DOUBLE / total.t::DOUBLE)) AS mean_nll
+    FROM tok JOIN uni USING (tok) CROSS JOIN total
+    GROUP BY 1
+    """
+    want = {d: (n, m) for d, n, m in duck.execute(sql).fetchall()}
+    # vocab_size=100k covers the whole sf0.001 vocabulary -> no OOV;
+    # every doc with tokens must match the exact ML unigram model
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d][0] == want[d][0]
+        assert math.isclose(got[d][1], want[d][1], rel_tol=1e-9)
+
+
+def test_bigram_backoff_hand_case(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    model = fit_ngram_lm(corpus, vocab_size=10, bigram_vocab=10)
+    # counts: a=3, b=3, c=1 (total 7); bigrams: ab=3, ba=1, bc=1
+    scored = {r["doc_id"]: r for r in score_documents(corpus, model, order=2).collect()}
+    # doc 2 "a b c": pos0 'a' -> unigram ln(3/7); 'b'|a -> ln(3/3)=0;
+    # 'c'|b -> ln(1/3)
+    want = -(math.log(3 / 7) + 0.0 + math.log(1 / 3)) / 3
+    assert math.isclose(scored[2]["mean_nll"], want, rel_tol=1e-12)
+    model.unpersist()
+
+
+def test_fluent_text_scores_below_gibberish(spark, sf_dir, lm):
+    docs = load_table(spark, sf_dir, "documents")
+    sample_text = docs.select("text").first()["text"]
+    probe = spark.createDataFrame(
+        [(1, sample_text), (2, "zxqv wvopk jrtm qqzl xkcd vbnm")],
+        "doc_id long, text string",
+    )
+    s = {r["doc_id"]: r["mean_nll"] for r in score_documents(probe, lm).collect()}
+    assert s[1] < s[2], "in-corpus text must be more fluent than gibberish"
+
+
+def test_empty_doc_scores_null_not_zero(spark, lm):
+    probe = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
+    rows = score_documents(probe, lm).collect()
+    assert rows == []  # no tokens -> no row; never a fake 'perfect' 0
+
+
+def test_perplexity_buckets_are_balanced(spark, sf_dir, lm):
+    docs = load_table(spark, sf_dir, "documents")
+    scored = score_documents(docs, lm)
+    b = perplexity_bucket(scored, n_buckets=3)
+    counts = {r["ppl_bucket"]: r["n"] for r in b.groupBy("ppl_bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert set(counts) == {0, 1, 2}
+    for n in counts.values():
+        assert n > 0.2 * total  # roughly equal-frequency split
+    # bucket 0 holds the lowest-NLL docs
+    m0 = b.where("ppl_bucket = 0").agg(F.max("mean_nll")).first()[0]
+    m2 = b.where("ppl_bucket = 2").agg(F.min("mean_nll")).first()[0]
+    assert m0 <= m2
