@@ -127,3 +127,58 @@ def chunk_documents(
         df.select(*keep, F.explode(chunks).alias("__c"))
         .select(*keep, "__c.chunk_idx", "__c.chunk_text", "__c.chunk_tokens")
     )
+
+
+def materialize_packed(
+    assignments: DataFrame,
+    id_col: str,
+    text_col: str,
+    token_count_col: str = "bin_tokens",
+    separator: str = "\n\n",
+) -> DataFrame:
+    """Turn ``pack_sequences`` bin assignments into the actual training
+    sequences: one row per (shard, bin) with the member texts joined in
+    the pack's deterministic order, plus token totals and fill stats.
+
+    The ordered concat is the A1 ordered-group-concat shape: sort the
+    collected (order_key, text) structs inside the aggregate — never a
+    window + dropDuplicates. Group width is bounded by the token
+    budget (a bin holds at most budget tokens' worth of text), so the
+    collected row is bounded regardless of corpus size.
+    """
+    from terrorblade_spark.functions.exprs import hash64
+
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                hash64(F.col(id_col).cast("string"), salt="pack-v1").alias("k"),
+                F.col(id_col).cast("string").alias("i"),
+                F.col(text_col).alias("t"),
+            )
+        )
+    )
+    return (
+        assignments.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_col).alias("n_tokens"),
+            F.array_join(F.transform(ordered, lambda s: s["t"]), separator).alias("text"),
+            F.transform(ordered, lambda s: s["i"]).alias("member_ids"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+def packing_stats(assignments: DataFrame, budget: int, token_count_col: str = "bin_tokens") -> DataFrame:
+    """One-row packing efficiency report: bins, docs, mean fill
+    fraction, waste fraction — the number that tells you whether the
+    budget/corpus pairing is leaving GPU hours on the table."""
+    per_bin = assignments.groupBy("shard", "bin").agg(
+        F.sum(token_count_col).alias("fill")
+    )
+    return per_bin.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("fill").alias("total_tokens"),
+        F.avg(F.col("fill").cast("double") / budget).alias("mean_fill"),
+        (F.lit(1.0) - F.sum("fill").cast("double") / (F.count(F.lit(1)) * budget)).alias("waste_frac"),
+    )

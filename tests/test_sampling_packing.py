@@ -237,3 +237,35 @@ def test_quantize_int8_roundtrip_and_edge_cases(spark):
             continue
         deq = [q * r["scale"] for q in r["qvec"]]
         assert all(abs(x - y) <= r["scale"] / 2 + 1e-12 for x, y in zip(v, deq))
+
+
+def test_materialize_packed_orders_and_bounds(spark):
+    from terrorblade_spark.operators.packing import (
+        materialize_packed,
+        pack_sequences,
+        packing_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i} " * 5, 10) for i in range(40)],
+        "doc_id long, text string, n_tokens long",
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=25, num_shards=4)
+    seqs = materialize_packed(packed, "doc_id", "text").collect()
+    assert seqs
+    for r in seqs:
+        assert r["n_tokens"] <= 25
+        assert len(r["member_ids"]) == r["n_docs"]
+        # the concat contains exactly the members' texts
+        for mid in r["member_ids"]:
+            assert f"doc{mid} " in r["text"]
+    # all docs appear exactly once across all sequences
+    all_ids = sorted(int(m) for r in seqs for m in r["member_ids"])
+    assert all_ids == list(range(40))
+
+    stats = packing_stats(packed, budget=25).first()
+    assert stats["total_tokens"] == 400
+    assert 0.0 <= stats["waste_frac"] < 1.0
+    import math
+
+    assert math.isclose(stats["mean_fill"], 1.0 - stats["waste_frac"], rel_tol=1e-12)
