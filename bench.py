@@ -88,6 +88,33 @@ def main() -> None:
     )
     hashed.unpersist()
 
+    # the fused pair-expansion shapes (collect_list of structs +
+    # sort_array, transform-with-index lambdas, slice/flatten) carry
+    # their own ~2.5 s codegen first-touch (measured q34: 3.9 s first
+    # vs 1.4 s repeat) — exercise them over region, untimed
+    ms = (
+        warm.select(F.lit(1).alias("g"), F.struct(F.lit("x").alias("b"), F.col("r_regionkey").alias("doc")).alias("m"))
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+    )
+    n_ms = F.size("ms")
+    pair_arrays = F.transform(
+        F.col("ms"),
+        lambda x, i: F.transform(
+            F.filter(
+                F.slice("ms", i + 2, F.greatest(n_ms - i - 1, F.lit(0))),
+                lambda y: y["b"] == x["b"],
+            ),
+            lambda y: F.struct(x["doc"].alias("id_a"), y["doc"].alias("id_b")),
+        ),
+    )
+    (
+        ms.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .groupBy("p.id_a")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .count()
+    )
+
     # Structured Streaming machinery (micro-batch engine, state store,
     # session_window) has its own ~2 s first-touch, separate from the
     # batch paths above (measured: q47 3.5 s in a fresh JVM vs 1.3 s
