@@ -235,3 +235,101 @@ def media_fingerprint(content: Column) -> Column:
     """JVM-side exact-dup key for binary payloads (no Python): md5 hex.
     DuckDB twin: ``md5(content)``."""
     return F.md5(content)
+
+
+def _phash_pixels(px: "np.ndarray", hash_size: int = 8) -> int:
+    """Perceptual hash of a grayscale pixel array: 2-D DCT-II (exact
+    basis-matrix form — no scipy), keep the top-left hash_size^2
+    low-frequency block minus the DC term, threshold at the median.
+    Pure function: unit-testable without Spark, and robust to the
+    small pixel perturbations that re-encoding introduces (the classic
+    pHash property)."""
+    px = px.astype(np.float64)
+    n, m = px.shape
+
+    def dct_mat(k: int) -> np.ndarray:
+        i = np.arange(k)
+        return np.cos(np.pi * (2 * i[None, :] + 1) * i[:, None] / (2 * k))
+
+    freq = dct_mat(n) @ px @ dct_mat(m).T
+    block = freq[:hash_size, :hash_size].flatten()[1:]  # drop DC
+    med = np.median(block)
+    bits = block > med
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def perceptual_hash(df: DataFrame, decoder: str = "fake", hash_size: int = 8) -> DataFrame:
+    """Image payload -> 63-bit perceptual hash (media_id, phash): the
+    image analog of SimHash for near-dup dedup. Fake decoder draws the
+    pixel field from the payload's md5 seed at a fixed 32x32 (identical
+    payloads -> identical hashes; the DCT path itself is exercised by
+    the pure-function unit tests with controlled noise). Real path
+    would decode + grayscale + resize via Pillow behind the same
+    signature."""
+    if decoder == "real":  # pragma: no cover - lib not in container
+        raise NotImplementedError(
+            "real perceptual hashing requires Pillow; use decoder='fake'"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            seeds = np.fromiter(
+                (_decode_seed(c) for c in pdf["content"]), dtype=np.int64, count=n
+            )
+            hashes = np.empty(n, dtype=np.int64)
+            for j in range(n):
+                px = np.random.default_rng(int(seeds[j])).integers(
+                    0, 256, size=(32, 32), dtype=np.uint8
+                )
+                hashes[j] = _phash_pixels(px, hash_size)
+            yield pd.DataFrame({"media_id": pdf["media_id"].to_numpy(), "phash": hashes})
+
+    imgs = df.where(F.col("kind") == "image").select("media_id", "content")
+    return imgs.mapInPandas(run, "media_id long, phash long")
+
+
+def phash_candidates(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup image pairs by perceptual hash: (id_a, id_b, hamming)
+    with hamming <= max_hamming.
+
+    NEVER all-pairs: the 64-bit hash splits into max_hamming+1 chunks —
+    by pigeonhole, any pair within max_hamming agrees on at least one
+    WHOLE chunk — so candidates come from equi-joins on (chunk_idx,
+    chunk_value) and only candidates pay the exact popcount. The same
+    multi-index trick SimHash dedup uses; bucket sizes follow chunk
+    collisions, not corpus size."""
+    from terrorblade_spark.operators.dedup import hamming64
+
+    n_chunks = max_hamming + 1
+    bits = 64 // n_chunks
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright(F.col("phash"), i * bits)
+                .bitwiseAND(F.lit((1 << bits) - 1))
+                .alias("cv"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    banded = hashes.select(
+        F.col("media_id").alias("doc"), F.col("phash").alias("h"),
+        F.explode(chunks).alias("c"),
+    ).select("doc", "h", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["ci", "cv"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            hamming64(F.col("a.h"), F.col("b.h")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -179,3 +179,51 @@ def near_dup_components(
             ),
         )
     )
+
+
+def canonicalize_by_score(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    score_col: str,
+    node_col: str = "node",
+    component_col: str = "component",
+) -> DataFrame:
+    """Pick each near-dup cluster's canonical row by QUALITY instead of
+    min-id: the kept representative is the member with the highest
+    ``score_col`` (ties by smallest id — deterministic).
+
+    Min-id canonicals (the ``connected_components`` default) are right
+    for idempotent ingest; a curation pass usually wants to keep the
+    BEST member (longest, most fluent by LM score, least boilerplate)
+    and drop the rest. One broadcast-or-shuffle join to attach
+    component ids + one max_by aggregate per component — never a
+    window over the full corpus.
+
+    Returns (id, component, canonical_id, is_duplicate) for every row
+    of ``df`` — rows absent from ``components`` are their own
+    singleton canonical.
+    """
+    labeled = df.select(F.col(id_col), F.col(score_col)).join(
+        components.select(
+            F.col(node_col).alias(id_col), F.col(component_col).alias("component")
+        ),
+        id_col,
+        "left",
+    )
+    # singletons: component = own id
+    labeled = labeled.withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    best = labeled.groupBy("component").agg(
+        F.expr(f"max_by({id_col}, struct({score_col}, -{id_col}))").alias("canonical_id")
+    )
+    return (
+        labeled.join(best, "component")
+        .select(
+            F.col(id_col),
+            "component",
+            "canonical_id",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )

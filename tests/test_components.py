@@ -123,3 +123,29 @@ def test_isolated_nodes_self_canonical(spark):
         r["node"]: r["component"] for r in connected_components(df).collect()
     }
     assert got == {5: 5, 7: 5}
+
+
+def test_canonicalize_by_score_keeps_best_member(spark):
+    from terrorblade_spark.operators.components import canonicalize_by_score
+
+    # components: {1,2,3} and {7,8}; 5 is a singleton (absent)
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "node long, component long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.1), (8, 0.4), (5, 0.7)],
+        "doc_id long, quality double",
+    )
+    rows = {
+        r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+        for r in canonicalize_by_score(docs, comp, "doc_id", "quality").collect()
+    }
+    # cluster 1: best score 0.9 tie between 2 and 3 -> smaller id 2
+    assert rows[1] == (2, True)
+    assert rows[2] == (2, False)
+    assert rows[3] == (2, True)
+    # cluster 7: 8 wins on score
+    assert rows[7] == (8, True)
+    assert rows[8] == (8, False)
+    # singleton keeps itself
+    assert rows[5] == (5, False)

@@ -121,3 +121,39 @@ def test_metadata_query_prunes_payload(media, spark, sf_dir, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "content" not in read_schema[0]
+
+
+def test_phash_pure_function_noise_robust():
+    """The DCT hash's defining property: small pixel noise moves few
+    bits; unrelated images move ~half the bits."""
+    import numpy as np
+
+    from terrorblade_spark.multimodal.media import _phash_pixels
+    from terrorblade_spark.operators.dedup import hamming64  # noqa: F401
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(32, 32)).astype(np.float64)
+    noisy = np.clip(base + rng.normal(0, 4, size=(32, 32)), 0, 255)
+    other = rng.integers(0, 256, size=(32, 32)).astype(np.float64)
+
+    h0, h1, h2 = (_phash_pixels(p) for p in (base, noisy, other))
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(h0, h1) <= 8, "mild noise must move few bits"
+    assert ham(h0, h2) >= 16, "unrelated images must differ broadly"
+
+
+def test_phash_neardup_finds_identical_payloads(spark, media):
+    from terrorblade_spark.multimodal.media import perceptual_hash, phash_candidates
+
+    imgs = media.where(F.col("kind") == "image").limit(40)
+    # duplicate every payload under a shifted id
+    dup = imgs.withColumn("media_id", F.col("media_id") + F.lit(10_000_000))
+    both = imgs.unionByName(dup)
+    hashes = perceptual_hash(both)
+    pairs = phash_candidates(hashes, max_hamming=3).collect()
+    n_imgs = imgs.count()
+    exact = [p for p in pairs if p["id_b"] - p["id_a"] == 10_000_000 and p["hamming"] == 0]
+    assert len(exact) == n_imgs, "every payload must pair with its twin at hamming 0"
