@@ -327,12 +327,6 @@ def _jaccard_pairs_capped(
     no persist needed because each downstream consumer reads the
     aggregated members relation, not the raw explode.
     """
-    if isinstance(max_shingle_df, float):
-        # fraction of the corpus -> absolute cap; one scalar agg job
-        n_docs = df.select(id_col).count()
-        cap = max(1, int(n_docs * max_shingle_df))
-    else:
-        cap = int(max_shingle_df)
     ex = spread(df.select(*bucket_cols, id_col, text_col)).select(
         *bucket_cols,
         F.col(id_col).alias("doc"),
@@ -340,12 +334,29 @@ def _jaccard_pairs_capped(
     )
     # shingles are distinct per doc, so the collected size IS the
     # document frequency; the cap is global (per corpus), while pair
-    # expansion below still requires bucket equality
-    members = (
-        ex.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list(F.struct(*bucket_cols, "doc"))).alias("ms"))
-        .where(F.size("ms") <= cap)
+    # expansion below still requires bucket equality.
+    members = ex.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct(*bucket_cols, "doc"))).alias("ms")
     )
+    if isinstance(max_shingle_df, float):
+        # fractional cap joins in as a 1-row broadcast scalar rather
+        # than a driver-side count baked into the plan as a literal:
+        # no blocking action, and the generated code is IDENTICAL
+        # across corpus sizes (a changed literal recompiles the whole
+        # codegen pipeline — measured ~2 s per fresh scale factor)
+        cap_df = df.agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.count(F.lit(1)) * F.lit(max_shingle_df)).cast("long"),
+            ).alias("__cap")
+        )
+        members = (
+            members.crossJoin(F.broadcast(cap_df))
+            .where(F.size("ms") <= F.col("__cap"))
+            .drop("__cap")
+        )
+    else:
+        members = members.where(F.size("ms") <= int(max_shingle_df))
     members = members.persist(StorageLevel.MEMORY_AND_DISK)
     members.count()  # eager: both consumers below need the same agg
 
