@@ -109,7 +109,11 @@ def test_jaccard_no_static_broadcast_of_doc_counts(spark, sf_dir):
 
     q = get_queries()["q34_ngram_jaccard"](spark, sf_dir)
     analyzed = q._jdf.queryExecution().analyzed().toString()
-    assert "ResolvedHint" not in analyzed
+    # the only hint allowed is the deliberate 1-row __cap scalar
+    # broadcast (its subtree prints once per consumer of the members
+    # relation). Any other hint — notably on the per-doc counts — fails.
+    for seg in analyzed.split("ResolvedHint")[1:]:
+        assert "__cap" in seg[:600], seg[:600]
 
 
 def test_aggregations_partial(spark, sf_dir):
