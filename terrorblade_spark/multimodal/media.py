@@ -333,3 +333,109 @@ def phash_candidates(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def resize_images(
+    df: DataFrame, target_w: int = 64, target_h: int = 64, decoder: str = "fake"
+) -> DataFrame:
+    """Image payload -> fixed-size grayscale pixel buffer (the resize
+    step before batch featurization; training pipelines normalize all
+    images to one shape so downstream tensors stack). The RESAMPLING
+    math is real (vectorized nearest-neighbor index mapping over the
+    pixel array — the same code path a real decode would feed); only
+    the codec decode is the deterministic fake. Emits the resized
+    buffer as binary plus its stats, one row per image.
+    """
+    if decoder == "real":  # pragma: no cover - lib not in container
+        raise NotImplementedError("real resize requires Pillow; use decoder='fake'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ws = pdf["width"].fillna(16).astype("int64").to_numpy()
+            hs = pdf["height"].fillna(16).astype("int64").to_numpy()
+            seeds = np.fromiter(
+                (_decode_seed(c) for c in pdf["content"]), dtype=np.int64, count=n
+            )
+            bufs, means = [], np.empty(n, dtype=np.float64)
+            for j in range(n):
+                src = np.random.default_rng(int(seeds[j])).integers(
+                    0, 256, size=(int(hs[j]), int(ws[j])), dtype=np.uint8
+                )
+                yi = np.clip(
+                    np.round(np.linspace(0, src.shape[0] - 1, target_h)).astype(int),
+                    0, src.shape[0] - 1,
+                )
+                xi = np.clip(
+                    np.round(np.linspace(0, src.shape[1] - 1, target_w)).astype(int),
+                    0, src.shape[1] - 1,
+                )
+                resized = src[np.ix_(yi, xi)]
+                bufs.append(resized.tobytes())
+                means[j] = resized.mean()
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "width": np.full(n, target_w, dtype="int32"),
+                    "height": np.full(n, target_h, dtype="int32"),
+                    "pixels": bufs,
+                    "mean_px": means,
+                }
+            )
+
+    imgs = df.where(F.col("kind") == "image").select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        "content",
+    )
+    return imgs.mapInPandas(
+        run, "media_id long, width int, height int, pixels binary, mean_px double"
+    )
+
+
+def decode_audio(df: DataFrame, decoder: str = "fake", max_samples: int = 480_000) -> DataFrame:
+    """Audio payload -> per-clip signal stats (media_id, sample_rate,
+    n_samples, rms, peak): the decode/inspect step for loudness-based
+    quality filtering. Fake decoder draws PCM from the payload's md5
+    seed at the clip's declared sample rate and duration (capped at
+    ``max_samples`` so one long clip cannot blow task memory — a real
+    ffmpeg path would stream-chunk the same way)."""
+    if decoder == "real":  # pragma: no cover - lib not in container
+        raise NotImplementedError("real audio decode requires ffmpeg; use decoder='fake'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            srs = pdf["sample_rate"].fillna(16000).astype("int64").to_numpy()
+            durs = pdf["duration_ms"].fillna(0).astype("int64").to_numpy()
+            seeds = np.fromiter(
+                (_decode_seed(c) for c in pdf["content"]), dtype=np.int64, count=n
+            )
+            counts = np.minimum(srs * durs // 1000, max_samples).astype("int64")
+            rms = np.empty(n, dtype=np.float64)
+            peak = np.empty(n, dtype=np.float64)
+            for j in range(n):
+                m = max(int(counts[j]), 1)
+                pcm = np.random.default_rng(int(seeds[j])).uniform(-1.0, 1.0, size=m)
+                rms[j] = float(np.sqrt(np.mean(pcm * pcm)))
+                peak[j] = float(np.abs(pcm).max())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "sample_rate": srs.astype("int32"),
+                    "n_samples": counts,
+                    "rms": rms,
+                    "peak": peak,
+                }
+            )
+
+    auds = df.where(F.col("kind") == "audio").select(
+        "media_id",
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        "content",
+    )
+    return auds.mapInPandas(
+        run, "media_id long, sample_rate int, n_samples long, rms double, peak double"
+    )

@@ -157,3 +157,33 @@ def test_phash_neardup_finds_identical_payloads(spark, media):
     n_imgs = imgs.count()
     exact = [p for p in pairs if p["id_b"] - p["id_a"] == 10_000_000 and p["hamming"] == 0]
     assert len(exact) == n_imgs, "every payload must pair with its twin at hamming 0"
+
+
+def test_resize_images_shape_and_determinism(spark, media):
+    import numpy as np
+
+    from terrorblade_spark.multimodal.media import resize_images
+
+    out = resize_images(media, target_w=8, target_h=6).limit(10).collect()
+    assert out
+    for r in out:
+        assert (r["width"], r["height"]) == (8, 6)
+        px = np.frombuffer(r["pixels"], dtype=np.uint8)
+        assert px.shape == (48,)
+        assert abs(px.mean() - r["mean_px"]) < 1e-9
+    # deterministic across runs
+    again = resize_images(media, target_w=8, target_h=6).limit(10).collect()
+    assert [r["pixels"] for r in out] == [r["pixels"] for r in again]
+
+
+def test_decode_audio_stats(spark, media):
+    from terrorblade_spark.multimodal.media import decode_audio
+
+    rows = decode_audio(media).limit(20).collect()
+    assert rows
+    for r in rows:
+        # uniform(-1,1): rms ~ 1/sqrt(3) ~ 0.577, peak <= 1
+        assert 0.4 < r["rms"] < 0.7
+        assert r["rms"] <= r["peak"] <= 1.0
+        assert r["n_samples"] >= 1
+        assert r["sample_rate"] == 16000
