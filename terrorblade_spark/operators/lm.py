@@ -45,12 +45,30 @@ class NgramLM:
 
 
 def _token_stream(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return spread(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias(
-            "pos", "tok"
-        ),
+    """(doc, tok, prev_tok) rows — prev_tok null at position 0.
+
+    The adjacency comes from zipping the token array with its own
+    1-shifted slice BEFORE exploding (same pattern as
+    ``textops.shingles``), so bigram context costs zero joins — the
+    naive alternative (posexplode then self-join on (doc, pos+1))
+    shuffles the whole token stream twice."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    prevs = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
     )
+    # zip_with pads the shorter side with null: an EMPTY token array
+    # against the [null] prev array would fabricate one (null, null)
+    # row, so empty docs must map to an empty pair array explicitly
+    pairs = F.when(
+        F.size(toks) > 0,
+        F.zip_with(
+            toks, prevs, lambda cur, prev: F.struct(cur.alias("tok"), prev.alias("prev_tok"))
+        ),
+    ).otherwise(F.array().cast("array<struct<tok:string,prev_tok:string>>"))
+    return spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"), F.explode(pairs).alias("p")
+    ).select("doc", F.col("p.tok").alias("tok"), F.col("p.prev_tok").alias("prev_tok"))
 
 
 def fit_ngram_lm(
@@ -77,10 +95,10 @@ def fit_ngram_lm(
         .select("tok", F.log(F.col("c").cast("double") / F.col("t").cast("double")).alias("logp"))
         .persist()
     )
-    # adjacent-token pairs within a doc: self-join on (doc, pos+1) —
-    # an equi-join, no window sort needed
-    nxt = toks.select("doc", (F.col("pos") + 1).alias("pos"), F.col("tok").alias("tok_a"))
-    pairs = toks.join(nxt, ["doc", "pos"]).select("tok_a", F.col("tok").alias("tok_b"))
+    # adjacency is already row-local (prev_tok from the array zip)
+    pairs = toks.where(F.col("prev_tok").isNotNull()).select(
+        F.col("prev_tok").alias("tok_a"), F.col("tok").alias("tok_b")
+    )
     bi = (
         pairs.groupBy("tok_a", "tok_b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
@@ -132,12 +150,8 @@ def score_documents(
             F.col("tok_b").alias("b_tok_b"),
             "logp_cond",
         )
-        nxt = toks.select(
-            "doc", (F.col("pos") + 1).alias("pos"), F.col("tok").alias("prev_tok")
-        )
-        ctx = toks.join(nxt, ["doc", "pos"], "left")  # prev_tok null at pos 0
         scored = (
-            ctx.join(
+            toks.join(
                 bi,
                 (F.col("prev_tok") == F.col("b_tok_a")) & (F.col("tok") == F.col("b_tok_b")),
                 "left",
