@@ -98,3 +98,16 @@ def test_perplexity_buckets_are_balanced(spark, sf_dir, lm):
     m0 = b.where("ppl_bucket = 0").agg(F.max("mean_nll")).first()[0]
     m2 = b.where("ppl_bucket = 2").agg(F.min("mean_nll")).first()[0]
     assert m0 <= m2
+
+
+def test_lm_save_load_roundtrip(spark, sf_dir, lm, tmp_path):
+    from terrorblade_spark.operators.models import load_lm, save_lm
+
+    path = str(tmp_path / "lm_model")
+    save_lm(lm, path)
+    lm2 = load_lm(spark, path)
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    a = {r["doc_id"]: r["mean_nll"] for r in score_documents(docs, lm).collect()}
+    b = {r["doc_id"]: r["mean_nll"] for r in score_documents(docs, lm2).collect()}
+    assert a == b  # bit-identical scoring from the persisted model
+    lm2.unpersist()

@@ -173,3 +173,24 @@ def test_hybrid_fetch_k_clamped_to_k(spark, sf_dir):
     # k > fetch_k: the clamp must let up to k docs through
     out = hybrid_search(docs, emb, "data", qvec, k=30, fetch_k=5)
     assert out.count() > 5
+
+
+def test_bm25_save_load_roundtrip(spark, sf_dir, index, tmp_path):
+    from terrorblade_spark.operators.models import load_bm25, save_bm25
+
+    path = str(tmp_path / "bm25_model")
+    save_bm25(index, path)
+    idx2 = load_bm25(spark, path)
+    a = [(r["doc"], r["score"]) for r in bm25_topk(index, "data model", k=10).collect()]
+    b = [(r["doc"], r["score"]) for r in bm25_topk(idx2, "data model", k=10).collect()]
+    assert a == b
+    idx2.unpersist()
+
+
+def test_model_kind_mismatch_refused(spark, sf_dir, index, tmp_path):
+    from terrorblade_spark.operators.models import load_lm, save_bm25
+
+    path = str(tmp_path / "wrong_kind")
+    save_bm25(index, path)
+    with pytest.raises(ValueError, match="not an ngram_lm"):
+        load_lm(spark, path)
