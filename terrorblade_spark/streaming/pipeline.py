@@ -245,6 +245,39 @@ def run_stateful_sessions_batch(
     )
 
 
+def stream_stream_attribution(
+    lead_stream: DataFrame,
+    follow_stream: DataFrame,
+    key: str,
+    lead_ts: str,
+    follow_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each follow-stream row
+    pairs with the lead rows it follows within ``within`` on the same
+    ``key`` (the classic view->click / impression->conversion
+    attribution shape).
+
+    Both sides carry event-time watermarks and the join predicate
+    bounds follow time inside [lead, lead + within], which is what
+    lets the engine EVICT buffered lead rows once the follow-side
+    watermark passes lead_ts + within — bounded state on a 24/7
+    stream. An unbounded (no time-bound) stream-stream join would
+    buffer both sides forever; Spark rejects outer variants of it for
+    exactly that reason.
+    """
+    lead = lead_stream.withWatermark(lead_ts, watermark)
+    follow = follow_stream.withWatermark(follow_ts, watermark)
+    cond = (
+        (lead[key] == follow[key])
+        & (follow[follow_ts] >= lead[lead_ts])
+        & (follow[follow_ts] <= lead[lead_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return lead.join(follow, cond, how)
+
+
 def dedup_within_watermark(
     stream: DataFrame,
     keys: list[str],

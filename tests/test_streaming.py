@@ -267,3 +267,52 @@ def test_dedup_within_watermark_drops_near_duplicates(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r["event_id"] for r in spark.table("wm_dedup").collect())
     assert got == [1, 2, 3]
+
+
+def test_stream_stream_attribution_within_window(spark, tmp_path):
+    """Interval-join attribution: clicks attach to views they follow
+    within the window; late clicks and other users' clicks do not."""
+    from terrorblade_spark.streaming.pipeline import stream_stream_attribution
+
+    vsrc, csrc = tmp_path / "views", tmp_path / "clicks"
+    vsrc.mkdir(); csrc.mkdir()
+    vschema = "user_id long, view_id long, vts_s string"
+    cschema = "user_id long, click_id long, cts_s string"
+    spark.createDataFrame(
+        [
+            (1, 100, "2024-01-01 00:00:00"),
+            (2, 200, "2024-01-01 00:00:00"),
+        ],
+        vschema,
+    ).coalesce(1).write.parquet(str(vsrc / "b1"))
+    spark.createDataFrame(
+        [
+            (1, 900, "2024-01-01 00:30:00"),  # attributes to view 100
+            (1, 901, "2024-01-01 03:00:00"),  # too late (window 1h)
+            (3, 902, "2024-01-01 00:10:00"),  # no matching view
+        ],
+        cschema,
+    ).coalesce(1).write.parquet(str(csrc / "b1"))
+
+    views = (
+        spark.readStream.schema(vschema).parquet(str(vsrc) + "/*")
+        .withColumn("view_ts", F.to_timestamp("vts_s")).drop("vts_s")
+    )
+    clicks = (
+        spark.readStream.schema(cschema).parquet(str(csrc) + "/*")
+        .withColumn("click_ts", F.to_timestamp("cts_s")).drop("cts_s")
+    )
+    joined = stream_stream_attribution(
+        views, clicks, key="user_id", lead_ts="view_ts", follow_ts="click_ts", within="1 hour"
+    ).select("view_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attribution")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "atcp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["view_id"], r["click_id"]) for r in spark.table("attribution").collect()}
+    assert got == {(100, 900)}
