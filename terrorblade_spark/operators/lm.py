@@ -202,3 +202,52 @@ def perplexity_bucket(
         lambda acc, b: acc + F.when(F.col(nll_col) > b, 1).otherwise(0),
     )
     return scores.withColumn("ppl_bucket", bucket.cast("int"))
+
+
+def compare_corpora(lm_a: NgramLM, lm_b: NgramLM, top_k: int = 20):
+    """Distribution drift between two corpus snapshots via their fitted
+    unigram tables: Jensen-Shannon divergence (symmetric, finite under
+    disjoint support — the monitoring metric for "did this week's crawl
+    shift?") plus the top divergent tokens by |p - q|.
+
+    Cost is a full-outer join of two TOP-V tables (model-sized, not
+    corpus-sized) and one aggregate; at 100 TB the corpora themselves
+    are never touched — fit once per snapshot, compare tables forever.
+    Probabilities are renormalized over each table's retained mass so
+    the comparison is between the truncated distributions both models
+    actually represent.
+
+    Returns ``(summary, top_tokens)``: a 1-row DataFrame with
+    ``js_divergence`` (nats) and overlap stats, and a ``top_k``-row
+    DataFrame of the most-shifted tokens.
+    """
+    a = lm_a.unigrams.select("tok", F.exp("logp").alias("pa"))
+    b = lm_b.unigrams.select("tok", F.exp("logp").alias("pb"))
+    a_norm = a.crossJoin(F.broadcast(a.agg(F.sum("pa").alias("za"))))
+    b_norm = b.crossJoin(F.broadcast(b.agg(F.sum("pb").alias("zb"))))
+    joined = (
+        a_norm.select("tok", (F.col("pa") / F.col("za")).alias("p"))
+        .join(
+            b_norm.select("tok", (F.col("pb") / F.col("zb")).alias("q")),
+            "tok",
+            "full_outer",
+        )
+        .na.fill(0.0, ["p", "q"])
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(0.0) / 2 + F.when(
+        F.col("q") > 0, F.col("q") * F.log(F.col("q") / m)
+    ).otherwise(0.0) / 2
+    contrib = joined.select(
+        "tok", "p", "q", term.alias("js_term"), F.abs(F.col("p") - F.col("q")).alias("shift")
+    )
+    summary = contrib.agg(
+        F.sum("js_term").alias("js_divergence"),
+        F.sum((F.col("p") > 0).cast("long")).alias("n_tokens_a"),
+        F.sum((F.col("q") > 0).cast("long")).alias("n_tokens_b"),
+        F.sum(((F.col("p") > 0) & (F.col("q") > 0)).cast("long")).alias("n_shared"),
+    )
+    top = contrib.orderBy(F.desc("shift"), F.asc("tok")).limit(top_k).select(
+        "tok", "p", "q", "shift"
+    )
+    return summary, top

@@ -111,3 +111,45 @@ def test_lm_save_load_roundtrip(spark, sf_dir, lm, tmp_path):
     b = {r["doc_id"]: r["mean_nll"] for r in score_documents(docs, lm2).collect()}
     assert a == b  # bit-identical scoring from the persisted model
     lm2.unpersist()
+
+
+def test_compare_corpora_drift(spark, sf_dir, lm):
+    from terrorblade_spark.operators.lm import compare_corpora
+
+    # self-comparison: JS exactly 0, full overlap
+    summary, _ = compare_corpora(lm, lm)
+    r = summary.first()
+    assert abs(r["js_divergence"]) < 1e-12
+    assert r["n_shared"] == r["n_tokens_a"] == r["n_tokens_b"]
+
+    # shifted corpus: every doc gets a loud new token
+    docs = load_table(spark, sf_dir, "documents")
+    shifted = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzdriftmarker zzdriftmarker"))
+    )
+    lm2 = fit_ngram_lm(shifted, vocab_size=100_000)
+    s2, top = compare_corpora(lm, lm2)
+    r2 = s2.first()
+    assert r2["js_divergence"] > 0.001
+    assert r2["n_shared"] >= 0.9 * r2["n_tokens_a"]
+    # the injected token is the top shift and is absent from corpus A
+    t = top.first()
+    assert t["tok"] == "zzdriftmarker" and t["p"] == 0.0 and t["q"] > 0
+    lm2.unpersist()
+
+
+def test_compare_corpora_js_hand_computed(spark):
+    import math
+
+    from terrorblade_spark.operators.lm import compare_corpora
+
+    a = fit_ngram_lm(spark.createDataFrame([(1, "x x y")], "doc_id long, text string"))
+    b = fit_ngram_lm(spark.createDataFrame([(1, "x y y")], "doc_id long, text string"))
+    r = compare_corpora(a, b)[0].first()
+    p, q = {"x": 2 / 3, "y": 1 / 3}, {"x": 1 / 3, "y": 2 / 3}
+    js = 0.0
+    for t in ("x", "y"):
+        m = (p[t] + q[t]) / 2
+        js += 0.5 * p[t] * math.log(p[t] / m) + 0.5 * q[t] * math.log(q[t] / m)
+    assert math.isclose(r["js_divergence"], js, rel_tol=1e-12)
+    a.unpersist(); b.unpersist()
