@@ -139,3 +139,59 @@ def shuffle_corpus(
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("h")
     )
+
+
+def negative_samples(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "doc_id",
+    anchor_col: str = "anchor_id",
+    positives: DataFrame | None = None,
+    k: int = 5,
+    pool_size: int = 1024,
+    seed: str = "neg-v1",
+) -> DataFrame:
+    """Seeded random negatives for contrastive training: for each
+    anchor, ``k`` corpus documents that are neither the anchor itself
+    nor a known positive. Returns (anchor_id, neg_id, neg_rank).
+
+    Scale shape: ONE Bernoulli sample of the corpus builds a shared
+    candidate pool of ~``pool_size`` ids (a broadcast relation —
+    pool_size controls the quality/cost dial, corpus size does not);
+    each anchor then ranks the pool by a per-(anchor, candidate)
+    seeded hash and keeps its top k after removing self and positives.
+    Every anchor draws from the same pool but in its OWN deterministic
+    order, so negatives differ across anchors (beyond what in-batch
+    negative sharing already tolerates) while the per-anchor window is
+    bounded by pool_size, never by the corpus.
+
+    Fully deterministic for a fixed (corpus, seed): re-running a
+    failed job emits identical pairs.
+    """
+    from pyspark.sql import Window
+
+    n = corpus.select(id_col).count()
+    fraction = min(1.0, pool_size / max(n, 1))
+    pool = (
+        corpus.select(F.col(id_col).alias("neg_id"))
+        .sample(fraction=fraction, seed=abs(hash(seed)) % (2**31))
+    )
+    cand = anchors.select(F.col(anchor_col)).crossJoin(F.broadcast(pool)).where(
+        F.col(anchor_col) != F.col("neg_id")
+    )
+    if positives is not None:
+        cand = cand.join(
+            positives.select(anchor_col, F.col(id_col).alias("neg_id")),
+            [anchor_col, "neg_id"],
+            "left_anti",
+        )
+    order = hash64(
+        F.concat_ws("|", F.col(anchor_col).cast("string"), F.col("neg_id").cast("string")),
+        salt=seed,
+    )
+    w = Window.partitionBy(anchor_col).orderBy(order.asc(), F.col("neg_id").asc())
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .select(anchor_col, "neg_id", "neg_rank")
+    )

@@ -269,3 +269,33 @@ def test_materialize_packed_orders_and_bounds(spark):
     import math
 
     assert math.isclose(stats["mean_fill"], 1.0 - stats["waste_frac"], rel_tol=1e-12)
+
+
+def test_negative_samples_contract(spark):
+    from terrorblade_spark.operators.sampling import negative_samples
+
+    corpus = spark.range(0, 5_000).select(F.col("id").alias("doc_id"))
+    anchors = spark.createDataFrame([(1,), (2,), (3,)], "anchor_id long")
+    positives = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "anchor_id long, doc_id long"
+    )
+    out = negative_samples(corpus, anchors, positives=positives, k=5).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["anchor_id"], []).append(r["neg_id"])
+    assert set(by_anchor) == {1, 2, 3}
+    for a, negs in by_anchor.items():
+        assert len(negs) == 5
+        assert a not in negs  # never self
+    assert 10 not in by_anchor[1] and 11 not in by_anchor[1]
+    assert 20 not in by_anchor[2]
+    # anchors draw DIFFERENT orders from the shared pool
+    assert by_anchor[1] != by_anchor[2]
+
+    # deterministic across runs
+    again = negative_samples(corpus, anchors, positives=positives, k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    # a different seed changes the draw
+    other = negative_samples(corpus, anchors, positives=positives, k=5, seed="neg-v2").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
