@@ -195,3 +195,54 @@ def negative_samples(
         .where(F.col("neg_rank") <= k)
         .select(anchor_col, "neg_id", "neg_rank")
     )
+
+
+def hard_negatives(
+    anchors_emb: DataFrame,
+    corpus_emb: DataFrame,
+    k: int = 5,
+    positives: DataFrame | None = None,
+    anchor_col: str = "anchor_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fetch_k: int | None = None,
+) -> DataFrame:
+    """Hard negatives for contrastive training: each anchor's most
+    SIMILAR corpus vectors that are not known positives — the pairs a
+    model most needs to learn to separate (random negatives from
+    ``negative_samples`` are trivially distinguishable after a few
+    epochs; standard recipes mix both).
+
+    Composition of existing scale paths: a k-NN join (broadcast
+    anchors, per-anchor top-``fetch_k``) then positive exclusion and a
+    re-rank to k. fetch_k defaults to k + the anchor's positive budget
+    (k + 16) so exclusions don't starve the result; raise it if
+    anchors have many positives. Swap the brute-force knn_join for
+    ``ivf_topk`` per anchor when the corpus is IVF-indexed — the
+    contract (anchor_id, neg_id, neg_rank, cosine_sim) is unchanged.
+    """
+    from pyspark.sql import Window
+
+    from terrorblade_spark.operators.vector import knn_join
+
+    fetch = fetch_k if fetch_k is not None else k + 16
+    nn = knn_join(
+        anchors_emb.select(F.col(anchor_col).alias(id_col), vec_col),
+        corpus_emb,
+        k=fetch,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=anchor_col,
+    )
+    if positives is not None:
+        nn = nn.join(
+            positives.select(anchor_col, F.col(id_col).alias("neighbor_id")),
+            [anchor_col, "neighbor_id"],
+            "left_anti",
+        )
+    w = Window.partitionBy(anchor_col).orderBy(F.desc("cosine_sim"), F.col("neighbor_id"))
+    return (
+        nn.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .select(anchor_col, F.col("neighbor_id").alias("neg_id"), "neg_rank", "cosine_sim")
+    )

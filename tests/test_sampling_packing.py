@@ -299,3 +299,31 @@ def test_negative_samples_contract(spark):
     # a different seed changes the draw
     other = negative_samples(corpus, anchors, positives=positives, k=5, seed="neg-v2").collect()
     assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_hard_negatives_are_nearest_non_positives(spark):
+    from terrorblade_spark.operators.sampling import hard_negatives
+
+    # corpus on a line: vec_id i at [i, 1]; anchor 0 at [0, 1]
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 30)], "vec_id long, embedding array<double>"
+    )
+    anchors = spark.createDataFrame(
+        [(0, [0.0, 1.0])], "anchor_id long, embedding array<double>"
+    ).select(F.col("anchor_id"), F.col("embedding"))
+    anchors = anchors.withColumnRenamed("anchor_id", "vec_id").select(
+        F.col("vec_id").alias("anchor_id"), "embedding"
+    )
+    positives = spark.createDataFrame([(0, 1)], "anchor_id long, vec_id long")
+    out = hard_negatives(
+        anchors.select(F.col("anchor_id"), "embedding"),
+        corpus,
+        k=3,
+        positives=positives,
+        anchor_col="anchor_id",
+    ).collect()
+    # nearest by cosine to [0,1] among ids 1..29 is ascending id order;
+    # id 1 is a positive, so the hard negatives are 2, 3, 4
+    assert [r["neg_id"] for r in out] == [2, 3, 4]
+    sims = [r["cosine_sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
