@@ -1,0 +1,171 @@
+"""CorpusPipeline: the one-stop facade for the LLM training-data flow.
+
+Every stage exists as a standalone operator (operators/curation, dedup,
+components, lm, sampling, packing — see COVERAGE.md); this facade wires
+them in the canonical order with one lazy DataFrame per stage, so a
+user runs the whole flow — or any prefix — with three calls:
+
+    pipe = CorpusPipeline(spark, docs)
+    clean = pipe.curate()                   # rule + LM quality flags
+    canon = pipe.dedup(clean)               # near-dup canonicals
+    packed = pipe.chunk_and_pack(canon)     # training sequences
+
+Nothing materializes until an action; each method returns a DataFrame
+the next accepts, and ``report()`` aggregates one summary row of
+rejection/dedup/packing counts (the audit artifact a data run ships
+with). Stage parameters stay overridable per call — the facade adds
+order and defaults, not new semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CorpusPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.spark = spark
+        self.docs = docs
+        self.id_col = id_col
+        self.text_col = text_col
+
+    # -- stage 1: quality ---------------------------------------------------
+
+    def curate(
+        self,
+        redact: bool = True,
+        lm_buckets: int = 0,
+        **gopher_kwargs,
+    ) -> DataFrame:
+        """Gopher-style rule filter (keeps rejection reasons), optional
+        PII redaction, optional LM fluency bucketing (``lm_buckets`` > 0
+        fits a corpus LM and attaches ``mean_nll`` + ``ppl_bucket``).
+        Returns ALL rows with a ``keep`` flag — dropping is the
+        caller's `.where("keep")`, so audits can count the rejects."""
+        from terrorblade_spark.operators.curation import gopher_filter, redact_pii
+
+        out = gopher_filter(self.docs, text_col=self.text_col, **gopher_kwargs)
+        if redact:
+            out = redact_pii(out, self.text_col)
+        if lm_buckets > 0:
+            from terrorblade_spark.operators.lm import (
+                fit_ngram_lm,
+                perplexity_bucket,
+                score_documents,
+            )
+
+            lm = fit_ngram_lm(self.docs, self.id_col, self.text_col)
+            scores = perplexity_bucket(
+                score_documents(self.docs, lm, self.id_col, self.text_col),
+                n_buckets=lm_buckets,
+            ).select(self.id_col, "mean_nll", "ppl_bucket")
+            out = out.join(scores, self.id_col, "left")
+        return out
+
+    # -- stage 2: dedup -----------------------------------------------------
+
+    def dedup(
+        self,
+        df: DataFrame | None = None,
+        jaccard_threshold: float = 0.8,
+        quality_col: str | None = None,
+        **neardup_kwargs,
+    ) -> DataFrame:
+        """Near-dup clustering with canonical flags. Default keeps the
+        min-id member per cluster; pass ``quality_col`` (higher =
+        better, e.g. negated ``mean_nll``) to keep the best member
+        instead. Returns the input rows + (canonical_id, is_duplicate)."""
+        from terrorblade_spark.operators.components import (
+            canonicalize_by_score,
+            near_dup_components,
+        )
+
+        src = df if df is not None else self.docs
+        comp = near_dup_components(
+            src.select(self.id_col, self.text_col),
+            self.id_col,
+            self.text_col,
+            jaccard_threshold=jaccard_threshold,
+            **neardup_kwargs,
+        )
+        if quality_col is None:
+            flags = comp.select(self.id_col, "canonical_id", "is_duplicate")
+        else:
+            clusters = comp.where(F.col("canonical_id") != F.col(self.id_col)).select(
+                F.col(self.id_col).alias("node"),
+                F.col("canonical_id").alias("component"),
+            )
+            flags = canonicalize_by_score(
+                src.select(self.id_col, quality_col), clusters, self.id_col, quality_col
+            ).select(self.id_col, "canonical_id", "is_duplicate")
+        return src.join(flags, self.id_col)
+
+    # -- stage 3: sequences -------------------------------------------------
+
+    def chunk_and_pack(
+        self,
+        df: DataFrame,
+        max_tokens: int = 512,
+        overlap: int = 64,
+        budget: int = 2048,
+        num_shards: int = 64,
+        materialize: bool = False,
+    ) -> DataFrame:
+        """Chunk canonical documents into overlapping token windows and
+        pack chunks into budgeted training bins; ``materialize=True``
+        additionally concatenates each bin into its final sequence."""
+        from terrorblade_spark.operators.packing import (
+            chunk_documents,
+            materialize_packed,
+            pack_sequences,
+        )
+
+        canon = df.where(~F.col("is_duplicate")) if "is_duplicate" in df.columns else df
+        chunks = chunk_documents(
+            canon.select(self.id_col, self.text_col),
+            self.id_col,
+            self.text_col,
+            max_tokens=max_tokens,
+            overlap=overlap,
+        ).withColumn(
+            "chunk_id",
+            F.concat_ws("_", F.col(self.id_col).cast("string"), F.col("chunk_idx").cast("string")),
+        )
+        packed = pack_sequences(
+            chunks, "chunk_id", "chunk_tokens", budget=budget, num_shards=num_shards
+        )
+        if materialize:
+            return materialize_packed(packed, "chunk_id", "chunk_text")
+        return packed
+
+    # -- audit --------------------------------------------------------------
+
+    def report(self, curated: DataFrame, deduped: DataFrame, packed: DataFrame) -> DataFrame:
+        """One summary row: input/kept/reject counts, dedup ratio, and
+        packed-sequence totals — the artifact a curation run ships."""
+        c = curated.agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        d = deduped.agg(
+            F.count(F.lit(1)).alias("n_deduped_input"),
+            F.sum((~F.col("is_duplicate")).cast("long")).alias("n_canonical"),
+        )
+        bins = packed.select("shard", "bin").distinct().count()
+        return (
+            c.crossJoin(d)
+            .withColumn("n_rejected", F.col("n_input") - F.col("n_kept"))
+            .withColumn(
+                "dup_frac",
+                (F.col("n_deduped_input") - F.col("n_canonical")).cast("double")
+                / F.col("n_deduped_input"),
+            )
+            .withColumn("n_packed_bins", F.lit(bins))
+        )
