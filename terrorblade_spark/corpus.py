@@ -62,10 +62,15 @@ class CorpusPipeline:
             )
 
             lm = fit_ngram_lm(self.docs, self.id_col, self.text_col)
+            # materialize the small per-doc scores, then release the
+            # model tables — otherwise every curate() call leaks two
+            # cached relations for the session lifetime
             scores = perplexity_bucket(
                 score_documents(self.docs, lm, self.id_col, self.text_col),
                 n_buckets=lm_buckets,
-            ).select(self.id_col, "mean_nll", "ppl_bucket")
+            ).select(self.id_col, "mean_nll", "ppl_bucket").persist()
+            scores.count()
+            lm.unpersist()
             out = out.join(scores, self.id_col, "left")
         return out
 

@@ -273,6 +273,9 @@ def perceptual_hash(df: DataFrame, decoder: str = "fake", hash_size: int = 8) ->
         raise NotImplementedError(
             "real perceptual hashing requires Pillow; use decoder='fake'"
         )
+    if not 2 <= hash_size <= 8:
+        # hash_size^2 - 1 bits must fit the declared 64-bit column
+        raise ValueError("hash_size must be in [2, 8] for the long phash column")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -352,8 +355,11 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
-            ws = pdf["width"].fillna(16).astype("int64").to_numpy()
-            hs = pdf["height"].fillna(16).astype("int64").to_numpy()
+            # clamp to >=1: fillna only covers nulls, and a 0-sized
+            # dimension (corrupt metadata) would index an empty axis
+            # and fail the whole task for one bad row
+            ws = np.maximum(pdf["width"].fillna(16).astype("int64").to_numpy(), 1)
+            hs = np.maximum(pdf["height"].fillna(16).astype("int64").to_numpy(), 1)
             seeds = np.fromiter(
                 (_decode_seed(c) for c in pdf["content"]), dtype=np.int64, count=n
             )
@@ -416,7 +422,13 @@ def decode_audio(df: DataFrame, decoder: str = "fake", max_samples: int = 480_00
             rms = np.empty(n, dtype=np.float64)
             peak = np.empty(n, dtype=np.float64)
             for j in range(n):
-                m = max(int(counts[j]), 1)
+                m = int(counts[j])
+                if m == 0:
+                    # empty/zero-duration clips are SILENT, not one
+                    # fabricated sample: loudness filters must see 0
+                    rms[j] = 0.0
+                    peak[j] = 0.0
+                    continue
                 pcm = np.random.default_rng(int(seeds[j])).uniform(-1.0, 1.0, size=m)
                 rms[j] = float(np.sqrt(np.mean(pcm * pcm)))
                 peak[j] = float(np.abs(pcm).max())

@@ -215,8 +215,15 @@ def canonicalize_by_score(
     labeled = labeled.withColumn(
         "component", F.coalesce(F.col("component"), F.col(id_col))
     )
-    best = labeled.groupBy("component").agg(
-        F.expr(f"max_by({id_col}, struct({score_col}, -{id_col}))").alias("canonical_id")
+    # type-safe two-step best-member pick: SQL `-id` tiebreaks only
+    # for numeric ids (ANSI mode errors on strings). Max score per
+    # component, then the smallest id among the max-scored members.
+    max_score = labeled.groupBy("component").agg(F.max(score_col).alias("__best"))
+    best = (
+        labeled.join(max_score, "component")
+        .where(F.col(score_col) == F.col("__best"))
+        .groupBy("component")
+        .agg(F.min(id_col).alias("canonical_id"))
     )
     return (
         labeled.join(best, "component")

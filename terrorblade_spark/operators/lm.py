@@ -114,7 +114,11 @@ def fit_ngram_lm(
         )
         .persist()
     )
+    # materialize BOTH persisted model tables before dropping their
+    # parents: unpersisting toks/uni with unigrams still lazy would
+    # make the first score/save re-run the whole corpus tokenization
     bigrams.count()
+    unigrams.count()
     toks.unpersist()
     uni.unpersist()
     return NgramLM(unigrams=unigrams, bigrams=bigrams, oov_logp=oov_logp)

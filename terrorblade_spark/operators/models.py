@@ -9,40 +9,41 @@ target for comparability.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import SparkSession
 
 from terrorblade_spark.operators.lm import NgramLM
 from terrorblade_spark.operators.search import Bm25Index
 
-_META = "_model_meta.json"
+_META = "meta"
 
 
-def _write_meta(path: str, meta: dict) -> None:
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, _META), "w") as fh:
-        json.dump(meta, fh)
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    # the sidecar rides Spark's filesystem layer as a 1-row parquet, so
+    # models save/load identically on local disk, S3, or HDFS — driver-
+    # local os.* calls would strand the metadata on one machine
+    spark.createDataFrame([(json.dumps(meta),)], "meta_json string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/{_META}")
 
 
-def _read_meta(path: str) -> dict:
-    with open(os.path.join(path, _META)) as fh:
-        return json.load(fh)
+def _read_meta(spark: SparkSession, path: str) -> dict:
+    return json.loads(spark.read.parquet(f"{path}/{_META}").first()["meta_json"])
 
 
 def save_lm(lm: NgramLM, path: str) -> None:
-    lm.unigrams.write.mode("overwrite").parquet(os.path.join(path, "unigrams"))
-    lm.bigrams.write.mode("overwrite").parquet(os.path.join(path, "bigrams"))
-    _write_meta(path, {"kind": "ngram_lm", "oov_logp": lm.oov_logp})
+    lm.unigrams.write.mode("overwrite").parquet(f"{path}/unigrams")
+    lm.bigrams.write.mode("overwrite").parquet(f"{path}/bigrams")
+    _write_meta(lm.unigrams.sparkSession, path, {"kind": "ngram_lm", "oov_logp": lm.oov_logp})
 
 
 def load_lm(spark: SparkSession, path: str) -> NgramLM:
-    meta = _read_meta(path)
+    meta = _read_meta(spark, path)
     if meta.get("kind") != "ngram_lm":
         raise ValueError(f"{path} holds {meta.get('kind')!r}, not an ngram_lm")
     return NgramLM(
-        unigrams=spark.read.parquet(os.path.join(path, "unigrams")).persist(),
-        bigrams=spark.read.parquet(os.path.join(path, "bigrams")).persist(),
+        unigrams=spark.read.parquet(f"{path}/unigrams").persist(),
+        bigrams=spark.read.parquet(f"{path}/bigrams").persist(),
         oov_logp=float(meta["oov_logp"]),
     )
 
@@ -57,19 +58,19 @@ def save_bm25(index: Bm25Index, path: str) -> None:
         index.postings.withColumn("term_bucket", F.pmod(F.hash("term"), F.lit(64)))
         .write.mode("overwrite")
         .partitionBy("term_bucket")
-        .parquet(os.path.join(path, "postings"))
+        .parquet(f"{path}/postings")
     )
-    index.doclen.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
-    index.stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
-    _write_meta(path, {"kind": "bm25"})
+    index.doclen.write.mode("overwrite").parquet(f"{path}/doclen")
+    index.stats.write.mode("overwrite").parquet(f"{path}/stats")
+    _write_meta(index.postings.sparkSession, path, {"kind": "bm25"})
 
 
 def load_bm25(spark: SparkSession, path: str) -> Bm25Index:
-    meta = _read_meta(path)
+    meta = _read_meta(spark, path)
     if meta.get("kind") != "bm25":
         raise ValueError(f"{path} holds {meta.get('kind')!r}, not a bm25 index")
     return Bm25Index(
-        postings=spark.read.parquet(os.path.join(path, "postings")).drop("term_bucket").persist(),
-        doclen=spark.read.parquet(os.path.join(path, "doclen")).persist(),
-        stats=spark.read.parquet(os.path.join(path, "stats")).persist(),
+        postings=spark.read.parquet(f"{path}/postings").drop("term_bucket").persist(),
+        doclen=spark.read.parquet(f"{path}/doclen").persist(),
+        stats=spark.read.parquet(f"{path}/stats").persist(),
     )

@@ -135,6 +135,7 @@ def materialize_packed(
     text_col: str,
     token_count_col: str = "bin_tokens",
     separator: str = "\n\n",
+    seed: str = "pack-v1",
 ) -> DataFrame:
     """Turn ``pack_sequences`` bin assignments into the actual training
     sequences: one row per (shard, bin) with the member texts joined in
@@ -144,14 +145,16 @@ def materialize_packed(
     collected (order_key, text) structs inside the aggregate — never a
     window + dropDuplicates. Group width is bounded by the token
     budget (a bin holds at most budget tokens' worth of text), so the
-    collected row is bounded regardless of corpus size.
+    collected row is bounded regardless of corpus size. ``seed`` MUST
+    match the one given to ``pack_sequences`` — the concat order is the
+    packer's hash order under that seed.
     """
     from terrorblade_spark.functions.exprs import hash64
 
     ordered = F.sort_array(
         F.collect_list(
             F.struct(
-                hash64(F.col(id_col).cast("string"), salt="pack-v1").alias("k"),
+                hash64(F.col(id_col).cast("string"), salt=seed).alias("k"),
                 F.col(id_col).cast("string").alias("i"),
                 F.col(text_col).alias("t"),
             )

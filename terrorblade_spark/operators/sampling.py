@@ -170,11 +170,17 @@ def negative_samples(
     """
     from pyspark.sql import Window
 
+    import hashlib
+
     n = corpus.select(id_col).count()
     fraction = min(1.0, pool_size / max(n, 1))
+    # md5-derived int seed: Python's builtin hash() is salted per
+    # process (PYTHONHASHSEED), which would break the determinism
+    # guarantee across driver restarts
+    int_seed = int(hashlib.md5(seed.encode()).hexdigest()[:8], 16)
     pool = (
         corpus.select(F.col(id_col).alias("neg_id"))
-        .sample(fraction=fraction, seed=abs(hash(seed)) % (2**31))
+        .sample(fraction=fraction, seed=int_seed)
     )
     cand = anchors.select(F.col(anchor_col)).crossJoin(F.broadcast(pool)).where(
         F.col(anchor_col) != F.col("neg_id")
