@@ -146,20 +146,21 @@ def main() -> None:
         )
         wq.awaitTermination()
 
-    # steady-state methodology: dry-run every headline query at the
-    # smallest SF first (untimed). This compiles each query's EXACT
-    # expression trees and stream plans once, so the timed sf0.1 pass
-    # measures per-query execution cost — the quantity that extrapolates
-    # to a long-running cluster — rather than one-off driver JIT. The
-    # generic warm-ups above cover shared machinery; this covers the
-    # per-query residue (measured ~2.5 s on q34, ~1.3 s on q47).
-    warm_sf = sf_dir.rsplit("sf", 1)[0] + "sf0.001"
-    if os.path.isdir(warm_sf):
-        for name in HEADLINE:
-            try:
-                queries[name](spark, warm_sf).count()
-            except Exception as e:  # pragma: no cover - warm-up is best-effort
-                print(f"# warm {name} skipped: {e}", file=sys.stderr)
+    # steady-state methodology: one untimed dry pass of every headline
+    # query AT THE MEASURED SF, then clear the block-manager caches and
+    # time the second pass. The dry pass compiles each query's exact
+    # expression trees and AQE-chosen physical plans (plans differ by
+    # data size, so a small-SF warm-up cannot fully warm them); the
+    # cache clear guarantees the timed pass re-reads data and re-builds
+    # its own persisted relations rather than aliasing the dry pass's
+    # cache blocks. What's measured is compile-warm, data-cold per-query
+    # execution — the cost that extrapolates to a long-running cluster.
+    for name in HEADLINE:
+        try:
+            queries[name](spark, sf_dir).count()
+        except Exception as e:  # pragma: no cover - warm-up is best-effort
+            print(f"# warm {name} skipped: {e}", file=sys.stderr)
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
