@@ -163,14 +163,18 @@ class CorpusPipeline:
             F.count(F.lit(1)).alias("n_deduped_input"),
             F.sum((~F.col("is_duplicate")).cast("long")).alias("n_canonical"),
         )
-        bins = packed.select("shard", "bin").distinct().count()
+        # stays fully lazy (one-row aggregates cross-joined) — no eager
+        # count hidden inside a report BUILDER
+        p = packed.agg(
+            F.count_distinct(F.struct("shard", "bin")).alias("n_packed_bins")
+        )
         return (
             c.crossJoin(d)
+            .crossJoin(p)
             .withColumn("n_rejected", F.col("n_input") - F.col("n_kept"))
             .withColumn(
                 "dup_frac",
                 (F.col("n_deduped_input") - F.col("n_canonical")).cast("double")
                 / F.col("n_deduped_input"),
             )
-            .withColumn("n_packed_bins", F.lit(bins))
         )

@@ -99,3 +99,25 @@ DUCK_TOKENS = "list_filter(regexp_split_to_array(trim({expr}), '\\s+'), t -> t <
 
 def duck_tokens(expr: str) -> str:
     return DUCK_TOKENS.format(expr=expr)
+
+
+def boundary_bucket(value, bounds):
+    """Equi-depth bucket index for ``value`` given ascending quantile
+    ``bounds`` (driver-side metadata from ``approxQuantile``): the
+    number of boundaries <= value, computed row-locally — the shared
+    primitive behind z-order rank bucketing and perplexity buckets,
+    and the scale-safe replacement for a global ntile window.
+
+    Repeated boundaries (ties in the sketch) are collapsed; adjacent
+    buckets simply merge.
+    """
+    uniq = []
+    for v in bounds:
+        if not uniq or v > uniq[-1]:
+            uniq.append(v)
+    barr = F.array(*[F.lit(v) for v in uniq])
+    return F.aggregate(
+        barr,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.when(value >= b, 1).otherwise(0).cast("long"),
+    )

@@ -123,23 +123,12 @@ def zorder_expr(
     all_bounds = casted.stat.approxQuantile(
         [f"__zc_{i}" for i in range(dims)], probs, rel_err
     )
-    def rank_bucket(col_name: str, bounds: list[float]) -> Column:
-        # strictly increasing (approxQuantile can repeat on ties);
-        # collapsed boundaries just merge adjacent buckets
-        uniq: list[float] = []
-        for v in bounds:
-            if not uniq or v > uniq[-1]:
-                uniq.append(v)
-        barr = F.array(*[F.lit(v) for v in uniq])
-        # bucket = number of boundaries <= value (0 .. 2^bits-1)
-        return F.aggregate(
-            barr,
-            F.lit(0).cast("long"),
-            lambda acc, bd: acc
-            + F.when(F.col(col_name).cast("double") >= bd, 1).otherwise(0).cast("long"),
-        )
+    from terrorblade_spark.functions.exprs import boundary_bucket
 
-    buckets = [rank_bucket(c, bounds) for c, bounds in zip(cluster_cols, all_bounds)]
+    buckets = [
+        boundary_bucket(F.col(c).cast("double"), bounds)
+        for c, bounds in zip(cluster_cols, all_bounds)
+    ]
     z = F.lit(0).cast("long")
     for j in range(bits):
         for i, bk in enumerate(buckets):

@@ -96,9 +96,11 @@ def funnel_counts(
             for i in range(1, len(steps) + 1)
         ]
     )
-    conv = lambda i: F.when(  # noqa: E731 - conversion vs the step-1 base
-        F.col("n_1") > 0, F.col(f"n_{i}").cast("double") / F.col("n_1").cast("double")
-    ).otherwise(F.lit(0.0))
+    def conv(i: int):
+        # conversion vs the step-1 base
+        return F.when(
+            F.col("n_1") > 0, F.col(f"n_{i}").cast("double") / F.col("n_1").cast("double")
+        ).otherwise(F.lit(0.0))
     return (
         counts.select(
             F.explode(

@@ -193,18 +193,11 @@ def perplexity_bucket(
     sketch pass) and the assignment is a row-local comparison — NEVER a
     global ntile window, whose single-partition sort would serialize
     billions of per-doc rows through one task at scale."""
+    from terrorblade_spark.functions.exprs import boundary_bucket
+
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = scores.stat.approxQuantile(nll_col, probs, rel_err)
-    uniq: list[float] = []
-    for v in bounds:
-        if not uniq or v > uniq[-1]:
-            uniq.append(v)
-    barr = F.array(*[F.lit(v) for v in uniq])
-    bucket = F.aggregate(
-        barr,
-        F.lit(0),
-        lambda acc, b: acc + F.when(F.col(nll_col) > b, 1).otherwise(0),
-    )
+    bucket = boundary_bucket(F.col(nll_col), bounds)
     return scores.withColumn("ppl_bucket", bucket.cast("int"))
 
 

@@ -97,15 +97,22 @@ def rollup_update(
     # the bucket function is part of the state's layout: a different
     # n_buckets re-buckets keys, so an update would miss (and then
     # duplicate) existing rows. Pin it in a sidecar on first write and
-    # refuse mismatched updates.
-    meta = os.path.join(state_path, "_n_buckets")
-    if os.path.exists(meta):
-        stored = int(open(meta).read().strip())
-        if stored != n_buckets:
-            raise ValueError(
-                f"rollup state at {state_path} was built with n_buckets={stored}; "
-                f"got n_buckets={n_buckets} — rebucketing requires a full rebuild"
-            )
+    # refuse mismatched updates. The sidecar is a 1-row parquet under
+    # an underscore-prefixed dir (ignored by data discovery) so it
+    # rides Spark's filesystem layer — S3/HDFS state works, unlike a
+    # driver-local marker file.
+    meta = f"{state_path}/_meta"
+    stored: int | None = None
+    try:
+        stored = int(spark.read.parquet(meta).first()["n_buckets"])
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+    if stored is not None and stored != n_buckets:
+        raise ValueError(
+            f"rollup state at {state_path} was built with n_buckets={stored}; "
+            f"got n_buckets={n_buckets} — rebucketing requires a full rebuild"
+        )
     part = _partials(batch, keys, sum_cols, min_cols, max_cols, distinct_col, lg_k)
     part = part.withColumn(
         BUCKET_COL, F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets))
@@ -125,9 +132,10 @@ def rollup_update(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(state_path)
-        if not os.path.exists(meta):
-            with open(meta, "w") as fh:
-                fh.write(str(n_buckets))
+        if stored is None:
+            spark.createDataFrame([(n_buckets,)], "n_buckets int").coalesce(
+                1
+            ).write.mode("overwrite").parquet(meta)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
         part.unpersist()
@@ -154,7 +162,10 @@ def rollup_merge_fn(state_path: str, keys: Sequence[str], applied_dir: str | Non
     tests (and batch backfills) drive the exact code the stream runs.
     ``applied_dir`` holds one marker file per applied batch id; a
     restarted stream replaying a delivered micro-batch skips the merge
-    instead of double-counting."""
+    instead of double-counting. Markers are written with driver-local
+    file IO — point ``applied_dir`` at storage that survives driver
+    replacement (the checkpoint volume) when running beyond one
+    machine."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         marker = None
