@@ -327,3 +327,55 @@ def test_hard_negatives_are_nearest_non_positives(spark):
     assert [r["neg_id"] for r in out] == [2, 3, 4]
     sims = [r["cosine_sim"] for r in out]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_weighted_sample_matches_reference_implementation(spark):
+    """The Spark plan must reproduce Efraimidis-Spirakis exactly: same
+    md5 draws, same u^(1/w) keys, same top-k — computed independently
+    in Python."""
+    import hashlib
+
+    from terrorblade_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = [(i, float(1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, weight double")
+    got = sorted(
+        r["doc_id"]
+        for r in weighted_sample_without_replacement(df, k=20, weight_col="weight").collect()
+    )
+
+    def u(doc_id):
+        h = hashlib.md5(f"wsr-v1{doc_id}".encode()).hexdigest()
+        return int(h[:15], 16) / float(1 << 60)
+
+    import math
+
+    keyed = sorted(
+        ((math.exp(math.log(u(i)) / w), i) for i, w in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want = sorted(i for _, i in keyed[:20])
+    assert got == want
+
+
+def test_weighted_sample_is_weight_proportional(spark):
+    """Statistical sanity: across many disjoint strata, heavy items
+    appear far more often than light ones."""
+    from terrorblade_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    # 300 strata x 10 items; item 0 has weight 50, others 1
+    df = spark.range(0, 3_000).select(
+        (F.col("id") / 10).cast("long").alias("stratum"),
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, 50.0).otherwise(1.0).alias("weight"),
+    )
+    out = weighted_sample_without_replacement(
+        df, k=1, weight_col="weight", strata_cols=["stratum"]
+    )
+    heavy = out.where(F.col("doc_id") % 10 == 0).count()
+    # P(heavy wins its stratum) = 50/59 ~ 0.85; expect ~255/300
+    assert heavy > 200
