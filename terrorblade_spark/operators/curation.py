@@ -252,3 +252,76 @@ def redact_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None
     for kind in counts:
         out = out.withColumn(f"n_{kind}", counts[kind])
     return out.withColumn(out_col, redacted)
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line_df: float = 0.005,
+    min_line_count: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate removal: drop every line that appears
+    in more than ``max_line_df`` of documents (cookie banners, nav
+    menus, license footers — the lines per-document filters can't see
+    because they look fine in isolation). The RefinedWeb/CCNet-style
+    complement to ``repetition_signals``'s within-document checks.
+
+    Plan (the shingle-df-cap shape): explode non-blank lines with
+    position -> hash each line ONCE -> document frequency per line
+    hash (map-side-combined groupBy) -> hot set (bounded: at most
+    total-lines/cap lines can exceed the cap, so AQE broadcasts the
+    anti-join) -> reassemble surviving lines per doc in original order
+    inside ONE aggregate (sort_array over (pos, line) structs — no
+    window). The corpus df cap arrives as a 1-row broadcast scalar,
+    not a plan literal, for the same recompile reason as
+    ``jaccard_pairs``.
+
+    Returns all input rows with ``text`` rewritten (docs that were
+    pure boilerplate become empty strings — feed through
+    ``gopher_filter`` downstream) and ``n_removed_lines``.
+    """
+    from terrorblade_spark.functions.exprs import hash64
+
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: F.length(F.trim(x)) > 0)
+    ex = df.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    ).withColumn("lh", hash64(F.trim(F.col("line"))))
+
+    cap_df = df.agg(
+        F.greatest(
+            F.lit(float(min_line_count)),
+            F.count(F.lit(1)).cast("double") * F.lit(max_line_df),
+        ).alias("__cap")
+    )
+    # df per line hash: count DISTINCT docs (a line repeated inside one
+    # doc is within-doc repetition, not corpus boilerplate)
+    hot = (
+        ex.groupBy("lh")
+        .agg(F.count_distinct(id_col).cast("double").alias("ldf"))
+        .crossJoin(F.broadcast(cap_df))
+        .where(F.col("ldf") > F.col("__cap"))
+        .select("lh")
+    )
+    kept = ex.join(hot, "lh", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("__new_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    n_lines = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_lines"))
+    return (
+        df.join(rebuilt, id_col, "left")
+        .join(n_lines, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col("__new_text"), F.lit("")))
+        .withColumn(
+            "n_removed_lines",
+            F.coalesce(F.col("__n_lines"), F.lit(0)) - F.coalesce(F.col("__n_kept"), F.lit(0)),
+        )
+        .drop("__new_text", "__n_kept", "__n_lines")
+    )

@@ -154,3 +154,37 @@ def test_decontaminate_plan_broadcasts_eval_side(spark, docs):
     eval_df = docs.limit(5).select("doc_id", "text")
     plan = decontaminate(docs, eval_df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_remove_boilerplate_lines(spark):
+    from terrorblade_spark.operators.curation import remove_boilerplate_lines
+
+    banner = "ACCEPT COOKIES TO CONTINUE"
+    docs = [(i, f"unique line {i}\n{banner}\nreal content {i}") for i in range(50)]
+    docs.append((99, banner))  # a doc that is pure boilerplate
+    docs.append((100, "standalone doc with no banner"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(df, max_line_df=0.1).collect()}
+    # the banner (df=51/52) is gone everywhere; unique lines survive
+    for i in range(50):
+        assert out[i]["text"] == f"unique line {i}\nreal content {i}"
+        assert out[i]["n_removed_lines"] == 1
+    assert out[99]["text"] == ""  # pure boilerplate -> empty
+    assert out[100]["text"] == "standalone doc with no banner"
+    assert out[100]["n_removed_lines"] == 0
+    # row conservation
+    assert len(out) == 52
+
+
+def test_boilerplate_distinct_doc_frequency(spark):
+    """A line repeated many times INSIDE one doc is within-doc
+    repetition, not corpus boilerplate — it must survive."""
+    from terrorblade_spark.operators.curation import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(1, "echo\necho\necho\necho"), (2, "other text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in remove_boilerplate_lines(df, max_line_df=0.9).collect()}
+    assert out[1] == "echo\necho\necho\necho"
