@@ -42,16 +42,30 @@ class CorpusPipeline:
         self,
         redact: bool = True,
         lm_buckets: int = 0,
+        boilerplate_line_df: float | None = None,
         **gopher_kwargs,
     ) -> DataFrame:
-        """Gopher-style rule filter (keeps rejection reasons), optional
-        PII redaction, optional LM fluency bucketing (``lm_buckets`` > 0
-        fits a corpus LM and attaches ``mean_nll`` + ``ppl_bucket``).
-        Returns ALL rows with a ``keep`` flag — dropping is the
-        caller's `.where("keep")`, so audits can count the rejects."""
-        from terrorblade_spark.operators.curation import gopher_filter, redact_pii
+        """Optional corpus-level boilerplate line removal
+        (``boilerplate_line_df`` = max fraction of docs a line may
+        appear in), then the Gopher-style rule filter (keeps rejection
+        reasons — run AFTER boilerplate removal so banner-only docs
+        fail the word-count rule), optional PII redaction, optional LM
+        fluency bucketing (``lm_buckets`` > 0 fits a corpus LM and
+        attaches ``mean_nll`` + ``ppl_bucket``). Returns ALL rows with
+        a ``keep`` flag — dropping is the caller's `.where("keep")`,
+        so audits can count the rejects."""
+        from terrorblade_spark.operators.curation import (
+            gopher_filter,
+            redact_pii,
+            remove_boilerplate_lines,
+        )
 
-        out = gopher_filter(self.docs, text_col=self.text_col, **gopher_kwargs)
+        src = self.docs
+        if boilerplate_line_df is not None:
+            src = remove_boilerplate_lines(
+                src, self.id_col, self.text_col, max_line_df=boilerplate_line_df
+            )
+        out = gopher_filter(src, text_col=self.text_col, **gopher_kwargs)
         if redact:
             out = redact_pii(out, self.text_col)
         if lm_buckets > 0:

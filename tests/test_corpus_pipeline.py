@@ -53,3 +53,14 @@ def test_materialized_sequences(spark, pipe):
     row = seqs.first()
     assert row["n_tokens"] <= 512
     assert row["text"]
+
+
+def test_curate_with_boilerplate_removal(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit("\nSUBSCRIBE TO OUR NEWSLETTER")).alias("text")
+    )
+    pipe = CorpusPipeline(spark, docs)
+    out = pipe.curate(boilerplate_line_df=0.1)
+    # the injected banner (df = 100%) is stripped before quality rules
+    assert out.where(F.col("text").contains("SUBSCRIBE")).count() == 0
+    assert out.where("n_removed_lines >= 1").count() == docs.count()
