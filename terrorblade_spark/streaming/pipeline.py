@@ -95,6 +95,28 @@ def dedup_merge_writer(stream: DataFrame, target_path: str, keys: list[str]):
     return stream.writeStream.foreachBatch(merge)
 
 
+def use_rocksdb_state(spark: SparkSession, enable: bool = True) -> None:
+    """Switch stateful streaming to the RocksDB state store (or back).
+
+    The default HDFSBackedStateStoreProvider keeps every state row on
+    the JVM heap — fine for bounded session windows, an OOM for
+    large-cardinality stateful ops (per-key dedup indexes, heavy-hitter
+    groups over many keys) on a 24/7 stream. RocksDB spills state to
+    local disk with incremental checkpointing; it is the production
+    choice once state stops fitting in memory. Applies to streams
+    STARTED after the call — a restarted stream keeps the provider
+    recorded in its checkpoint.
+    """
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if enable:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    else:
+        spark.conf.unset(key)
+
+
 class _state_partitions:
     """Scope the shuffle-partition conf around a stream start.
 

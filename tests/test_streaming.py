@@ -316,3 +316,27 @@ def test_stream_stream_attribution_within_window(spark, tmp_path):
     q.awaitTermination()
     got = {(r["view_id"], r["click_id"]) for r in spark.table("attribution").collect()}
     assert got == {(100, 900)}
+
+
+def test_rocksdb_state_store_equivalence(spark, sf_dir):
+    """The session rollup must produce identical results under the
+    RocksDB state store (the production backend once state outgrows
+    the heap) as under the default HDFS-backed provider."""
+    from terrorblade_spark.streaming.pipeline import (
+        run_sessionization_batch,
+        use_rocksdb_state,
+    )
+
+    baseline = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in run_sessionization_batch(spark, sf_dir).collect()
+    }
+    use_rocksdb_state(spark)
+    try:
+        rocks = {
+            (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+            for r in run_sessionization_batch(spark, sf_dir).collect()
+        }
+    finally:
+        use_rocksdb_state(spark, enable=False)
+    assert rocks == baseline
