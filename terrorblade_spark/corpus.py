@@ -75,12 +75,16 @@ class CorpusPipeline:
                 score_documents,
             )
 
-            lm = fit_ngram_lm(self.docs, self.id_col, self.text_col)
+            # fit and score on the SAME text the quality rules see —
+            # fitting on pre-boilerplate text would make banner n-grams
+            # the model's most probable tokens and rank banner-heavy
+            # docs as the most fluent
+            lm = fit_ngram_lm(src, self.id_col, self.text_col)
             # materialize the small per-doc scores, then release the
             # model tables — otherwise every curate() call leaks two
             # cached relations for the session lifetime
             scores = perplexity_bucket(
-                score_documents(self.docs, lm, self.id_col, self.text_col),
+                score_documents(src, lm, self.id_col, self.text_col),
                 n_buckets=lm_buckets,
             ).select(self.id_col, "mean_nll", "ppl_bucket").persist()
             scores.count()

@@ -101,12 +101,18 @@ def duck_tokens(expr: str) -> str:
     return DUCK_TOKENS.format(expr=expr)
 
 
-def boundary_bucket(value, bounds):
+def boundary_bucket(value, bounds, inclusive: bool = True):
     """Equi-depth bucket index for ``value`` given ascending quantile
     ``bounds`` (driver-side metadata from ``approxQuantile``): the
-    number of boundaries <= value, computed row-locally — the shared
+    number of boundaries passed, computed row-locally — the shared
     primitive behind z-order rank bucketing and perplexity buckets,
     and the scale-safe replacement for a global ntile window.
+
+    ``inclusive=True`` advances on value >= boundary (a boundary-equal
+    value joins the UPPER bucket); ``inclusive=False`` advances on
+    value > boundary (it stays in the lower one). approxQuantile
+    boundaries are actual data values, so ties on the boundary are
+    common and callers must pin which side they land.
 
     Repeated boundaries (ties in the sketch) are collapsed; adjacent
     buckets simply merge.
@@ -116,8 +122,9 @@ def boundary_bucket(value, bounds):
         if not uniq or v > uniq[-1]:
             uniq.append(v)
     barr = F.array(*[F.lit(v) for v in uniq])
+    passed = (lambda b: value >= b) if inclusive else (lambda b: value > b)
     return F.aggregate(
         barr,
         F.lit(0).cast("long"),
-        lambda acc, b: acc + F.when(value >= b, 1).otherwise(0).cast("long"),
+        lambda acc, b: acc + F.when(passed(b), 1).otherwise(0).cast("long"),
     )

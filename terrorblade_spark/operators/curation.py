@@ -277,16 +277,23 @@ def remove_boilerplate_lines(
     not a plan literal, for the same recompile reason as
     ``jaccard_pairs``.
 
+    Blank lines are structure, not content: they are never boilerplate
+    candidates and are preserved verbatim, so paragraph breaks survive
+    and a doc with no hot lines round-trips byte-identical.
+
     Returns all input rows with ``text`` rewritten (docs that were
-    pure boilerplate become empty strings — feed through
-    ``gopher_filter`` downstream) and ``n_removed_lines``.
+    pure boilerplate keep only their blank structure) and
+    ``n_removed_lines``.
     """
     from terrorblade_spark.functions.exprs import hash64
 
-    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: F.length(F.trim(x)) > 0)
+    # ALL lines, blanks included (posexplode keeps positions for the
+    # ordered reassembly); blanks are exempt from hotness entirely
     ex = df.select(
-        F.col(id_col), F.posexplode(lines).alias("pos", "line")
-    ).withColumn("lh", hash64(F.trim(F.col("line"))))
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    ).withColumn("blank", F.length(F.trim(F.col("line"))) == 0).withColumn(
+        "lh", hash64(F.trim(F.col("line")))
+    )
 
     cap_df = df.agg(
         F.greatest(
@@ -294,34 +301,37 @@ def remove_boilerplate_lines(
             F.count(F.lit(1)).cast("double") * F.lit(max_line_df),
         ).alias("__cap")
     )
-    # df per line hash: count DISTINCT docs (a line repeated inside one
-    # doc is within-doc repetition, not corpus boilerplate)
+    # df per line hash over NON-BLANK lines: count DISTINCT docs (a
+    # line repeated inside one doc is within-doc repetition, not
+    # corpus boilerplate)
     hot = (
-        ex.groupBy("lh")
+        ex.where(~F.col("blank"))
+        .groupBy("lh")
         .agg(F.count_distinct(id_col).cast("double").alias("ldf"))
         .crossJoin(F.broadcast(cap_df))
         .where(F.col("ldf") > F.col("__cap"))
-        .select("lh")
+        .select("lh", F.lit(True).alias("hot"))
     )
-    kept = ex.join(hot, "lh", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
+    # ONE left join + ONE per-doc aggregate produces the rebuilt text
+    # and both counters together — an anti-join + separate line-count
+    # groupBy would rescan the exploded relation twice
+    flagged = ex.join(hot, "lh", "left").withColumn(
+        "drop", F.coalesce(F.col("hot"), F.lit(False)) & ~F.col("blank")
+    )
+    rebuilt = flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(~F.col("drop"), F.struct("pos", "line"))
+                    )
+                ),
                 lambda s: s["line"],
             ),
             "\n",
         ).alias("__new_text"),
-        F.count(F.lit(1)).alias("__n_kept"),
+        F.sum(F.col("drop").cast("long")).alias("n_removed_lines"),
     )
-    n_lines = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_lines"))
-    return (
-        df.join(rebuilt, id_col, "left")
-        .join(n_lines, id_col, "left")
-        .withColumn(text_col, F.coalesce(F.col("__new_text"), F.lit("")))
-        .withColumn(
-            "n_removed_lines",
-            F.coalesce(F.col("__n_lines"), F.lit(0)) - F.coalesce(F.col("__n_kept"), F.lit(0)),
-        )
-        .drop("__new_text", "__n_kept", "__n_lines")
+    return df.drop(text_col).join(rebuilt, id_col).withColumnRenamed(
+        "__new_text", text_col
     )

@@ -197,7 +197,9 @@ def perplexity_bucket(
 
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = scores.stat.approxQuantile(nll_col, probs, rel_err)
-    bucket = boundary_bucket(F.col(nll_col), bounds)
+    # inclusive=False: a doc whose NLL equals a boundary stays in the
+    # LOWER (more fluent) bucket — the original bucket semantics
+    bucket = boundary_bucket(F.col(nll_col), bounds, inclusive=False)
     return scores.withColumn("ppl_bucket", bucket.cast("int"))
 
 

@@ -103,11 +103,19 @@ def rollup_update(
     # driver-local marker file.
     meta = f"{state_path}/_meta"
     stored: int | None = None
+    had_meta = True
     try:
         stored = int(spark.read.parquet(meta).first()["n_buckets"])
     except AnalysisException as e:
         if "PATH_NOT_FOUND" not in str(e):
             raise
+        had_meta = False
+        # migration: state written before the parquet sidecar carried a
+        # driver-local text marker — honor it so pre-existing state
+        # keeps its rebucketing guard (old states are local-disk only)
+        legacy = os.path.join(state_path, "_n_buckets")
+        if os.path.exists(legacy):
+            stored = int(open(legacy).read().strip())
     if stored is not None and stored != n_buckets:
         raise ValueError(
             f"rollup state at {state_path} was built with n_buckets={stored}; "
@@ -132,7 +140,8 @@ def rollup_update(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(state_path)
-        if stored is None:
+        if not had_meta:
+            # also completes the legacy-marker migration to parquet
             spark.createDataFrame([(n_buckets,)], "n_buckets int").coalesce(
                 1
             ).write.mode("overwrite").parquet(meta)

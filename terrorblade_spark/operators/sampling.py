@@ -267,22 +267,27 @@ def weighted_sample_without_replacement(
     a deterministic uniform u and keys on u^(1/w); the k largest keys
     ARE a weight-proportional sample without replacement.
 
-    One window per stratum over (key desc) — the same single-shuffle
-    shape as ``stratified_quota_sample``, and fully deterministic for
-    a fixed seed (the draw is the md5-based ``seeded_uniform``, so
-    retries and engines agree). Rows with weight <= 0 never sample.
+    With strata: one window per stratum over (key desc) — the same
+    single-shuffle shape as ``stratified_quota_sample``. WITHOUT
+    strata the cut is ``orderBy().limit(k)`` — TakeOrderedAndProject
+    (per-partition heaps + a k-row driver merge), never a global
+    single-partition window. Fully deterministic for a fixed seed (the
+    draw is the md5-based ``seeded_uniform``, so retries and engines
+    agree). Rows with weight <= 0 never sample.
     """
     from pyspark.sql import Window
 
-    strata_cols = strata_cols or []
     u = seeded_uniform(id_col, seed)
     # u^(1/w) via exp(ln(u)/w); u in (0,1) so ln(u) < 0 and key in (0,1)
     key = F.exp(F.log(u) / F.col(weight_col))
+    keyed = df.where(F.col(weight_col) > 0).withColumn("__wkey", key)
+    if not strata_cols:
+        return (
+            keyed.orderBy(F.desc("__wkey"), F.asc(id_col)).limit(k).drop("__wkey")
+        )
     w = Window.partitionBy(*strata_cols).orderBy(F.desc("__wkey"), F.asc(id_col))
     return (
-        df.where(F.col(weight_col) > 0)
-        .withColumn("__wkey", key)
-        .withColumn("__rank", F.row_number().over(w))
+        keyed.withColumn("__rank", F.row_number().over(w))
         .where(F.col("__rank") <= k)
         .drop("__wkey", "__rank")
     )

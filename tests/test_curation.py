@@ -188,3 +188,18 @@ def test_boilerplate_distinct_doc_frequency(spark):
     )
     out = {r["doc_id"]: r["text"] for r in remove_boilerplate_lines(df, max_line_df=0.9).collect()}
     assert out[1] == "echo\necho\necho\necho"
+
+
+def test_boilerplate_preserves_blank_lines_and_roundtrips(spark):
+    """Docs with no hot lines must round-trip byte-identical —
+    including blank lines (paragraph structure is content)."""
+    from terrorblade_spark.operators.curation import remove_boilerplate_lines
+
+    texts = ["para one\n\npara two", "a\n\n\nb", "trailing newline\n"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(df, max_line_df=0.9).collect()}
+    for i, t in enumerate(texts):
+        assert out[i]["text"] == t
+        assert out[i]["n_removed_lines"] == 0
