@@ -74,3 +74,27 @@ def load_bm25(spark: SparkSession, path: str) -> Bm25Index:
         doclen=spark.read.parquet(f"{path}/doclen").persist(),
         stats=spark.read.parquet(f"{path}/stats").persist(),
     )
+
+
+def save_ivf(assigned, centroids, path: str) -> None:
+    """Persist an IVF index (``ivf_build`` output): vectors land
+    PARTITIONED BY list_id — the at-rest form of ``ivf_topk``'s nprobe
+    semi-join, so a query reads only its probed lists' files."""
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/assigned"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    _write_meta(assigned.sparkSession, path, {"kind": "ivf"})
+
+
+def load_ivf(spark: SparkSession, path: str):
+    """Load an IVF index as ``(assigned, centroids)`` for
+    ``ivf_topk``; centroids are tiny and persisted for reuse across
+    queries."""
+    meta = _read_meta(spark, path)
+    if meta.get("kind") != "ivf":
+        raise ValueError(f"{path} holds {meta.get('kind')!r}, not an ivf index")
+    return (
+        spark.read.parquet(f"{path}/assigned"),
+        spark.read.parquet(f"{path}/centroids").persist(),
+    )

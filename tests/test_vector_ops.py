@@ -301,3 +301,29 @@ def test_pq_adc_recall_vs_exact(spark, sf_dir):
     assert recall > 3 * (5 * k / n)  # far above the random-pick baseline
     # the query's own (distance-0) row must always survive quantization
     assert qrow["vec_id"] in shortlist
+
+
+def test_ivf_save_load_roundtrip(spark, sf_dir, tmp_path):
+    from terrorblade_spark.operators.models import load_ivf, save_ivf
+    from terrorblade_spark.operators.vector import ivf_build, ivf_topk
+    from terrorblade_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, centroids = ivf_build(emb, n_lists=4, max_iter=5)
+    path = str(tmp_path / "ivf_model")
+    save_ivf(assigned, centroids, path)
+
+    la, lc = load_ivf(spark, path)
+    q = emb.limit(1).select("embedding")
+    a = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ivf_topk(assigned, q, k=5, nprobe=2, list_col="list_id").collect()
+    ]
+    b = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ivf_topk(la, q, k=5, nprobe=2, list_col="list_id").collect()
+    ]
+    assert a == b
+    # centroid table round-trips exactly
+    assert sorted(map(tuple, centroids.collect())) == sorted(map(tuple, lc.collect()))
+    lc.unpersist()
