@@ -169,3 +169,50 @@ def test_top_k_per_group_matches_duckdb(spark, duck, sf_dir):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_boundary_bucket_matches_bisect_property(spark):
+    """boundary_bucket == the bisect count for random values/bounds in
+    BOTH inclusive modes — 300 random cases evaluated in one job."""
+    import bisect
+    import random
+
+    from terrorblade_spark.functions.exprs import boundary_bucket
+
+    rnd = random.Random(7)
+    cases = []
+    for i in range(300):
+        bounds = sorted(rnd.uniform(-100, 100) for _ in range(rnd.randint(1, 9)))
+        # half the values land EXACTLY on a boundary — the tie side is
+        # the part worth testing
+        v = rnd.choice(bounds) if i % 2 == 0 else rnd.uniform(-120, 120)
+        cases.append((i, v, bounds))
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _ in cases], "case_id long, value double"
+    )
+    # all cases evaluate in one job via a coalesced when-chain
+    import pyspark.sql.functions as SF
+
+    exprs = []
+    for i, v, bounds in cases:
+        exprs.append(
+            SF.when(SF.col("case_id") == i, boundary_bucket(SF.col("value"), bounds))
+        )
+    inc = df.select("case_id", "value", SF.coalesce(*exprs).alias("b")).collect()
+    got_inc = {r["case_id"]: r["b"] for r in inc}
+    exprs2 = []
+    for i, v, bounds in cases:
+        exprs2.append(
+            SF.when(
+                SF.col("case_id") == i,
+                boundary_bucket(SF.col("value"), bounds, inclusive=False),
+            )
+        )
+    exc = df.select("case_id", SF.coalesce(*exprs2).alias("b")).collect()
+    got_exc = {r["case_id"]: r["b"] for r in exc}
+
+    for i, v, bounds in cases:
+        uniq = sorted(set(bounds))
+        assert got_inc[i] == bisect.bisect_right(uniq, v), (v, bounds)
+        assert got_exc[i] == bisect.bisect_left(uniq, v), (v, bounds)
