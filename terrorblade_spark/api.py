@@ -44,6 +44,29 @@ class TerrorbladeSpark:
         self.messages = messages
         self.embeddings = embeddings
         self.clusters = clusters
+        # lazily-built, reused BM25 index over messages: serving tools
+        # (text_search / hybrid_search) must not pay a full corpus
+        # re-tokenization + aggregation per call. Invalidated whenever
+        # ``messages`` is replaced (see ``_bm25``).
+        self.__bm25_cache = None
+
+    def _bm25(self):
+        """Build-once BM25 index over the current ``messages``; the
+        cache keys on the DataFrame identity so swapping ``messages``
+        (new ingest) invalidates it and the stale index is unpersisted."""
+        from terrorblade_spark.operators.search import bm25_index
+
+        cached = self.__bm25_cache
+        if cached is not None and cached[0] is self.messages:
+            return cached[1]
+        if cached is not None:
+            cached[1].unpersist()
+        docs = self.messages.select(
+            F.struct("chat_id", "message_id").alias("mid"), "text"
+        )
+        idx = bm25_index(docs, "mid", "text", persist=True)
+        self.__bm25_cache = (self.messages, idx)
+        return idx
 
     @classmethod
     def from_telegram_export(
@@ -358,13 +381,9 @@ class TerrorbladeSpark:
         (exact-phrase names, ids, rare terms the hash/model embedding
         smears out). Messages are keyed by (chat_id, message_id) as a
         struct so the index id stays one column."""
-        from terrorblade_spark.operators.search import bm25_index, bm25_topk
+        from terrorblade_spark.operators.search import bm25_topk
 
-        docs = self.messages.select(
-            F.struct("chat_id", "message_id").alias("mid"), "text"
-        )
-        idx = bm25_index(docs, "mid", "text", persist=False)
-        top = bm25_topk(idx, query_text, k=k)
+        top = bm25_topk(self._bm25(), query_text, k=k)
         return (
             top.select(F.col("doc.chat_id").alias("chat_id"),
                        F.col("doc.message_id").alias("message_id"),
@@ -378,16 +397,12 @@ class TerrorbladeSpark:
         """Reciprocal-rank fusion of lexical (BM25) and semantic
         (embedding cosine) retrieval over messages: each retriever
         contributes its rank, no score calibration needed."""
-        from terrorblade_spark.operators.search import bm25_index, bm25_topk, rrf_fuse
+        from terrorblade_spark.operators.search import bm25_topk, rrf_fuse
 
         if self.embeddings is None:
             raise ValueError("hybrid_search needs an embeddings DataFrame")
         fetch_k = max(fetch_k, k)  # a retriever must fetch at least k
-        docs = self.messages.select(
-            F.struct("chat_id", "message_id").alias("mid"), "text"
-        )
-        idx = bm25_index(docs, "mid", "text", persist=False)
-        lexical = bm25_topk(idx, query_text, k=fetch_k)
+        lexical = bm25_topk(self._bm25(), query_text, k=fetch_k)
         q = (
             self.spark.createDataFrame([(query_text,)], "q string")
             .select(embed_text()(F.col("q")).alias("__qvec"))

@@ -218,10 +218,15 @@ def canonicalize_by_score(
     # type-safe two-step best-member pick: SQL `-id` tiebreaks only
     # for numeric ids (ANSI mode errors on strings). Max score per
     # component, then the smallest id among the max-scored members.
+    # Null-safe best pick: max() ignores NULLs, so a component whose
+    # scores are ALL NULL gets __best = NULL — eqNullSafe then matches
+    # every member and the min-id tiebreak canonicalizes it (instead of
+    # the plain `==` silently dropping the whole component). Mixed
+    # NULL/non-NULL components still pick among the non-NULL max.
     max_score = labeled.groupBy("component").agg(F.max(score_col).alias("__best"))
     best = (
         labeled.join(max_score, "component")
-        .where(F.col(score_col) == F.col("__best"))
+        .where(F.col(score_col).eqNullSafe(F.col("__best")))
         .groupBy("component")
         .agg(F.min(id_col).alias("canonical_id"))
     )

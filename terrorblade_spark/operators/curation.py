@@ -332,6 +332,14 @@ def remove_boilerplate_lines(
         ).alias("__new_text"),
         F.sum(F.col("drop").cast("long")).alias("n_removed_lines"),
     )
-    return df.drop(text_col).join(rebuilt, id_col).withColumnRenamed(
-        "__new_text", text_col
+    # LEFT join: a NULL-text doc explodes to zero rows and has no
+    # rebuilt entry — it must still come back (all-input-rows
+    # contract), with its text untouched and n_removed_lines = 0.
+    return (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col("__new_text"), F.col(text_col)))
+        .withColumn(
+            "n_removed_lines", F.coalesce(F.col("n_removed_lines"), F.lit(0).cast("long"))
+        )
+        .drop("__new_text")
     )

@@ -226,7 +226,7 @@ def jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     bucket_cols: list[str] | None = None,
-    max_shingle_df: int | float | None = None,
+    max_shingle_df: int | float | None = 0.01,
 ) -> DataFrame:
     """n-gram Jaccard similarity for candidate pairs.
 
@@ -245,6 +245,13 @@ def jaccard_pairs(
     MinHash-LSH practice). Semantics: the cap redefines each doc's
     shingle SET (numerator and denominator both use the filtered set),
     so Jaccard stays a true set similarity.
+
+    The cap is ON BY DEFAULT (1% of the corpus, floored at an absolute
+    df of 2 so a shingle shared by exactly two docs — the near-dup
+    signal itself — never drops): defaults are what users run, and the
+    uncapped inverted-index self-join is a latent quadratic hot key at
+    scale. Pass ``max_shingle_df=None`` to opt out (exact textbook
+    Jaccard over the full shingle sets).
 
     Plan selection: with a df cap the posting list per shingle is
     BOUNDED (≤ cap docs), so candidates are generated by grouping each
@@ -344,9 +351,11 @@ def _jaccard_pairs_capped(
         # no blocking action, and the generated code is IDENTICAL
         # across corpus sizes (a changed literal recompiles the whole
         # codegen pipeline — measured ~2 s per fresh scale factor)
+        # absolute floor of 2: df=2 shingles ARE the near-dup signal;
+        # a fractional cap on a small corpus must never drop them
         cap_df = df.agg(
             F.greatest(
-                F.lit(1).cast("long"),
+                F.lit(2).cast("long"),
                 F.floor(F.count(F.lit(1)) * F.lit(max_shingle_df)).cast("long"),
             ).alias("__cap")
         )

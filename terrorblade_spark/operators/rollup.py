@@ -166,6 +166,76 @@ def rollup_read(
     return df
 
 
+def rollup_update_txn(
+    batch: DataFrame,
+    table,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    distinct_col: str | None = None,
+    n_buckets: int = 64,
+    lg_k: int = 12,
+    applied_id: str | None = None,
+) -> None:
+    """``rollup_update`` over a transactional ``txn.TxnTable``: the
+    merged touched-bucket state AND the applied-batch marker commit in
+    ONE atomic manifest swap, so a crash anywhere leaves either the old
+    state (batch not marked -> replay re-applies cleanly) or the new
+    state (batch marked -> replay no-ops). This closes the
+    marker-after-write at-least-once window of the plain-parquet recipe
+    (``rollup_merge_fn``'s documented crash window).
+
+    Same plan as ``rollup_update``: partial-aggregate the batch, read
+    ONLY touched buckets (manifest-level pruning — the untouched
+    buckets' scans are never planned), merge, replace those buckets.
+    """
+    if applied_id is not None and table.applied(applied_id):
+        return
+    spark = batch.sparkSession
+    part = _partials(batch, keys, sum_cols, min_cols, max_cols, distinct_col, lg_k)
+    part = part.withColumn(
+        BUCKET_COL, F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets))
+    ).persist()
+    touched = [r[0] for r in part.select(BUCKET_COL).distinct().collect()]
+    try:
+        try:
+            existing = table.read(spark, partition_filter=touched)
+            merged = _merge(
+                existing.unionByName(part),
+                keys, sum_cols, min_cols, max_cols, distinct_col is not None,
+            )
+        except FileNotFoundError:
+            merged = _merge(part, keys, sum_cols, min_cols, max_cols, distinct_col is not None)
+        table.replace_partitions(merged, BUCKET_COL, applied_id=applied_id)
+    finally:
+        part.unpersist()
+
+
+def rollup_read_txn(
+    spark: SparkSession,
+    table,
+    avg_of: Sequence[str] = (),
+) -> DataFrame:
+    """``rollup_read`` against a transactional state table."""
+    df = table.read(spark).drop(BUCKET_COL)
+    for c in avg_of:
+        df = df.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("n_rows"))
+    if "hll" in df.columns:
+        df = df.withColumn("approx_distinct", F.hll_sketch_estimate("hll")).drop("hll")
+    return df
+
+
+def rollup_merge_fn_txn(table, keys: Sequence[str], **kwargs):
+    """foreachBatch closure over the transactional state: exactly-once
+    across crashes because the batch id IS part of the state commit."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        rollup_update_txn(batch_df, table, keys, applied_id=f"batch_{batch_id}", **kwargs)
+
+    return merge
+
+
 def rollup_merge_fn(state_path: str, keys: Sequence[str], applied_dir: str | None = None, **kwargs):
     """The foreachBatch closure behind ``rollup_writer`` — exposed so
     tests (and batch backfills) drive the exact code the stream runs.
@@ -174,7 +244,15 @@ def rollup_merge_fn(state_path: str, keys: Sequence[str], applied_dir: str | Non
     instead of double-counting. Markers are written with driver-local
     file IO — point ``applied_dir`` at storage that survives driver
     replacement (the checkpoint volume) when running beyond one
-    machine."""
+    machine.
+
+    CRASH WINDOW (known, documented): the marker is written only AFTER
+    ``rollup_update`` succeeds, and ``rollup_update`` is not idempotent
+    — a crash BETWEEN the state write and the marker write makes the
+    replayed batch double-count. This plain-parquet recipe is therefore
+    at-least-once across that window; use ``rollup_merge_fn_txn`` (the
+    ``txn.TxnTable`` backend, where marker + state are one atomic
+    manifest commit) when exactly-once across crashes is required."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         marker = None

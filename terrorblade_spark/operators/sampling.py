@@ -155,8 +155,8 @@ def negative_samples(
     anchor, ``k`` corpus documents that are neither the anchor itself
     nor a known positive. Returns (anchor_id, neg_id, neg_rank).
 
-    Scale shape: ONE Bernoulli sample of the corpus builds a shared
-    candidate pool of ~``pool_size`` ids (a broadcast relation —
+    Scale shape: a seeded-hash threshold over the corpus builds a
+    shared candidate pool of ~``pool_size`` ids (a broadcast relation —
     pool_size controls the quality/cost dial, corpus size does not);
     each anchor then ranks the pool by a per-(anchor, candidate)
     seeded hash and keeps its top k after removing self and positives.
@@ -165,22 +165,25 @@ def negative_samples(
     negative sharing already tolerates) while the per-anchor window is
     bounded by pool_size, never by the corpus.
 
+    The pool fraction is pool_size / count(corpus) joined in as a
+    1-row broadcast scalar (the ``_jaccard_pairs_capped`` pattern) —
+    building the plan runs NO Spark job and bakes NO driver-computed
+    literal; at 100 TB there is no synchronous metadata scan per call.
+
     Fully deterministic for a fixed (corpus, seed): re-running a
     failed job emits identical pairs.
     """
     from pyspark.sql import Window
 
-    import hashlib
-
-    n = corpus.select(id_col).count()
-    fraction = min(1.0, pool_size / max(n, 1))
-    # md5-derived int seed: Python's builtin hash() is salted per
-    # process (PYTHONHASHSEED), which would break the determinism
-    # guarantee across driver restarts
-    int_seed = int(hashlib.md5(seed.encode()).hexdigest()[:8], 16)
+    size = corpus.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    keep = F.least(
+        F.lit(1.0), F.lit(float(pool_size)) / F.greatest(F.col("__n"), F.lit(1.0))
+    )
     pool = (
         corpus.select(F.col(id_col).alias("neg_id"))
-        .sample(fraction=fraction, seed=int_seed)
+        .crossJoin(F.broadcast(size))
+        .where(seeded_uniform("neg_id", f"{seed}/pool") < keep)
+        .drop("__n")
     )
     cand = anchors.select(F.col(anchor_col)).crossJoin(F.broadcast(pool)).where(
         F.col(anchor_col) != F.col("neg_id")

@@ -430,6 +430,18 @@ def pq_adc_topk(
     shape that ranks a billion rows per executor-second; compose with
     IVF lists (``ivf_build``) to prune the scan to nprobe lists first.
     """
+    dist = _adc_dist(codebooks, query_vec, m, code_col)
+    return (
+        encoded.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _adc_dist(codebooks: DataFrame, query_vec: list[float], m: int, code_col: str) -> Column:
+    """The ADC distance column: an m-term LUT sum addressed by the code
+    array. The LUT (m x n_codes doubles) is built driver-side from the
+    model-sized codebooks and enters the plan as a literal nested array."""
     cb = {
         (r["sub_id"], r["code_id"]): r["centroid"]
         for r in codebooks.collect()  # model-sized (m * n_codes rows)
@@ -444,7 +456,7 @@ def pq_adc_topk(
         for s in range(m)
     ]
     lut_lit = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in lut])
-    dist = F.aggregate(
+    return F.aggregate(
         F.zip_with(
             F.col(code_col),
             F.sequence(F.lit(0), F.lit(m - 1)),
@@ -453,11 +465,69 @@ def pq_adc_topk(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return (
-        encoded.select(F.col(id_col), dist.alias("adc_dist"))
-        .orderBy(F.asc("adc_dist"), F.col(id_col))
-        .limit(k)
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    query_vec: list[float],
+    k: int,
+    m: int,
+    nprobe: int = 8,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+    list_col: str = "list_id",
+) -> DataFrame:
+    """IVF-PQ serving: the composed billion-scale ANN path and the
+    distributed analog of the reference's HNSW index
+    (/root/reference/terrorblade/data/database/vector_store.py:191-214)
+    at its demonstrated ~1M-vector scale.
+
+    Three pruning stages, each bounding the next:
+
+    1. PROBE — score the query against the ``n_lists`` coarse centroids
+       (model-sized, driver math) and keep the ``nprobe`` nearest lists.
+       With the encoded table partitioned by ``list_col`` the broadcast
+       semi-join IS partition pruning: the scan touches
+       nprobe/n_lists of the corpus.
+    2. ADC SHORTLIST — rank the probed lists' rows by the PQ lookup-table
+       distance: m element_at + adds per row over 1-byte codes, no
+       vector math, no shuffle, TakeOrderedAndProject. ``shortlist``
+       defaults to max(4*k, 64) — the re-rank budget.
+    3. EXACT RE-RANK — fetch the shortlist's full vectors (semi-join on
+       id, shortlist-sized broadcast) and order by true cosine; top k.
+
+    ``encoded`` is ``pq_encode(ivf_build(...)[0], ...)`` — it carries
+    ``list_id``, ``codes``, and the original ``vec_col`` (only read in
+    stage 3, so a column-pruned scan ships codes, not vectors).
+    Returns (id, cosine_sim) like the other top-k operators.
+    """
+    short_n = shortlist if shortlist is not None else max(4 * k, 64)
+    # stage 1: centroid probe (model-sized relation, 1-row broadcast query)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    probed = (
+        centroids.select(list_col, cosine(F.col("centroid"), qlit).alias("__csim"))
+        .orderBy(F.desc("__csim"), F.col(list_col))
+        .limit(nprobe)
+        .select(list_col)
     )
+    cand = encoded.join(F.broadcast(probed), on=list_col, how="left_semi")
+    # stage 2: ADC shortlist over the probed lists only
+    dist = _adc_dist(codebooks, query_vec, m, code_col)
+    short = (
+        cand.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.col(id_col))
+        .limit(short_n)
+        .select(id_col)
+    )
+    # stage 3: exact re-rank of the shortlist's full vectors
+    rer = encoded.join(F.broadcast(short), on=id_col, how="left_semi").select(
+        F.col(id_col), cosine(F.col(vec_col), qlit).alias("cosine_sim")
+    )
+    return rer.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
 
 
 def quantize_int8(

@@ -247,7 +247,7 @@ _MAX_SHINGLE_DF = 0.01
       SELECT lang, source, doc_id, unnest(sh) AS shingle
       FROM shingled WHERE len(sh) > 0
     ), cap AS (
-      SELECT greatest(1, CAST(floor({_MAX_SHINGLE_DF} * count(*)) AS BIGINT)) AS v
+      SELECT greatest(2, CAST(floor({_MAX_SHINGLE_DF} * count(*)) AS BIGINT)) AS v
       FROM documents
     ), ex AS (
       SELECT * FROM ex0 WHERE shingle NOT IN (

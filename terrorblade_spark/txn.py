@@ -1,0 +1,345 @@
+"""Crash-atomic, optimistically-concurrent table commits over plain
+parquet — a minimal log-structured table format (the Delta/Iceberg
+design point, reduced to what the write paths here need).
+
+Why: plain ``df.write.mode("overwrite")`` (and dynamic partition
+overwrite, the rollup state's old write path) deletes-then-writes in
+place — a crash mid-write leaves the table truncated or a partition
+half-rewritten, and two concurrent writers corrupt each other. The
+reference gets atomicity from DuckDB's transactional PK inserts
+(telegram_database.py:925-928); a distributed engine needs it from the
+storage layout instead.
+
+Design (the public Delta-log recipe):
+
+* Data files are IMMUTABLE. Every commit writes fresh parquet under a
+  unique ``data/<uuid>/`` directory; nothing is ever modified in place.
+* The table state is a MANIFEST: ``_txn/<version>.json`` lists exactly
+  the live entries (path + optional partition value + row count). A
+  reader resolves the highest committed version and reads only the
+  files it names — orphaned data from crashed writers is invisible.
+* A commit is one atomic filesystem primitive: the manifest is written
+  to a temp name, fsynced, then ``os.link``-ed to its final versioned
+  name. ``link`` fails with EEXIST if that version was concurrently
+  committed — the loser re-reads the log, re-resolves conflicts, and
+  retries at the next version (optimistic concurrency). On object
+  stores the same protocol rides a conditional PUT (S3
+  If-None-Match/ETag) — the manifest layer is the only part that needs
+  the primitive, data files never conflict by construction.
+* Exactly-once streaming folds: a commit optionally records an
+  ``applied_id``. Replaying a delivered micro-batch sees its id in the
+  committed chain and skips — the marker and the state change are ONE
+  atomic commit, closing the marker-after-write crash window of the
+  non-transactional recipe (operators/rollup.py rollup_merge_fn).
+
+Scale notes: the manifest holds one entry per live data directory (or
+per partition subdir), not per row — thousands of entries is a small
+JSON document. ``compact()`` bounds log growth by rewriting live data
+and starting a fresh entry list, itself an atomic commit. Reads attach
+each entry's partition value as a literal column, so partition pruning
+happens at MANIFEST level (entries filtered driver-side before any
+scan is planned) — the same effect as hive partition pruning without
+trusting directory-listing consistency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_TXN_DIR = "_txn"
+_VERSION_WIDTH = 20
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first; caller must re-read
+    the log, re-resolve, and retry."""
+
+
+@dataclass
+class Manifest:
+    version: int
+    # each entry: {"path": str, "partition": {col: value} | {}, "rows": int}
+    entries: list[dict[str, Any]]
+    applied_ids: list[str] = field(default_factory=list)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "entries": self.entries,
+                "applied_ids": self.applied_ids,
+            },
+            sort_keys=True,
+        )
+
+
+class TxnTable:
+    """A table addressed by its root directory. All methods are safe to
+    call concurrently from independent writers; readers never block."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._log = os.path.join(path, _TXN_DIR)
+
+    # -- log primitives ------------------------------------------------------
+
+    def latest(self) -> Manifest | None:
+        """Resolve the highest committed manifest (None for an empty or
+        nonexistent table). A half-written temp file is never visible:
+        only fully-linked ``<version>.json`` names are considered."""
+        try:
+            names = os.listdir(self._log)
+        except FileNotFoundError:
+            return None
+        versions = sorted(
+            int(n[: -len(".json")]) for n in names
+            if n.endswith(".json") and n[: -len(".json")].isdigit()
+        )
+        if not versions:
+            return None
+        with open(os.path.join(self._log, f"{versions[-1]:0{_VERSION_WIDTH}d}.json")) as fh:
+            raw = json.load(fh)
+        return Manifest(raw["version"], raw["entries"], raw.get("applied_ids", []))
+
+    def _commit(self, manifest: Manifest) -> None:
+        """Atomically publish ``manifest`` as its version. Raises
+        CommitConflict if that version already exists (lost the race)."""
+        os.makedirs(self._log, exist_ok=True)
+        final = os.path.join(self._log, f"{manifest.version:0{_VERSION_WIDTH}d}.json")
+        tmp = os.path.join(self._log, f".tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(manifest.to_json())
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            # link (not rename): EEXIST on a concurrently-taken version
+            # is the conflict signal; rename would silently clobber
+            os.link(tmp, final)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {manifest.version} of {self.path} committed concurrently"
+            )
+        finally:
+            os.unlink(tmp)
+
+    def _write_data(
+        self, df: DataFrame, partition_col: str | None
+    ) -> list[dict[str, Any]]:
+        """Write ``df`` to a fresh immutable data directory; return the
+        manifest entries describing it. With a partition column the
+        directory is split hive-style so each partition value gets its
+        own entry (manifest-level pruning)."""
+        dest = os.path.join(self.path, "data", uuid.uuid4().hex)
+        if partition_col is None:
+            n = df.count()
+            if n == 0:
+                return []
+            df.write.mode("errorifexists").parquet(dest)
+            return [{"path": dest, "partition": {}, "rows": n}]
+        df.write.mode("errorifexists").partitionBy(partition_col).parquet(dest)
+        entries = []
+        for name in sorted(os.listdir(dest)):
+            if "=" not in name:
+                continue
+            col, _, raw = name.partition("=")
+            entries.append(
+                {"path": os.path.join(dest, name), "partition": {col: raw}, "rows": -1}
+            )
+        return entries
+
+    # -- reads ---------------------------------------------------------------
+
+    def read(
+        self,
+        spark: SparkSession,
+        partition_filter: Any | None = None,
+        partition_type: str = "int",
+    ) -> DataFrame:
+        """Read the current snapshot. ``partition_filter`` (a set of
+        partition values, compared as strings) prunes entries at the
+        manifest — the pruned scans are never planned at all."""
+        m = self.latest()
+        entries = m.entries if m else []
+        if partition_filter is not None:
+            wanted = {str(v) for v in partition_filter}
+            entries = [
+                e for e in entries
+                if not e["partition"] or set(e["partition"].values()) & wanted
+            ]
+        if not entries:
+            raise FileNotFoundError(f"txn table {self.path} is empty")
+        parts = []
+        for e in entries:
+            part_df = spark.read.parquet(e["path"])
+            for col, raw in e["partition"].items():
+                # partitionBy strips the column from the data files;
+                # reattach it from the manifest entry
+                part_df = part_df.withColumn(col, F.lit(raw).cast(partition_type))
+            parts.append(part_df)
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def applied(self, applied_id: str) -> bool:
+        """True iff a committed manifest recorded ``applied_id`` —
+        the exactly-once replay check for streaming folds."""
+        m = self.latest()
+        return m is not None and applied_id in m.applied_ids
+
+    # -- writes --------------------------------------------------------------
+
+    def _retrying_commit(self, build, max_attempts: int = 12) -> Manifest:
+        """Optimistic-concurrency loop: ``build(latest_manifest)``
+        returns the next manifest (or None to no-op); on conflict the
+        log is re-read and ``build`` re-runs against the new tip."""
+        for attempt in range(max_attempts):
+            base = self.latest()
+            nxt = build(base)
+            if nxt is None:
+                return base
+            nxt.version = (base.version + 1) if base else 1
+            try:
+                self._commit(nxt)
+                return nxt
+            except CommitConflict:
+                time.sleep(min(0.05 * (2**attempt), 1.0))
+        raise CommitConflict(f"gave up after {max_attempts} attempts on {self.path}")
+
+    def append(self, df: DataFrame, applied_id: str | None = None) -> None:
+        """Atomically append ``df``'s rows (new files + manifest swap).
+        With ``applied_id``, the append is exactly-once: a replay whose
+        id is already committed is a no-op."""
+        if applied_id is not None and self.applied(applied_id):
+            return
+        new_entries = self._write_data(df, None)
+
+        def build(base: Manifest | None) -> Manifest | None:
+            if applied_id is not None and base and applied_id in base.applied_ids:
+                return None  # lost a race against our own replay twin
+            entries = (list(base.entries) if base else []) + new_entries
+            ids = list(base.applied_ids) if base else []
+            if applied_id is not None:
+                ids.append(applied_id)
+            return Manifest(0, entries, ids)
+
+        self._retrying_commit(build)
+
+    def overwrite(self, df: DataFrame, applied_id: str | None = None) -> None:
+        """Atomically replace the whole table contents."""
+        if applied_id is not None and self.applied(applied_id):
+            return
+        new_entries = self._write_data(df, None)
+
+        def build(base: Manifest | None) -> Manifest | None:
+            if applied_id is not None and base and applied_id in base.applied_ids:
+                return None
+            ids = list(base.applied_ids) if base else []
+            if applied_id is not None:
+                ids.append(applied_id)
+            return Manifest(0, new_entries, ids)
+
+        self._retrying_commit(build)
+
+    def replace_partitions(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        applied_id: str | None = None,
+    ) -> None:
+        """Atomically replace exactly the partitions present in ``df``
+        (dynamic partition overwrite with a crash-safe swap): entries
+        for untouched partition values survive unchanged; the touched
+        values' old entries are dropped and the new files take over —
+        all in one manifest commit."""
+        if applied_id is not None and self.applied(applied_id):
+            return
+        new_entries = self._write_data(df, partition_col)
+        touched = {v for e in new_entries for v in e["partition"].values()}
+
+        def build(base: Manifest | None) -> Manifest | None:
+            if applied_id is not None and base and applied_id in base.applied_ids:
+                return None
+            kept = [
+                e for e in (base.entries if base else [])
+                if not (set(e["partition"].values()) & touched)
+            ]
+            ids = list(base.applied_ids) if base else []
+            if applied_id is not None:
+                ids.append(applied_id)
+            return Manifest(0, kept + new_entries, ids)
+
+        self._retrying_commit(build)
+
+    def merge_upsert(
+        self,
+        new_rows: DataFrame,
+        keys: list[str],
+        version_col: str | None = None,
+        applied_id: str | None = None,
+    ) -> None:
+        """MERGE: insert-or-ignore on ``keys`` (version_col=None — the
+        S5 idempotent append) or insert-or-replace keeping the highest
+        ``version_col`` per key (S6 upsert). Implemented as
+        read-snapshot -> plan-level merge -> atomic overwrite; the
+        snapshot is pinned by the manifest, so a concurrent commit is
+        detected (version conflict) and the merge re-runs against the
+        new snapshot rather than silently clobbering it."""
+        if applied_id is not None and self.applied(applied_id):
+            return
+        from terrorblade_spark.operators.relational import (
+            idempotent_append,
+            upsert_latest,
+        )
+
+        for attempt in range(12):
+            base = self.latest()
+            if base is None or not base.entries:
+                merged = new_rows
+            else:
+                existing = self.read(new_rows.sparkSession)
+                if applied_id is not None and applied_id in base.applied_ids:
+                    return
+                if version_col is None:
+                    merged = idempotent_append(new_rows, existing, keys)
+                else:
+                    merged = upsert_latest(new_rows, existing, keys, version_col)
+            new_entries = self._write_data(merged, None)
+            nxt = Manifest(
+                (base.version + 1) if base else 1,
+                new_entries,
+                (list(base.applied_ids) if base else [])
+                + ([applied_id] if applied_id is not None else []),
+            )
+            try:
+                self._commit(nxt)
+                return
+            except CommitConflict:
+                time.sleep(min(0.05 * (2**attempt), 1.0))
+        raise CommitConflict(f"merge_upsert gave up on {self.path}")
+
+    def compact(self, spark: SparkSession) -> None:
+        """Rewrite the live snapshot into one fresh data directory and
+        commit a single-entry manifest — bounds manifest growth after
+        many incremental commits. Readers mid-flight keep their pinned
+        snapshot (old files are not deleted here; vacuuming orphans is
+        a separate retention decision, as in every log-structured
+        format)."""
+        m = self.latest()
+        if m is None or len(m.entries) <= 1:
+            return
+        snap = self.read(spark)
+        new_entries = self._write_data(snap, None)
+
+        def build(base: Manifest | None) -> Manifest | None:
+            if base is not None and base.version != m.version:
+                return None  # someone committed since; skip this cycle
+            return Manifest(0, new_entries, list(m.applied_ids))
+
+        self._retrying_commit(build)

@@ -193,3 +193,23 @@ def test_hybrid_search_fuses_both_retrievers(tb, spark):
     ids = {(r["chat_id"], r["message_id"]) for r in hits}
     assert (row["chat_id"], row["message_id"]) in ids
     assert all(0 < r["rrf_score"] <= 2 / 61 for r in hits)
+
+
+def test_bm25_index_cached_across_serving_calls(tb):
+    # serving tools must not rebuild the inverted index per call: the
+    # cached Bm25Index is keyed on the messages DataFrame identity
+    idx1 = tb._bm25()
+    idx2 = tb._bm25()
+    assert idx1 is idx2
+    # two searches reuse the same cached relations
+    tb.text_search("the", k=2).collect()
+    assert tb._bm25() is idx1
+    # swapping messages invalidates the cache
+    old_messages = tb.messages
+    tb.messages = tb.messages.limit(50)
+    try:
+        idx3 = tb._bm25()
+        assert idx3 is not idx1
+    finally:
+        tb.messages = old_messages
+        tb._bm25()  # rebuild for any later module-scoped test

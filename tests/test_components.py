@@ -149,3 +149,33 @@ def test_canonicalize_by_score_keeps_best_member(spark):
     assert rows[8] == (8, False)
     # singleton keeps itself
     assert rows[5] == (5, False)
+
+
+def test_canonicalize_by_score_null_scores_fall_back_to_min_id(spark):
+    # a component whose scores are ALL NULL must not vanish from the
+    # output (max(score) is NULL; the eqNullSafe best-pick falls back
+    # to min-id canonicalization); mixed NULL/non-NULL picks among the
+    # non-NULL members, and a NULL-scored singleton keeps itself.
+    from terrorblade_spark.operators.components import canonicalize_by_score
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (7, 7), (8, 7)], "node long, component long"
+    )
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (7, None), (8, 0.4), (5, None)],
+        "doc_id long, quality double",
+    )
+    rows = {
+        r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+        for r in canonicalize_by_score(docs, comp, "doc_id", "quality").collect()
+    }
+    # every input row comes back
+    assert set(rows) == {1, 2, 5, 7, 8}
+    # all-NULL component -> min id canonical
+    assert rows[1] == (1, False)
+    assert rows[2] == (1, True)
+    # mixed component -> the non-NULL scored member wins
+    assert rows[7] == (8, True)
+    assert rows[8] == (8, False)
+    # NULL-scored singleton keeps itself
+    assert rows[5] == (5, False)

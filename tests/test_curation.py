@@ -203,3 +203,19 @@ def test_boilerplate_preserves_blank_lines_and_roundtrips(spark):
     for i, t in enumerate(texts):
         assert out[i]["text"] == t
         assert out[i]["n_removed_lines"] == 0
+
+
+def test_boilerplate_null_text_row_survives(spark):
+    """A NULL-text doc explodes to zero rows — the all-input-rows
+    contract still requires it back, text untouched, 0 removed."""
+    from terrorblade_spark.operators.curation import remove_boilerplate_lines
+
+    banner = "SUBSCRIBE NOW"
+    rows = [(i, f"{banner}\ncontent {i}") for i in range(20)]
+    rows.append((98, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(df, max_line_df=0.1).collect()}
+    assert len(out) == 21
+    assert out[98]["text"] is None
+    assert out[98]["n_removed_lines"] == 0
+    assert out[0]["text"] == "content 0"

@@ -159,7 +159,7 @@ def test_jaccard_df_cap_bounds_hot_shingle_skew(spark):
     neardup = [(n - 2, "real shared content sentence here"), (n - 1, "real shared content sentence here")]
     df = spark.createDataFrame(hot + rest + neardup, ["doc_id", "text"])
 
-    uncapped = jaccard_pairs(df, "doc_id", threshold=0.0)
+    uncapped = jaccard_pairs(df, "doc_id", threshold=0.0, max_shingle_df=None)
     capped = jaccard_pairs(df, "doc_id", threshold=0.0, max_shingle_df=5)
     # the hot shingle ("legal boilerplate footer") co-shingles all 10
     # injected docs -> 45 pairs uncapped; capped keeps only the true pair
@@ -171,6 +171,12 @@ def test_jaccard_df_cap_bounds_hot_shingle_skew(spark):
     # fractional cap: 5% of 100 docs = 5 -> same result
     frac = jaccard_pairs(df, "doc_id", threshold=0.0, max_shingle_df=0.05)
     assert {(r["id_a"], r["id_b"]) for r in frac.collect()} == {(n - 2, n - 1)}
+
+    # DEFAULT path (no arg): the cap is on by default, so the hot
+    # shingle is bounded without the caller doing anything — defaults
+    # are what users run (1% of 100 docs floors to the absolute df=2)
+    default = jaccard_pairs(df, "doc_id", threshold=0.0)
+    assert {(r["id_a"], r["id_b"]) for r in default.collect()} == {(n - 2, n - 1)}
 
 
 def test_jaccard_for_pairs_matches_full_join(spark):
@@ -186,9 +192,11 @@ def test_jaccard_for_pairs_matches_full_join(spark):
             "t s",  # too short to shingle
         ],
     )
+    # max_shingle_df=None: jaccard_for_pairs computes exact full-set
+    # Jaccard, so the corpus-wide twin must be uncapped to agree
     full = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in jaccard_pairs(df, "doc_id", threshold=0.0).collect()
+        for r in jaccard_pairs(df, "doc_id", threshold=0.0, max_shingle_df=None).collect()
     }
     pairs = spark.createDataFrame(
         [(0, 1), (0, 2), (0, 3), (0, 4)], ["id_a", "id_b"]

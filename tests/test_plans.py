@@ -209,3 +209,33 @@ def test_temporal_and_funnel_plans_no_nested_loops(spark, sf_dir):
     # the single intended nested-loop: the 1-row corpus-stats broadcast
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_negative_samples_plan_build_runs_no_job(spark, sf_dir):
+    """Building the negatives plan must not trigger a Spark job (the
+    old pool derivation ran corpus.count() at plan-build time — a full
+    metadata scan and a synchronous driver stall per call at 100 TB).
+    The pool fraction now joins in as a 1-row broadcast scalar."""
+    from terrorblade_spark.operators.sampling import negative_samples
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    anchors = docs.limit(10).select(F.col("doc_id").alias("anchor_id"))
+
+    sc = spark.sparkContext
+    sc.setJobGroup("neg-plan-build", "negatives plan construction")
+    try:
+        plan_df = negative_samples(docs, anchors, id_col="doc_id", k=3)
+        # force full analysis + physical planning (not execution)
+        plan_df._jdf.queryExecution().executedPlan()
+        jobs = sc.statusTracker().getJobIdsForGroup("neg-plan-build")
+    finally:
+        sc.setJobGroup("", "")
+    assert list(jobs) == [], f"plan build ran Spark jobs: {jobs}"
+
+    # results unchanged under a fixed seed (determinism contract)
+    a = {(r["anchor_id"], r["neg_id"], r["neg_rank"]) for r in plan_df.collect()}
+    b = {
+        (r["anchor_id"], r["neg_id"], r["neg_rank"])
+        for r in negative_samples(docs, anchors, id_col="doc_id", k=3).collect()
+    }
+    assert a == b and len(a) == 30

@@ -1,0 +1,199 @@
+"""Transactional table layer: atomic visibility, exactly-once replay,
+crash injection (killed between data write and manifest commit), and
+the rollup state over the txn backend."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from terrorblade_spark.txn import CommitConflict, Manifest, TxnTable
+
+
+def _df(spark, rows, schema="k long, v long"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_append_and_read_roundtrip(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 10), (2, 20)]))
+    t.append(_df(spark, [(3, 30)]))
+    got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    assert t.latest().version == 2
+
+
+def test_empty_append_is_noop_commitwise(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 10)]))
+    t.append(_df(spark, []))
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1]
+
+
+def test_overwrite_replaces_snapshot(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 10), (2, 20)]))
+    t.overwrite(_df(spark, [(9, 90)]))
+    assert [(r["k"], r["v"]) for r in t.read(spark).collect()] == [(9, 90)]
+
+
+def test_applied_id_makes_append_exactly_once(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    batch = _df(spark, [(1, 10)])
+    t.append(batch, applied_id="batch_0")
+    t.append(batch, applied_id="batch_0")  # replay: must no-op
+    assert t.read(spark).count() == 1
+    assert t.applied("batch_0") and not t.applied("batch_1")
+
+
+def test_crash_between_data_write_and_commit_invisible(spark, tmp_path):
+    """Kill the writer after the data files land but before the
+    manifest commit: readers must still see the old snapshot, and the
+    replayed batch must apply exactly once."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 10)]), applied_id="batch_0")
+
+    # simulate the crash: run only the data-write half of append()
+    orphan = t._write_data(_df(spark, [(2, 20)]), None)
+    assert orphan and os.path.exists(orphan[0]["path"])
+    # no commit happened -> the orphaned files are invisible
+    assert [r["k"] for r in t.read(spark).collect()] == [1]
+    assert t.latest().version == 1
+    assert not t.applied("batch_1")
+
+    # the restarted writer replays the batch; state lands exactly once
+    t.append(_df(spark, [(2, 20)]), applied_id="batch_1")
+    t.append(_df(spark, [(2, 20)]), applied_id="batch_1")
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_half_written_manifest_never_visible(spark, tmp_path):
+    """A crash mid-manifest-write leaves only a .tmp file — the log
+    resolver must ignore it."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 10)]))
+    # simulate: partial temp manifest from a dying writer
+    with open(os.path.join(t._log, ".tmp.deadbeef"), "w") as fh:
+        fh.write('{"version": 99, "entr')  # truncated JSON
+    assert t.latest().version == 1
+    assert [r["k"] for r in t.read(spark).collect()] == [1]
+
+
+def test_version_conflict_detected_and_retried(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 10)]))
+    # steal version 2 to force the conflict path
+    t._commit(Manifest(2, list(t.latest().entries)))
+    t.append(_df(spark, [(2, 20)]))  # must retry and land at v3
+    assert t.latest().version == 3
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_direct_commit_conflict_raises(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 10)]))
+    with pytest.raises(CommitConflict):
+        t._commit(Manifest(1, []))
+
+
+def test_merge_upsert_insert_or_ignore_and_replace(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 10), (2, 20)]))
+    # S5 insert-or-ignore: existing key 2 keeps its old value
+    t.merge_upsert(_df(spark, [(2, 99), (3, 30)]), keys=["k"])
+    got = dict((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == {1: 10, 2: 20, 3: 30}
+    # S6 insert-or-replace on a version column
+    t2 = TxnTable(str(tmp_path / "t2"))
+    t2.append(_df(spark, [(1, 1), (2, 1)], "k long, ver long"))
+    t2.merge_upsert(_df(spark, [(2, 5), (3, 2)], "k long, ver long"), keys=["k"], version_col="ver")
+    got2 = dict((r["k"], r["ver"]) for r in t2.read(spark).collect())
+    assert got2 == {1: 1, 2: 5, 3: 2}
+
+
+def test_replace_partitions_touches_only_named_buckets(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    base = _df(spark, [(0, 1, 100), (1, 2, 200), (2, 3, 300)], "b int, k long, v long")
+    t.replace_partitions(base, "b")
+    # replace bucket 1 only
+    t.replace_partitions(_df(spark, [(1, 2, 999)], "b int, k long, v long"), "b")
+    got = {(r["b"], r["k"]): r["v"] for r in t.read(spark).collect()}
+    assert got == {(0, 1): 100, (1, 2): 999, (2, 3): 300}
+    # manifest-level pruning: filtered read only plans the wanted bucket
+    pruned = t.read(spark, partition_filter=[2])
+    assert [(r["b"], r["k"], r["v"]) for r in pruned.collect()] == [(2, 3, 300)]
+
+
+def test_compact_bounds_manifest_entries(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    for i in range(5):
+        t.append(_df(spark, [(i, i * 10)]), applied_id=f"b{i}")
+    assert len(t.latest().entries) == 5
+    t.compact(spark)
+    m = t.latest()
+    assert len(m.entries) == 1
+    # applied ids survive compaction (replay safety is durable)
+    assert all(t.applied(f"b{i}") for i in range(5))
+    assert t.read(spark).count() == 5
+
+
+def test_rollup_txn_exactly_once_under_crash_replay(spark, tmp_path):
+    """The closed crash window: simulate a writer that dies after the
+    state write half (data files written, no commit) and a restart that
+    replays the same batch — the fold must apply exactly once, unlike
+    the marker-file recipe where this window double-counts."""
+    from terrorblade_spark.operators.rollup import (
+        rollup_read_txn,
+        rollup_update_txn,
+    )
+
+    t = TxnTable(str(tmp_path / "state"))
+    b0 = _df(spark, [("a", 1), ("b", 2)], "g string, x long")
+    rollup_update_txn(b0, t, keys=["g"], sum_cols=["x"], applied_id="batch_0")
+
+    b1 = _df(spark, [("a", 10)], "g string, x long")
+    # crash half: data written, commit skipped (manifest untouched)
+    t._write_data(b1, None)
+    assert not t.applied("batch_1")
+
+    # restart: replay batch 1 twice (delivery + a second replay)
+    rollup_update_txn(b1, t, keys=["g"], sum_cols=["x"], applied_id="batch_1")
+    rollup_update_txn(b1, t, keys=["g"], sum_cols=["x"], applied_id="batch_1")
+
+    got = {r["g"]: (r["n_rows"], r["sum_x"]) for r in rollup_read_txn(spark, t).collect()}
+    assert got == {"a": (2, 11), "b": (1, 2)}
+
+
+def test_rollup_txn_matches_direct_aggregate(spark, tmp_path):
+    from terrorblade_spark.operators.rollup import rollup_read_txn, rollup_update_txn
+
+    t = TxnTable(str(tmp_path / "state"))
+    batches = [
+        [("a", 1), ("b", 5), ("a", 3)],
+        [("c", 7)],
+        [("a", 2), ("c", 1)],
+    ]
+    full = []
+    for i, rows in enumerate(batches):
+        full.extend(rows)
+        rollup_update_txn(
+            _df(spark, rows, "g string, x long"), t, keys=["g"],
+            sum_cols=["x"], min_cols=["x"], max_cols=["x"], applied_id=f"b{i}",
+        )
+    direct = {
+        r["g"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in _df(spark, full, "g string, x long")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"),
+            F.min("x").alias("mn"), F.max("x").alias("mx"),
+        )
+        .collect()
+    }
+    folded = {
+        r["g"]: (r["n_rows"], r["sum_x"], r["min_x"], r["max_x"])
+        for r in rollup_read_txn(spark, t).collect()
+    }
+    assert folded == direct
