@@ -54,8 +54,10 @@ def save_bm25(index: Bm25Index, path: str) -> None:
     query-term semi-join)."""
     from pyspark.sql import functions as F
 
+    from terrorblade_spark.operators.search import TERM_BUCKETS
+
     (
-        index.postings.withColumn("term_bucket", F.pmod(F.hash("term"), F.lit(64)))
+        index.postings.withColumn("term_bucket", F.pmod(F.hash("term"), F.lit(TERM_BUCKETS)))
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(f"{path}/postings")
@@ -66,11 +68,19 @@ def save_bm25(index: Bm25Index, path: str) -> None:
 
 
 def load_bm25(spark: SparkSession, path: str) -> Bm25Index:
+    """Load for SERVING: postings keep their ``term_bucket`` partition
+    column and are NOT cached — ``bm25_topk`` turns a query's terms
+    into a literal bucket filter (static partition pruning), so each
+    query reads only its terms' files. Caching the postings up front
+    would materialize the WHOLE index on the first query (measured
+    7.5 s vs 0.5 s at sf0.1) and defeat the at-rest layout. doclen and
+    stats are small per-doc/1-row relations joined by every query —
+    those stay persisted."""
     meta = _read_meta(spark, path)
     if meta.get("kind") != "bm25":
         raise ValueError(f"{path} holds {meta.get('kind')!r}, not a bm25 index")
     return Bm25Index(
-        postings=spark.read.parquet(f"{path}/postings").drop("term_bucket").persist(),
+        postings=spark.read.parquet(f"{path}/postings"),
         doclen=spark.read.parquet(f"{path}/doclen").persist(),
         stats=spark.read.parquet(f"{path}/stats").persist(),
     )

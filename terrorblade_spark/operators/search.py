@@ -43,6 +43,11 @@ from terrorblade_spark.functions.exprs import tokens
 from terrorblade_spark.tables import spread
 
 
+# hive-partition fan-out of the persisted postings (save_bm25); the
+# query-time bucket filter in bm25_topk must use the SAME modulus
+TERM_BUCKETS = 64
+
+
 @dataclass(frozen=True)
 class Bm25Index:
     """The three index relations. At rest these are parquet datasets —
@@ -125,7 +130,26 @@ def bm25_topk(
     spark = index.postings.sparkSession
     qterms = F.broadcast(spark.createDataFrame([(t,) for t in terms], "term string"))
 
-    hits = index.postings.join(qterms, "term")  # only query terms survive
+    postings = index.postings
+    if "term_bucket" in postings.columns:
+        # persisted-index serving: the on-disk postings are hive-
+        # partitioned by term_bucket (save_bm25), so a LITERAL bucket
+        # filter becomes static partition pruning — the query reads
+        # only its terms' files, never the whole index. The buckets
+        # come from one |terms|-row Spark job over literals (the same
+        # F.hash the writer used; bounded metadata, like a touched-
+        # bucket list).
+        buckets = sorted(
+            {
+                r[0]
+                for r in spark.createDataFrame([(t,) for t in terms], "term string")
+                .select(F.pmod(F.hash("term"), F.lit(TERM_BUCKETS)))
+                .collect()
+            }
+        )
+        postings = postings.where(F.col("term_bucket").isin(buckets)).drop("term_bucket")
+
+    hits = postings.join(qterms, "term")  # only query terms survive
     # document frequency per query term — aggregated over the pruned
     # postings (df(t) = |{doc: tf>0}|), a tiny relation (≤ |terms| rows)
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

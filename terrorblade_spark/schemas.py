@@ -132,6 +132,76 @@ EXPORT_FILE = StructType(
 )
 
 
+# --- declared schemas for the driver's test fixture tables ------------------
+# (TESTDATA.md). These are the canonical logical types every query is
+# written against. load_table standardizes each read to them, so a
+# regenerated fixture that drifts physically (float32<->double, widened
+# or narrowed ints, column reorder) can never silently change query
+# semantics again — round 2 died to exactly such a drift (events.ts
+# NANOS->NTZ), and normalize_ts guarded only that one column.
+
+
+def _struct(*fields: tuple[str, object]) -> StructType:
+    return StructType([StructField(n, t) for n, t in fields])
+
+
+def _d():
+    from pyspark.sql.types import DoubleType
+
+    return DoubleType()
+
+
+FIXTURE_TABLES: dict[str, StructType] = {
+    "region": _struct(("r_regionkey", IntegerType()), ("r_name", StringType())),
+    "nation": _struct(
+        ("n_nationkey", IntegerType()), ("n_name", StringType()),
+        ("n_regionkey", IntegerType()),
+    ),
+    "customer": _struct(
+        ("c_custkey", LongType()), ("c_name", StringType()),
+        ("c_nationkey", IntegerType()), ("c_acctbal", _d()),
+        ("c_mktsegment", StringType()),
+    ),
+    "supplier": _struct(
+        ("s_suppkey", LongType()), ("s_name", StringType()),
+        ("s_nationkey", IntegerType()), ("s_acctbal", _d()),
+    ),
+    "part": _struct(
+        ("p_partkey", LongType()), ("p_name", StringType()),
+        ("p_brand", StringType()), ("p_type", StringType()),
+        ("p_size", IntegerType()), ("p_retailprice", _d()),
+    ),
+    "orders": _struct(
+        ("o_orderkey", LongType()), ("o_custkey", LongType()),
+        ("o_orderstatus", StringType()), ("o_totalprice", _d()),
+        ("o_orderdate", TimestampType()), ("o_orderpriority", StringType()),
+    ),
+    "lineitem": _struct(
+        ("l_orderkey", LongType()), ("l_partkey", LongType()),
+        ("l_suppkey", LongType()), ("l_linenumber", IntegerType()),
+        ("l_quantity", _d()), ("l_extendedprice", _d()),
+        ("l_discount", _d()), ("l_tax", _d()),
+        ("l_returnflag", StringType()), ("l_linestatus", StringType()),
+        ("l_shipdate", TimestampType()),
+    ),
+    "events": _struct(
+        ("event_id", LongType()), ("ts", TimestampType()),
+        ("user_id", LongType()), ("event_type", StringType()),
+        ("value", _d()), ("props", StringType()),
+    ),
+    "documents": _struct(
+        ("doc_id", LongType()), ("text", StringType()),
+        ("lang", StringType()), ("source", StringType()),
+        ("n_chars", LongType()),
+    ),
+    "embeddings": _struct(
+        ("vec_id", LongType()),
+        ("embedding", ArrayType(FloatType())),
+        ("label", IntegerType()),
+    ),
+}
+
+
 def standardize(df: DataFrame, schema: StructType) -> DataFrame:
     """P1: add missing columns as typed nulls + cast all to the target
     schema, in schema order (reference TelegramPreprocessor.py:625-651).

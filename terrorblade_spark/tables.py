@@ -73,14 +73,27 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a fixture table and standardize it to its DECLARED schema
+    (schemas.FIXTURE_TABLES): casts any physically-drifted column back
+    to the canonical logical type and restores declared column order.
+    Round 2 died to one such drift (events.ts NANOS->NTZ) that only
+    ``normalize_ts`` guarded; this generalizes the guard to every
+    column of every table. When the physical type already matches,
+    Catalyst's SimplifyCasts removes the no-op casts, so pushdown and
+    pruning are unchanged (plan-asserted in tests/test_plans.py)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}")
+    from terrorblade_spark.schemas import FIXTURE_TABLES, standardize
+
     if name == "events":
         _enable_nanos_read(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
+        # ts needs value-aware conversion (int64-nanos div, NTZ cast)
+        # BEFORE the declared-schema cast: a blind bigint->timestamp
+        # cast would read nanos as seconds
         df = normalize_ts(df)
-    return df
+    return standardize(df, FIXTURE_TABLES[name])
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -133,3 +133,60 @@ def test_events_ts_robust_to_parquet_physical_type(spark, tmp_path, physical):
     assert isinstance(sdf.schema["ts"].dataType, TimestampType)
     # withWatermark is the call that rejected NTZ in round 2
     sdf.withWatermark("ts", "1 hour")
+
+
+@pytest.mark.parametrize(
+    "drift",
+    ["value_float32", "ints_widened", "ints_narrowed", "reordered", "extra_column"],
+)
+def test_fixture_schema_drift_matrix(spark, tmp_path, drift):
+    """Generalized drift guard (the round-2 lesson beyond ts): whatever
+    physical shape a regenerated events fixture ships — float32 value,
+    widened/narrowed ints, reordered columns, stray extra columns —
+    load_table must return the DECLARED schema with identical values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from terrorblade_spark.schemas import FIXTURE_TABLES
+    from terrorblade_spark.tables import load_table
+
+    micros = [1_700_000_000_000_000 + i * 61_000_000 for i in range(5)]
+    cols = {
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array(micros, pa.timestamp("us", tz="UTC")),
+        "user_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "event_type": pa.array(["view"] * 5),
+        "value": pa.array([1.5, 2.5, 3.5, 4.5, 5.5], pa.float64()),
+        "props": pa.array(["{}"] * 5),
+    }
+    if drift == "value_float32":
+        cols["value"] = pa.array([1.5, 2.5, 3.5, 4.5, 5.5], pa.float32())
+    elif drift == "ints_widened":
+        # int32 where the declared type is long
+        cols["event_id"] = pa.array(range(5), pa.int32())
+        cols["user_id"] = pa.array([1, 2, 3, 4, 5], pa.int32())
+    elif drift == "ints_narrowed":
+        # value column shipped as integer cents-style long
+        cols["value"] = pa.array([1, 2, 3, 4, 5], pa.int64())
+    elif drift == "reordered":
+        cols = {k: cols[k] for k in ["props", "value", "user_id", "ts", "event_type", "event_id"]}
+    elif drift == "extra_column":
+        cols["__debug"] = pa.array(["x"] * 5)
+
+    sf_dir = str(tmp_path / drift)
+    os.makedirs(sf_dir)
+    pq.write_table(pa.table(cols), os.path.join(sf_dir, "events.parquet"))
+
+    df = load_table(spark, sf_dir, "events")
+    # schema is EXACTLY the declared one: names, types, order
+    declared = FIXTURE_TABLES["events"]
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in declared.fields
+    ]
+    rows = df.orderBy("event_id").collect()
+    assert [r["user_id"] for r in rows] == [1, 2, 3, 4, 5]
+    expected_vals = (
+        [1.0, 2.0, 3.0, 4.0, 5.0] if drift == "ints_narrowed"
+        else [1.5, 2.5, 3.5, 4.5, 5.5]
+    )
+    assert [r["value"] for r in rows] == expected_vals

@@ -1,0 +1,160 @@
+"""1M-vector IVF-PQ recall/latency harness.
+
+The reference demonstrates its HNSW index at ~928k vectors
+(/root/reference/README.md:211-225); this probe validates the repo's
+distributed analog (ivf_build -> pq_encode -> ivfpq_topk) at the same
+order of magnitude: recall@10 vs brute-force cosine, at nprobe <= 8,
+on >= 1M synthetic clustered vectors.
+
+Corpus model: C topic centers in dim-d space, each vector = its
+center + Gaussian noise (the geometry real embedding corpora have and
+random-uniform fixtures lack — IVF's whole premise is that neighbors
+share coarse cells). Generated distributedly with mapInPandas (numpy
+per batch, no driver materialization).
+
+Usage:
+    python tools/ann_recall_probe.py [--n 1000000] [--dim 64]
+        [--clusters 256] [--n-lists 256] [--nprobe 8] [--m 8]
+        [--n-codes 64] [--queries 5] [--k 10]
+
+Prints one JSON line with recall + wall times; paste into COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from pyspark.sql import functions as F
+
+
+def make_corpus(spark, n: int, dim: int, clusters: int, seed: int = 7):
+    """(vec_id, embedding array<float>) — clustered, deterministic-ish
+    (per-batch seeding; exact reproducibility is not the probe's goal)."""
+    centers = np.random.default_rng(seed).standard_normal((clusters, dim)).astype(
+        np.float64
+    ) * 4.0  # spread centers so clusters are separable
+
+    b_centers = spark.sparkContext.broadcast(centers)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(int(ids[0]) + 1)
+            cent = b_centers.value[ids % b_centers.value.shape[0]]
+            vecs = cent + rng.standard_normal((len(ids), cent.shape[1]))
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [v.astype(np.float32) for v in vecs]}
+            )
+
+    return (
+        spark.range(n)
+        .repartition(64)
+        .mapInPandas(gen, "vec_id long, embedding array<float>")
+    ), centers
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--clusters", type=int, default=256)
+    ap.add_argument("--n-lists", type=int, default=256)
+    ap.add_argument("--nprobe", type=int, default=8)
+    ap.add_argument("--m", type=int, default=8)
+    ap.add_argument("--n-codes", type=int, default=64)
+    ap.add_argument("--queries", type=int, default=5)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--shortlist", type=int, default=1024)
+    args = ap.parse_args()
+
+    from terrorblade_spark.operators.vector import cosine, ivfpq_build, ivfpq_topk
+    from terrorblade_spark.session import get_spark
+
+    spark = get_spark("ann-recall-probe")
+    corpus, centers = make_corpus(spark, args.n, args.dim, args.clusters)
+    corpus = corpus.persist()
+    n = corpus.count()
+
+    t0 = time.time()
+    # residual IVF-PQ; both k-means fits on a 5% sample (~50k points
+    # for 1M) — the 100 TB recipe: model fit is sample-sized,
+    # assignment/encode is one distributed pass
+    enc, cents, cb = ivfpq_build(
+        corpus, n_lists=args.n_lists, m=args.m, n_codes=args.n_codes,
+        seed=7, max_iter=10, train_fraction=0.05,
+    )
+    enc = enc.persist()
+    n_enc = enc.count()
+    t_build = time.time() - t0
+    assert n_enc == n
+
+    # queries: fresh held-out draws around known centers (not corpus rows)
+    qrng = np.random.default_rng(999)
+    recalls = []
+    t_exact_tot = t_ann_tot = 0.0
+    for qi in range(args.queries):
+        c = qrng.integers(0, args.clusters)
+        qvec = (centers[c] + qrng.standard_normal(args.dim)).tolist()
+        qlit = F.array(*[F.lit(float(x)) for x in qvec])
+
+        t0 = time.time()
+        exact = [
+            r["vec_id"]
+            for r in corpus.select(
+                "vec_id", cosine(F.col("embedding"), qlit).alias("s")
+            )
+            .orderBy(F.desc("s"), "vec_id")
+            .limit(args.k)
+            .collect()
+        ]
+        t_exact = time.time() - t0
+
+        t0 = time.time()
+        got = {
+            r["vec_id"]
+            for r in ivfpq_topk(
+                enc, cents, cb, qvec, args.k, m=args.m, nprobe=args.nprobe,
+                shortlist=args.shortlist, residual=True,
+            ).collect()
+        }
+        t_ann = time.time() - t0
+
+        rec = len(got & set(exact)) / args.k
+        recalls.append(rec)
+        t_exact_tot += t_exact
+        t_ann_tot += t_ann
+        print(
+            f"# q{qi}: recall@{args.k}={rec:.2f} exact={t_exact:.2f}s ann={t_ann:.2f}s",
+            flush=True,
+        )
+
+    out = {
+        "probe": "ivfpq_recall_1m",
+        "n_vectors": n,
+        "dim": args.dim,
+        "n_lists": args.n_lists,
+        "nprobe": args.nprobe,
+        "pq_m": args.m,
+        "pq_codes": args.n_codes,
+        "shortlist": args.shortlist,
+        "recall_at_k": sum(recalls) / len(recalls),
+        "k": args.k,
+        "queries": args.queries,
+        "t_index_build_s": round(t_build, 1),
+        "t_exact_per_query_s": round(t_exact_tot / args.queries, 2),
+        "t_ann_per_query_s": round(t_ann_tot / args.queries, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
