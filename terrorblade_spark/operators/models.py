@@ -108,3 +108,35 @@ def load_ivf(spark: SparkSession, path: str):
         spark.read.parquet(f"{path}/assigned"),
         spark.read.parquet(f"{path}/centroids").persist(),
     )
+
+
+def save_ivfpq(encoded, centroids, codebooks, path: str, m: int) -> None:
+    """Persist a residual IVF-PQ index (``ivfpq_build`` output). The
+    encoded relation lands PARTITIONED BY list_id, so a serving query's
+    nprobe probe is static file pruning; centroids and codebooks are
+    model-sized. ``m`` rides the sidecar — the searcher needs it and it
+    is a property of the index, not the query."""
+    encoded.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/encoded"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    _write_meta(encoded.sparkSession, path, {"kind": "ivfpq", "m": m})
+
+
+def load_ivfpq(spark: SparkSession, path: str):
+    """Load for serving: ``(encoded, centroids, codebooks, m)`` ready
+    for ``ivfpq_topk(..., residual=True)``. The encoded relation is NOT
+    cached (the probe's list_id filter prunes its partitioned files per
+    query — caching would materialize the whole index up front, the
+    load_bm25 lesson); centroids/codebooks are model-sized and reused
+    by every query, so they persist."""
+    meta = _read_meta(spark, path)
+    if meta.get("kind") != "ivfpq":
+        raise ValueError(f"{path} holds {meta.get('kind')!r}, not an ivfpq index")
+    return (
+        spark.read.parquet(f"{path}/encoded"),
+        spark.read.parquet(f"{path}/centroids").persist(),
+        spark.read.parquet(f"{path}/codebooks").persist(),
+        int(meta["m"]),
+    )

@@ -215,6 +215,8 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fetch_k: int | None = None,
+    ivf_index: tuple[DataFrame, DataFrame] | None = None,
+    nprobe: int = 8,
 ) -> DataFrame:
     """Hard negatives for contrastive training: each anchor's most
     SIMILAR corpus vectors that are not known positives — the pairs a
@@ -222,27 +224,47 @@ def hard_negatives(
     ``negative_samples`` are trivially distinguishable after a few
     epochs; standard recipes mix both).
 
-    Composition of existing scale paths: a k-NN join (broadcast
-    anchors, per-anchor top-``fetch_k``) then positive exclusion and a
-    re-rank to k. fetch_k defaults to k + the anchor's positive budget
-    (k + 16) so exclusions don't starve the result; raise it if
-    anchors have many positives. Swap the brute-force knn_join for
-    ``ivf_topk`` per anchor when the corpus is IVF-indexed — the
+    Composition of existing scale paths: a k-NN join (per-anchor
+    top-``fetch_k``) then positive exclusion and a re-rank to k.
+    fetch_k defaults to k + the anchor's positive budget (k + 16) so
+    exclusions don't starve the result; raise it if anchors have many
+    positives.
+
+    ``ivf_index`` — the ``(assigned, centroids)`` pair from
+    ``ivf_build`` — switches the retrieval stage from the brute-force
+    broadcast scan to the batch ``ivf_knn_join``: each anchor scores
+    only its ``nprobe`` probed lists (~nprobe/n_lists of the corpus).
+    This is the shape at real scale, where anchors number millions and
+    the corpus billions; ``corpus_emb`` is ignored in that mode. The
     contract (anchor_id, neg_id, neg_rank, cosine_sim) is unchanged.
     """
     from pyspark.sql import Window
 
-    from terrorblade_spark.operators.vector import knn_join
+    from terrorblade_spark.operators.vector import ivf_knn_join, knn_join
 
     fetch = fetch_k if fetch_k is not None else k + 16
-    nn = knn_join(
-        anchors_emb.select(F.col(anchor_col).alias(id_col), vec_col),
-        corpus_emb,
-        k=fetch,
-        id_col=id_col,
-        vec_col=vec_col,
-        query_id_col=anchor_col,
-    )
+    anchors = anchors_emb.select(F.col(anchor_col).alias(id_col), vec_col)
+    if ivf_index is not None:
+        assigned, centroids = ivf_index
+        nn = ivf_knn_join(
+            anchors,
+            assigned,
+            centroids,
+            k=fetch,
+            nprobe=nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=anchor_col,
+        )
+    else:
+        nn = knn_join(
+            anchors,
+            corpus_emb,
+            k=fetch,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=anchor_col,
+        )
     if positives is not None:
         nn = nn.join(
             positives.select(anchor_col, F.col(id_col).alias("neighbor_id")),

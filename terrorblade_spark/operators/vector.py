@@ -467,6 +467,74 @@ def _adc_dist(codebooks: DataFrame, query_vec: list[float], m: int, code_col: st
     )
 
 
+def ivf_knn_join(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    list_col: str = "list_id",
+) -> DataFrame:
+    """Batch approximate k-NN JOIN over an IVF index: every query row
+    gets its top-k neighbors from its own ``nprobe`` nearest lists —
+    the set-wise shape batch jobs need (hard-negative mining, near-dup
+    discovery, recommendation backfills), where a per-query loop over
+    ``ivf_topk`` would be a driver loop.
+
+    Plan: queries x broadcast centroids (model-sized) -> per-query
+    row_number keeps nprobe lists -> equi-join that (query, list)
+    relation with the assigned corpus ON ``list_col`` -> exact cosine
+    -> per-query top-k window. The corpus side shuffles on list_id at
+    most once (zero times if written partitioned by list, the
+    ``save_ivf`` layout); each query scores ~nprobe/n_lists of the
+    corpus instead of all of it — the brute ``knn_join`` broadcast
+    stays preferable only when the query set is tiny.
+
+    Returns (query_id, neighbor_id, rank, cosine_sim); self-matches
+    (neighbor == query id) are excluded like ``knn_join``.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__csim", cosine(F.col("centroid"), F.col("__qvec")))
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.desc("__csim"), F.col(list_col)
+                )
+            ),
+        )
+        .where(F.col("__pr") <= nprobe)
+        .select(query_id_col, list_col, "__qvec", "__qnorm")
+    )
+    n = norm(F.col(vec_col)) * F.col("__qnorm")
+    scored = (
+        assigned.join(probed, on=list_col)
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.when(n > 0, dot(F.col(vec_col), F.col("__qvec")) / n).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cosine_sim")
+    )
+
+
 def ivfpq_build(
     vectors: DataFrame,
     n_lists: int = 256,

@@ -61,6 +61,11 @@ def _load_all() -> None:
 # to full value-oracle queries; overflow entries remain registered and
 # runnable (check_oracle still verifies them locally) but take no slot.
 GATE_OVERFLOW: tuple[str, ...] = (
+    # 51st full-oracle query (added round 4): the gate holds 50, and
+    # displacing a long-green slot for it would churn the harness
+    # history — it stays oracle-verified by the local check_oracle runs
+    # (green at sf0.001, sf0.01, and the 10x sf1 dir)
+    "q71_bm25_persisted_topk",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

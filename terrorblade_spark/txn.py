@@ -92,23 +92,34 @@ class TxnTable:
 
     # -- log primitives ------------------------------------------------------
 
+    def _versions(self) -> list[int]:
+        try:
+            names = os.listdir(self._log)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[: -len(".json")]) for n in names
+            if n.endswith(".json") and n[: -len(".json")].isdigit()
+        )
+
+    def _read_manifest(self, version: int) -> Manifest:
+        with open(os.path.join(self._log, f"{version:0{_VERSION_WIDTH}d}.json")) as fh:
+            raw = json.load(fh)
+        return Manifest(raw["version"], raw["entries"], raw.get("applied_ids", []))
+
     def latest(self) -> Manifest | None:
         """Resolve the highest committed manifest (None for an empty or
         nonexistent table). A half-written temp file is never visible:
         only fully-linked ``<version>.json`` names are considered."""
-        try:
-            names = os.listdir(self._log)
-        except FileNotFoundError:
-            return None
-        versions = sorted(
-            int(n[: -len(".json")]) for n in names
-            if n.endswith(".json") and n[: -len(".json")].isdigit()
-        )
+        versions = self._versions()
         if not versions:
             return None
-        with open(os.path.join(self._log, f"{versions[-1]:0{_VERSION_WIDTH}d}.json")) as fh:
-            raw = json.load(fh)
-        return Manifest(raw["version"], raw["entries"], raw.get("applied_ids", []))
+        return self._read_manifest(versions[-1])
+
+    def history(self) -> list[int]:
+        """Committed versions, ascending — each is a readable snapshot
+        (time travel) until a retention pass deletes its data files."""
+        return self._versions()
 
     def _commit(self, manifest: Manifest) -> None:
         """Atomically publish ``manifest`` as its version. Raises
@@ -163,11 +174,15 @@ class TxnTable:
         spark: SparkSession,
         partition_filter: Any | None = None,
         partition_type: str = "int",
+        version: int | None = None,
     ) -> DataFrame:
-        """Read the current snapshot. ``partition_filter`` (a set of
-        partition values, compared as strings) prunes entries at the
-        manifest — the pruned scans are never planned at all."""
-        m = self.latest()
+        """Read the current snapshot — or, with ``version``, any past
+        committed snapshot (time travel: data files are immutable and
+        manifests name exactly the files live at that version).
+        ``partition_filter`` (a set of partition values, compared as
+        strings) prunes entries at the manifest — the pruned scans are
+        never planned at all."""
+        m = self._read_manifest(version) if version is not None else self.latest()
         entries = m.entries if m else []
         if partition_filter is not None:
             wanted = {str(v) for v in partition_filter}

@@ -379,3 +379,34 @@ def test_weighted_sample_is_weight_proportional(spark):
     heavy = out.where(F.col("doc_id") % 10 == 0).count()
     # P(heavy wins its stratum) = 50/59 ~ 0.85; expect ~255/300
     assert heavy > 200
+
+
+def test_hard_negatives_ivf_mode_matches_brute_at_full_probe(spark):
+    """hard_negatives(ivf_index=...) at nprobe=all lists must equal the
+    brute-force mode — the IVF switch changes cost, not contract."""
+    import random
+
+    from terrorblade_spark.operators.sampling import hard_negatives
+    from terrorblade_spark.operators.vector import ivf_build
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = spark.createDataFrame(rows[:6], "anchor_id long, embedding array<double>")
+    positives = spark.createDataFrame(
+        [(0, 1), (1, 2)], "anchor_id long, vec_id long"
+    )
+
+    brute = {
+        (r["anchor_id"], r["neg_rank"]): r["neg_id"]
+        for r in hard_negatives(anchors, corpus, k=3, positives=positives).collect()
+    }
+    assigned, cents = ivf_build(corpus, n_lists=3, seed=5)
+    ivf = {
+        (r["anchor_id"], r["neg_rank"]): r["neg_id"]
+        for r in hard_negatives(
+            anchors, corpus, k=3, positives=positives,
+            ivf_index=(assigned, cents), nprobe=3,
+        ).collect()
+    }
+    assert ivf == brute

@@ -197,3 +197,16 @@ def test_rollup_txn_matches_direct_aggregate(spark, tmp_path):
         for r in rollup_read_txn(spark, t).collect()
     }
     assert folded == direct
+
+
+def test_time_travel_reads_past_snapshots(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 10)]))
+    t.overwrite(_df(spark, [(2, 20)]))
+    t.append(_df(spark, [(3, 30)]))
+    assert t.history() == [1, 2, 3]
+    assert [r["k"] for r in t.read(spark, version=1).collect()] == [1]
+    assert [r["k"] for r in t.read(spark, version=2).collect()] == [2]
+    assert sorted(r["k"] for r in t.read(spark, version=3).collect()) == [2, 3]
+    # latest == highest version
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [2, 3]

@@ -414,3 +414,75 @@ def test_ivfpq_residual_build_and_search(spark, sf_dir):
     }
     assert qrow["vec_id"] in approx
     assert len(approx & exact) / k >= 0.5
+
+
+def test_ivfpq_save_load_roundtrip_serving(spark, sf_dir, tmp_path):
+    """Persisted IVF-PQ: save, load, and serve — results identical to
+    the in-memory index, and the loaded search reads only probed
+    lists' files (partition filter visible in the scan)."""
+    from terrorblade_spark.operators.models import load_ivfpq, save_ivfpq
+    from terrorblade_spark.operators.vector import ivfpq_build, ivfpq_topk
+    from terrorblade_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    m = 16
+    enc, cents, cb = ivfpq_build(emb, n_lists=4, m=m, n_codes=16, seed=7)
+    path = str(tmp_path / "ivfpq")
+    save_ivfpq(enc, cents, cb, path, m=m)
+
+    enc2, cents2, cb2, m2 = load_ivfpq(spark, path)
+    assert m2 == m
+    qrow = emb.orderBy("vec_id").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    mem = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ivfpq_topk(enc, cents, cb, qvec, 10, m=m, nprobe=2, residual=True).collect()
+    ]
+    disk = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ivfpq_topk(enc2, cents2, cb2, qvec, 10, m=m2, nprobe=2, residual=True).collect()
+    ]
+    assert disk == mem
+    # kind check refuses a mismatched load
+    import pytest as _pytest
+
+    from terrorblade_spark.operators.models import load_ivf
+
+    with _pytest.raises(ValueError):
+        load_ivf(spark, path)
+
+
+def test_ivf_knn_join_matches_brute_at_full_probe(spark, sf_dir):
+    """Batch ANN join: probing ALL lists must reproduce the brute-force
+    knn_join exactly; partial probes stay high-recall and never return
+    self-matches or more than k rows per query."""
+    from terrorblade_spark.operators.vector import ivf_build, ivf_knn_join, knn_join
+    from terrorblade_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    queries = emb.orderBy("vec_id").limit(8)
+    assigned, cents = ivf_build(emb, n_lists=4, seed=7)
+    assigned = assigned.persist()
+
+    brute = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_join(queries, emb, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_knn_join(queries, assigned, cents, k=5, nprobe=4).collect()
+    }
+    assert full == brute
+
+    part = ivf_knn_join(queries, assigned, cents, k=5, nprobe=2).collect()
+    per_q = {}
+    for r in part:
+        assert r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    assert all(len(v) <= 5 for v in per_q.values())
+    # partial probe still finds most of the true neighbors
+    hits = sum(1 for key, nid in full.items() if any(
+        r["query_id"] == key[0] and r["neighbor_id"] == nid for r in part
+    ))
+    assert hits / len(full) >= 0.5
