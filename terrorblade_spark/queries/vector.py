@@ -102,6 +102,15 @@ def q38_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded brute force: exact pairwise cosine WITHIN a label.
+
+    SCALE CONTRACT: cost is quadratic in label population and the join
+    parallelism is the label cardinality — safe only while groups stay
+    bounded (measured: a 10x scale-up that grew populations instead of
+    group count took q39 from seconds to tens of minutes on ~10 hot
+    keys). When a group can grow with the corpus, use the LSH-bucketed
+    (q52 shape) or MinHash-LSH (q33) candidate path instead.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.alias("a")
     b = emb.alias("b")

@@ -239,3 +239,18 @@ def test_negative_samples_plan_build_runs_no_job(spark, sf_dir):
         for r in negative_samples(docs, anchors, id_col="doc_id", k=3).collect()
     }
     assert a == b and len(a) == 30
+
+
+def test_ivf_knn_join_plan_is_equi_join(spark, sf_dir):
+    """The batch ANN join must stay hash-equi-join shaped on list_id —
+    a nested loop or cartesian means the probe relation leaked into a
+    non-equi condition and the plan dies at corpus scale."""
+    from terrorblade_spark.operators.vector import ivf_build, ivf_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(4)
+    assigned, cents = ivf_build(emb, n_lists=4, seed=7)
+    plan = _plan(ivf_knn_join(queries, assigned, cents, k=3, nprobe=2))
+    assert "CartesianProduct" not in plan, plan[:1500]
+    # the single intended nested loop: queries x model-sized centroids
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:1500]

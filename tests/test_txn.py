@@ -210,3 +210,25 @@ def test_time_travel_reads_past_snapshots(spark, tmp_path):
     assert sorted(r["k"] for r in t.read(spark, version=3).collect()) == [2, 3]
     # latest == highest version
     assert sorted(r["k"] for r in t.read(spark).collect()) == [2, 3]
+
+
+def test_concurrent_writers_all_land(spark, tmp_path):
+    """Optimistic concurrency under real contention: 8 threads append
+    simultaneously; every batch must land exactly once and the log must
+    be a gap-free version chain."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = TxnTable(str(tmp_path / "t"))
+    dfs = [(i, _df(spark, [(i, i * 10)])) for i in range(8)]
+
+    def write(arg):
+        i, df = arg
+        t.append(df, applied_id=f"w{i}")
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(write, dfs))
+
+    rows = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert rows == [(i, i * 10) for i in range(8)]
+    assert t.history() == list(range(1, 9))  # gap-free chain
+    assert all(t.applied(f"w{i}") for i in range(8))

@@ -43,7 +43,13 @@ SHIFTS = {
     "lineitem": {"l_orderkey": True, "l_partkey": True, "l_suppkey": True},
     "events": {"event_id": True, "user_id": True},
     "documents": {"doc_id": True},
-    "embeddings": {"vec_id": True},
+    # label IS shifted (by a small int32-safe band): it is a per-corpus
+    # cluster id, not a shared dim. Leaving it unshifted multiplies each
+    # label's population by N and makes every within-label pairwise
+    # operator (q39's bounded brute force) N^2x instead of Nx — the
+    # first sf1 build did exactly that and q39 went from seconds to
+    # tens of minutes on ~10 hot join keys.
+    "embeddings": {"vec_id": True, "label": 1000},
 }
 
 
@@ -61,7 +67,11 @@ def build(base: str, out: str, copies: int) -> None:
         exprs = []
         for c in cols:
             if shift.get(c):
-                exprs.append(f"{c} + CAST(i AS BIGINT) * {OFF} AS {c}")
+                # True -> the wide BIGINT band; an int -> a narrow
+                # type-preserving band (int32 columns like label)
+                band = OFF if shift[c] is True else int(shift[c])
+                cast = "BIGINT" if shift[c] is True else "INTEGER"
+                exprs.append(f"{c} + CAST(i AS {cast}) * {band} AS {c}")
             elif table == "documents" and c == "text":
                 # word-suffix every token in replicas > 0: disjoint
                 # shingle sets across replicas, identical within
