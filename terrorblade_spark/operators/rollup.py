@@ -189,7 +189,19 @@ def rollup_update_txn(
     Same plan as ``rollup_update``: partial-aggregate the batch, read
     ONLY touched buckets (manifest-level pruning — the untouched
     buckets' scans are never planned), merge, replace those buckets.
+
+    Concurrency: the read+merge runs INSIDE the optimistic retry loop,
+    pinned to the manifest version it read (``expected_version``). If
+    another writer commits a merge to the table between our read and
+    our commit, the commit conflicts and we re-read the NEW state and
+    re-merge — both writers' batches land (no lost update). Merging
+    from a pre-loop snapshot and letting the commit layer retry would
+    silently overwrite the other writer's fold.
     """
+    import time as _time
+
+    from terrorblade_spark.txn import CommitConflict
+
     if applied_id is not None and table.applied(applied_id):
         return
     spark = batch.sparkSession
@@ -199,15 +211,32 @@ def rollup_update_txn(
     ).persist()
     touched = [r[0] for r in part.select(BUCKET_COL).distinct().collect()]
     try:
-        try:
-            existing = table.read(spark, partition_filter=touched)
-            merged = _merge(
-                existing.unionByName(part),
-                keys, sum_cols, min_cols, max_cols, distinct_col is not None,
-            )
-        except FileNotFoundError:
-            merged = _merge(part, keys, sum_cols, min_cols, max_cols, distinct_col is not None)
-        table.replace_partitions(merged, BUCKET_COL, applied_id=applied_id)
+        for attempt in range(12):
+            base = table.latest()
+            base_version = base.version if base else 0
+            if applied_id is not None and base and applied_id in base.applied_ids:
+                return
+            try:
+                existing = table.read(
+                    spark, partition_filter=touched, version=base_version or None
+                )
+                merged = _merge(
+                    existing.unionByName(part),
+                    keys, sum_cols, min_cols, max_cols, distinct_col is not None,
+                )
+            except FileNotFoundError:
+                merged = _merge(
+                    part, keys, sum_cols, min_cols, max_cols, distinct_col is not None
+                )
+            try:
+                table.replace_partitions(
+                    merged, BUCKET_COL,
+                    applied_id=applied_id, expected_version=base_version,
+                )
+                return
+            except CommitConflict:
+                _time.sleep(min(0.05 * (2**attempt), 1.0))
+        raise CommitConflict(f"rollup_update_txn gave up on {table.path}")
     finally:
         part.unpersist()
 

@@ -191,10 +191,30 @@ _Q71_K1, _Q71_B = 1.2, 0.75
 
 
 def _q71_index_path(sf_dir: str) -> str:
+    """Cache key = fixture dir + a FINGERPRINT of documents.parquet
+    (relative path, size, mtime of every file): a regenerated fixture
+    at the same path gets a fresh key instead of silently serving the
+    stale index (the same drift class load_table's schema guard
+    catches on the read side)."""
     import hashlib
     import os
 
-    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    h = hashlib.md5(sf_dir.rstrip("/").encode())
+    docs = os.path.join(sf_dir, "documents.parquet")
+    paths = [docs]
+    if os.path.isdir(docs):
+        paths = [
+            os.path.join(root, name)
+            for root, _, names in os.walk(docs)
+            for name in sorted(names)
+        ]
+    for p in sorted(paths):
+        try:
+            st = os.stat(p)
+        except FileNotFoundError:
+            continue
+        h.update(f"{os.path.relpath(p, sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    tag = h.hexdigest()[:16]
     return os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".data", "index", f"bm25_{tag}",

@@ -57,6 +57,22 @@ from pyspark.sql import functions as F
 
 _TXN_DIR = "_txn"
 _VERSION_WIDTH = 20
+# Replay-detection horizon: each manifest carries at most this many
+# applied ids (oldest dropped first). Without a cap the list — copied
+# forward by every commit — grows O(total batches ever applied) and each
+# commit re-serializes all of it. The cap bounds manifest size at the
+# cost of a bounded horizon: a replay is detected iff its id is among
+# the last MAX_APPLIED_IDS committed. Structured Streaming's foreachBatch
+# redelivers only the most recent unacknowledged batch per query, so any
+# horizon >= the number of concurrent writer queries is safe; 4096 gives
+# four orders of magnitude of headroom. (Delta bounds the same state by
+# keeping one txn action per appId; ids here are opaque strings, so an
+# ordered tail is the equivalent bound.)
+MAX_APPLIED_IDS = 4096
+
+
+def _cap_ids(ids: list[str]) -> list[str]:
+    return ids[-MAX_APPLIED_IDS:] if len(ids) > MAX_APPLIED_IDS else ids
 
 
 class CommitConflict(Exception):
@@ -242,7 +258,7 @@ class TxnTable:
             ids = list(base.applied_ids) if base else []
             if applied_id is not None:
                 ids.append(applied_id)
-            return Manifest(0, entries, ids)
+            return Manifest(0, entries, _cap_ids(ids))
 
         self._retrying_commit(build)
 
@@ -258,7 +274,7 @@ class TxnTable:
             ids = list(base.applied_ids) if base else []
             if applied_id is not None:
                 ids.append(applied_id)
-            return Manifest(0, new_entries, ids)
+            return Manifest(0, new_entries, _cap_ids(ids))
 
         self._retrying_commit(build)
 
@@ -267,28 +283,74 @@ class TxnTable:
         df: DataFrame,
         partition_col: str,
         applied_id: str | None = None,
+        expected_version: int | None = None,
     ) -> None:
         """Atomically replace exactly the partitions present in ``df``
         (dynamic partition overwrite with a crash-safe swap): entries
         for untouched partition values survive unchanged; the touched
         values' old entries are dropped and the new files take over —
-        all in one manifest commit."""
+        all in one manifest commit.
+
+        Entries written WITHOUT partitioning (``append``/``overwrite``,
+        or a ``compact`` of a mixed snapshot) may hold live rows for the
+        touched values too, so they are SPLIT, not kept: their rows for
+        untouched values are rewritten as per-partition entries and
+        their rows for touched values are dropped — still one atomic
+        commit. Requires the unpartitioned data to actually contain
+        ``partition_col`` (raises ValueError otherwise — refusing is
+        better than silently leaving stale rows live). Partition values
+        are compared as their hive directory strings, which is exact for
+        the int/simple-string keys used here.
+
+        ``expected_version`` is the optimistic-concurrency handle for
+        read-merge-replace callers (``rollup_update_txn``): the commit
+        succeeds only if the table tip is still exactly that version
+        (0 = expected empty). Any concurrent commit in between raises
+        CommitConflict to the CALLER so it can re-read and re-merge —
+        retrying internally here would silently overwrite the other
+        writer's merge (lost update)."""
         if applied_id is not None and self.applied(applied_id):
             return
+        spark = df.sparkSession
         new_entries = self._write_data(df, partition_col)
         touched = {v for e in new_entries for v in e["partition"].values()}
 
         def build(base: Manifest | None) -> Manifest | None:
+            if expected_version is not None:
+                tip = base.version if base else 0
+                if tip != expected_version:
+                    raise CommitConflict(
+                        f"{self.path} moved to v{tip} (expected v{expected_version})"
+                    )
             if applied_id is not None and base and applied_id in base.applied_ids:
                 return None
+            old = base.entries if base else []
             kept = [
-                e for e in (base.entries if base else [])
-                if not (set(e["partition"].values()) & touched)
+                e for e in old
+                if e["partition"] and not (set(e["partition"].values()) & touched)
             ]
+            unpart = [e for e in old if not e["partition"]]
+            split_entries: list[dict[str, Any]] = []
+            if unpart and touched:
+                stale = reduce(
+                    lambda a, b: a.unionByName(b),
+                    [spark.read.parquet(e["path"]) for e in unpart],
+                )
+                if partition_col not in stale.columns:
+                    raise ValueError(
+                        f"txn table {self.path} has unpartitioned entries without "
+                        f"column {partition_col!r}; cannot replace partitions safely"
+                    )
+                remainder = stale.where(
+                    ~F.col(partition_col).cast("string").isin(sorted(touched))
+                )
+                split_entries = self._write_data(remainder, partition_col)
+            elif unpart:
+                kept = unpart + kept
             ids = list(base.applied_ids) if base else []
             if applied_id is not None:
                 ids.append(applied_id)
-            return Manifest(0, kept + new_entries, ids)
+            return Manifest(0, kept + split_entries + new_entries, _cap_ids(ids))
 
         self._retrying_commit(build)
 
@@ -329,8 +391,10 @@ class TxnTable:
             nxt = Manifest(
                 (base.version + 1) if base else 1,
                 new_entries,
-                (list(base.applied_ids) if base else [])
-                + ([applied_id] if applied_id is not None else []),
+                _cap_ids(
+                    (list(base.applied_ids) if base else [])
+                    + ([applied_id] if applied_id is not None else [])
+                ),
             )
             try:
                 self._commit(nxt)
@@ -341,16 +405,27 @@ class TxnTable:
 
     def compact(self, spark: SparkSession) -> None:
         """Rewrite the live snapshot into one fresh data directory and
-        commit a single-entry manifest — bounds manifest growth after
-        many incremental commits. Readers mid-flight keep their pinned
-        snapshot (old files are not deleted here; vacuuming orphans is
-        a separate retention decision, as in every log-structured
-        format)."""
+        commit a minimal manifest — bounds manifest growth after many
+        incremental commits. A table whose live entries are all
+        partitioned by the same single column keeps that partitioning
+        (one entry per value, so manifest-level pruning and
+        ``replace_partitions`` stay cheap after a compact); mixed or
+        unpartitioned snapshots compact to one unpartitioned entry,
+        which ``replace_partitions`` splits safely if later touched.
+        Readers mid-flight keep their pinned snapshot (old files are
+        not deleted here; vacuuming orphans is a separate retention
+        decision, as in every log-structured format)."""
         m = self.latest()
         if m is None or len(m.entries) <= 1:
             return
+        part_keys = {tuple(sorted(e["partition"])) for e in m.entries}
+        keep_col = None
+        if len(part_keys) == 1:
+            only = next(iter(part_keys))
+            if len(only) == 1:
+                keep_col = only[0]
         snap = self.read(spark)
-        new_entries = self._write_data(snap, None)
+        new_entries = self._write_data(snap, keep_col)
 
         def build(base: Manifest | None) -> Manifest | None:
             if base is not None and base.version != m.version:

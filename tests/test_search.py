@@ -194,3 +194,33 @@ def test_model_kind_mismatch_refused(spark, sf_dir, index, tmp_path):
     save_bm25(index, path)
     with pytest.raises(ValueError, match="not an ngram_lm"):
         load_lm(spark, path)
+
+
+def test_q71_index_cache_key_tracks_fixture_fingerprint(tmp_path):
+    """A regenerated fixture at the SAME path must get a fresh index
+    cache key (round-4 review: stale persisted BM25 served after a
+    fixture rewrite)."""
+    import os
+    import time
+
+    from terrorblade_spark.queries.text import _q71_index_path
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    doc = d / "documents.parquet"
+    doc.write_bytes(b"one")
+    k1 = _q71_index_path(str(d))
+    k_same = _q71_index_path(str(d))
+    assert k1 == k_same  # stable while the fixture is unchanged
+    time.sleep(0.01)
+    doc.write_bytes(b"two!")  # regenerated fixture: new size + mtime
+    k2 = _q71_index_path(str(d))
+    assert k2 != k1
+    # directory-of-parts layout fingerprints every part file
+    os.remove(doc)
+    part_dir = d / "documents.parquet"
+    part_dir.mkdir()
+    (part_dir / "part-0.parquet").write_bytes(b"p0")
+    k3 = _q71_index_path(str(d))
+    (part_dir / "part-0.parquet").write_bytes(b"p0-rewritten")
+    assert _q71_index_path(str(d)) != k3

@@ -232,3 +232,102 @@ def test_concurrent_writers_all_land(spark, tmp_path):
     assert rows == [(i, i * 10) for i in range(8)]
     assert t.history() == list(range(1, 9))  # gap-free chain
     assert all(t.applied(f"w{i}") for i in range(8))
+
+
+def test_compact_then_replace_partitions_drops_stale_rows(spark, tmp_path):
+    """The round-4 review bug: compact() rewrites a partitioned table
+    into one unpartitioned entry; a later replace_partitions must NOT
+    keep that entry's rows for the replaced value live (silent
+    double-count). The unpartitioned remainder must be split, and the
+    replaced bucket must hold exactly the new rows."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.replace_partitions(
+        _df(spark, [(0, 1, 100), (1, 2, 999), (2, 3, 300)], "b int, k long, v long"), "b"
+    )
+    t.compact(spark)
+    t.replace_partitions(_df(spark, [(1, 2, 555)], "b int, k long, v long"), "b")
+    got = sorted((r["b"], r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == [(0, 1, 100), (1, 2, 555), (2, 3, 300)]
+    # and the same through an APPEND-created unpartitioned entry
+    t2 = TxnTable(str(tmp_path / "t2"))
+    t2.append(_df(spark, [(0, 1, 100), (1, 2, 999)], "b int, k long, v long"))
+    t2.replace_partitions(_df(spark, [(1, 2, 555)], "b int, k long, v long"), "b")
+    got2 = sorted((r["b"], r["v"]) for r in t2.read(spark).collect())
+    assert got2 == [(0, 100), (1, 555)]
+
+
+def test_compact_preserves_single_column_partitioning(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.replace_partitions(
+        _df(spark, [(0, 1, 100), (1, 2, 200)], "b int, k long, v long"), "b"
+    )
+    t.replace_partitions(_df(spark, [(1, 2, 999)], "b int, k long, v long"), "b")
+    t.compact(spark)
+    m = t.latest()
+    # one entry per live partition value, each still prunable
+    assert sorted(e["partition"].get("b") for e in m.entries) == ["0", "1"]
+    pruned = t.read(spark, partition_filter=[1])
+    assert [(r["b"], r["v"]) for r in pruned.collect()] == [(1, 999)]
+
+
+def test_replace_partitions_without_partition_col_raises(spark, tmp_path):
+    """An unpartitioned entry LACKING the partition column cannot be
+    split — refusing beats silently keeping its stale rows live."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 10)]))  # schema k, v — no 'b'
+    with pytest.raises(ValueError, match="unpartitioned entries without"):
+        t.replace_partitions(_df(spark, [(1, 2, 555)], "b int, k long, v long"), "b")
+
+
+def test_replace_partitions_expected_version_conflict(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    df = _df(spark, [(1, 2, 555)], "b int, k long, v long")
+    t.replace_partitions(df, "b")
+    with pytest.raises(CommitConflict):
+        t.replace_partitions(df, "b", expected_version=0)  # tip is v1, not empty
+    t.replace_partitions(df, "b", expected_version=1)  # matching tip commits
+    assert t.latest().version == 2
+
+
+def test_applied_ids_bounded_per_manifest(spark, tmp_path):
+    from terrorblade_spark import txn as txn_mod
+
+    old = txn_mod.MAX_APPLIED_IDS
+    txn_mod.MAX_APPLIED_IDS = 3
+    try:
+        t = TxnTable(str(tmp_path / "t"))
+        for i in range(5):
+            t.append(_df(spark, [(i, i)]), applied_id=f"b{i}")
+        m = t.latest()
+        assert m.applied_ids == ["b2", "b3", "b4"]  # horizon = last 3
+        assert t.applied("b4") and not t.applied("b0")  # aged out of horizon
+        assert t.read(spark).count() == 5  # data itself is never dropped
+    finally:
+        txn_mod.MAX_APPLIED_IDS = old
+
+
+def test_concurrent_rollup_writers_no_lost_update(spark, tmp_path):
+    """The round-4 review lost-update: two writers folding different
+    batches into the SAME bucket concurrently — both merges must land
+    (the loser re-reads and re-merges instead of overwriting)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from terrorblade_spark.operators.rollup import rollup_read_txn, rollup_update_txn
+
+    t = TxnTable(str(tmp_path / "state"))
+    batches = [
+        (f"w{i}", [("a", 1), ("b", i)]) for i in range(6)
+    ]  # same keys -> same buckets, maximum contention
+
+    def fold(arg):
+        wid, rows = arg
+        rollup_update_txn(
+            _df(spark, rows, "g string, x long"), t,
+            keys=["g"], sum_cols=["x"], applied_id=wid,
+        )
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        list(ex.map(fold, batches))
+
+    got = {r["g"]: (r["n_rows"], r["sum_x"]) for r in rollup_read_txn(spark, t).collect()}
+    assert got == {"a": (6, 6), "b": (6, sum(range(6)))}
