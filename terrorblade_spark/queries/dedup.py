@@ -323,3 +323,47 @@ def _duck_simhash() -> str:
 def q35_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return simhash_values(d, "doc_id", "text", _BITS).orderBy("doc_id")
+
+
+# --- q78: connected components of the near-dup graph -------------------------
+# The LSH candidate pairs (q33's edge set) resolved into document
+# clusters with the alternating large-star/small-star rounds
+# (operators/components.py:62 — edge-only shuffles, O(log n) rounds).
+# The oracle computes the same fixpoint as a DuckDB recursive
+# transitive closure + min-label aggregate — exact at oracle scale,
+# quadratic at real scale, which is precisely why the engine ships the
+# star algorithm instead.
+
+@query(
+    "q78_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE shingled AS (SELECT doc_id, {_SH} AS sh FROM documents),
+    sigs AS (
+      SELECT doc_id, {_duck_minhash()} AS sig FROM shingled WHERE len(sh) > 0
+    ), banded AS (
+      SELECT doc_id, unnest({_duck_bands()}, recursive := true) FROM sigs
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node
+    )
+    SELECT node, min(r) AS component
+    FROM reach GROUP BY node ORDER BY node
+    """,
+)
+def q78_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3
+    )
+    return connected_components(pairs, "id_a", "id_b").orderBy("node")

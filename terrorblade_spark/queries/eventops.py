@@ -1,0 +1,211 @@
+"""Event-analytics query surface: the temporal joins (as-of, range),
+funnel, cohort retention, and grid resampling operators — previously
+unit-tested only — each value-checked against a DuckDB oracle here.
+
+Determinism contracts (the hash-compare is bit-for-bit):
+- as-of right side is pre-aggregated to one row per (key, ts) so the
+  "latest at-or-before" match is unique on both engines;
+- all double outputs are either order-independent (max, count ratios)
+  or decimal-summed before the final double cast;
+- week truncation is ISO-Monday on both engines; offset division uses
+  floor semantics on both (`//` in DuckDB, double-div + long cast on
+  non-negatives in Spark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terrorblade_spark.operators.funnel import funnel_counts, retention_matrix
+from terrorblade_spark.operators.temporal import asof_join, range_join, resample_events
+from terrorblade_spark.registry import query
+from terrorblade_spark.tables import load_table
+
+
+# --- q72: as-of (point-in-time) join ----------------------------------------
+# Each purchase gets the latest view at-or-before it by the same user —
+# merge_asof 'backward' semantics, ties visible. The Spark plan is the
+# union+window sort-merge (operators/temporal.py:27), never a
+# BroadcastNestedLoopJoin; the oracle is DuckDB's native ASOF JOIN.
+
+@query(
+    "q72_asof_view_before_purchase",
+    oracle="""
+    WITH views AS (
+      SELECT user_id, ts, ts AS view_ts, max(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, v.view_ts, v.view_value
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.user_id, p.ts, p.event_id
+    """,
+)
+def q72_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # one row per (user, ts): the as-of match is unique -> deterministic
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    out = asof_join(purchases, views, on="ts", by=["user_id"], right_prefix="")
+    return out.orderBy("user_id", "ts", "event_id")
+
+
+# --- q73: range (interval-containment) join ---------------------------------
+# Clicks landing inside each user's 2-hour post-signup window. The
+# Spark plan chunk-quantizes both sides into an equi-join
+# (operators/temporal.py:99) — work linear in interval length, never
+# |points| x |intervals|; the oracle is the plain theta join DuckDB's
+# IEJoin handles at oracle scale.
+
+_Q73_WINDOW_S = 7200
+
+
+@query(
+    "q73_clicks_in_signup_window",
+    oracle=f"""
+    SELECT s.user_id AS user_id, s.event_id AS signup_id, c.event_id AS click_id
+    FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+      ON c.user_id = s.user_id
+     AND c.ts >= s.ts
+     AND c.ts < s.ts + INTERVAL {_Q73_WINDOW_S} SECOND
+    ORDER BY 1, 2, 3
+    """,
+)
+def q73_clicks_in_signup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    signups = e.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr(f"INTERVAL {_Q73_WINDOW_S} SECOND")).alias("end_ts"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    joined = range_join(
+        clicks, signups, "ts", "start_ts", "end_ts",
+        by=["user_id"], chunk_s=float(_Q73_WINDOW_S),
+    )
+    return joined.select("user_id", "signup_id", "click_id").orderBy(
+        "user_id", "signup_id", "click_id"
+    )
+
+
+# --- q74: ordered-step funnel ------------------------------------------------
+# signup -> view -> purchase, each step strictly after the previous.
+# One bounded min-ts aggregation per step (operators/funnel.py:32) —
+# no per-entity event arrays.
+
+_Q74_STEPS = ("signup", "view", "purchase")
+
+
+@query(
+    "q74_event_funnel",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = '{_Q74_STEPS[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = '{_Q74_STEPS[1]}' AND e.ts > s1.t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = '{_Q74_STEPS[2]}' AND e.ts > s2.t2 GROUP BY e.user_id
+    ),
+    n AS (
+      SELECT (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3
+    )
+    SELECT 1 AS step, '{_Q74_STEPS[0]}' AS step_name, n1 AS n_entities,
+           CASE WHEN n1 > 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS conversion FROM n
+    UNION ALL
+    SELECT 2, '{_Q74_STEPS[1]}', n2,
+           CASE WHEN n1 > 0 THEN n2::DOUBLE / n1::DOUBLE ELSE 0.0::DOUBLE END FROM n
+    UNION ALL
+    SELECT 3, '{_Q74_STEPS[2]}', n3,
+           CASE WHEN n1 > 0 THEN n3::DOUBLE / n1::DOUBLE ELSE 0.0::DOUBLE END FROM n
+    ORDER BY step
+    """,
+)
+def q74_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return funnel_counts(e, list(_Q74_STEPS))
+
+
+# --- q75: weekly cohort retention --------------------------------------------
+
+@query(
+    "q75_weekly_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', ts)::DATE) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS p FROM events
+    )
+    SELECT cohort,
+           (date_diff('day', cohort, p) // 7)::BIGINT AS "offset",
+           count(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY cohort, "offset"
+    """,
+)
+def q75_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return retention_matrix(e, entity_col="user_id", ts_col="ts", period="week")
+
+
+# --- q76: hourly grid resample with zero fill --------------------------------
+# One aggregation pass over events; the dense grid is generated with
+# sequence() per entity (operators/temporal.py:162). Decimal partials
+# keep the double output bit-comparable.
+
+@query(
+    "q76_hourly_resample",
+    oracle="""
+    WITH p AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             sum(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM p GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM spans
+    )
+    SELECT g.event_type, g.bucket, COALESCE(p.v, 0)::DOUBLE AS sum_value
+    FROM grid g LEFT JOIN p USING (event_type, bucket)
+    ORDER BY event_type, bucket
+    """,
+)
+def q76_hourly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    out = resample_events(
+        e, entity_col="event_type", ts_col="ts", value_col="value",
+        step="1 hour", agg="sum", fill="zero",
+    )
+    return out.select(
+        "event_type", "bucket", F.col("sum_value").cast("double").alias("sum_value")
+    ).orderBy("event_type", "bucket")

@@ -252,3 +252,39 @@ def q65_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         percentile_col="value",
         percentiles=(0.5, 0.9, 0.99),
     ).orderBy("event_type")
+
+
+# --- q77: stratified quota sample --------------------------------------------
+# Exactly min(quota, |stratum|) docs per language, deterministically:
+# one window over the stratum ordered by a seeded md5 hash (no rand(),
+# so retries/AQE re-plans cannot change the sample) — the engine-
+# portable draw the oracle reproduces bit-for-bit.
+
+_STRAT_SEED = "strat-v1"
+_STRAT_QUOTA = 50
+
+
+@query(
+    "q77_stratified_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5('{_STRAT_SEED}' || doc_id::VARCHAR), 1, 15))::BIGINT AS o
+      FROM documents
+    )
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY o, doc_id) AS rn
+      FROM h
+    ) WHERE rn <= {_STRAT_QUOTA}
+    ORDER BY lang, doc_id
+    """,
+)
+def q77_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.sampling import stratified_quota_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_quota_sample(
+        d, ["lang"], quota=_STRAT_QUOTA, id_col="doc_id", seed=_STRAT_SEED
+    )
+    return out.orderBy("lang", "doc_id")

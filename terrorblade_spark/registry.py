@@ -42,6 +42,7 @@ def _load_all() -> None:
     # import for side effect: modules register their queries
     from terrorblade_spark.queries import (  # noqa: F401
         dedup,
+        eventops,
         llmdata,
         multimodal,
         relational,
@@ -66,6 +67,18 @@ GATE_OVERFLOW: tuple[str, ...] = (
     # history — it stays oracle-verified by the local check_oracle runs
     # (green at sf0.001, sf0.01, and the 10x sf1 dir)
     "q71_bm25_persisted_topk",
+    # round-5 additions: full-oracle queries for the previously
+    # unit-only operators (as-of/range join, funnel, retention,
+    # resample, stratified sampling, connected components). Same
+    # rationale — the 50 gate slots stay on their long-green queries;
+    # these are oracle-verified by the local check_oracle runs
+    "q72_asof_view_before_purchase",
+    "q73_clicks_in_signup_window",
+    "q74_event_funnel",
+    "q75_weekly_retention",
+    "q76_hourly_resample",
+    "q77_stratified_sample",
+    "q78_neardup_components",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",
