@@ -433,3 +433,57 @@ class TxnTable:
             return Manifest(0, new_entries, list(m.applied_ids))
 
         self._retrying_commit(build)
+
+    def vacuum(
+        self,
+        retain_versions: int = 1,
+        min_age_s: float = 7 * 24 * 3600.0,
+    ) -> dict[str, int]:
+        """Reclaim storage: delete data directories referenced by NO
+        retained manifest, and manifests older than the retention
+        window. Returns {"data_dirs": n, "manifests": n} deleted.
+
+        Retention contract (the Delta VACUUM trade-off): the newest
+        ``retain_versions`` manifests stay readable (time travel
+        shrinks to that window); anything a retained manifest
+        references is never touched. ``min_age_s`` additionally spares
+        YOUNG unreferenced directories — an in-flight writer has
+        already written its data files but not yet committed its
+        manifest, and deleting under it would fail its commit's
+        durability; the default 7-day guard makes that race practically
+        impossible (pass 0 only in tests). Deletion is driver-side
+        filesystem IO over the table root — O(live data dirs), no
+        Spark job; on object stores this is the same LIST + DELETE
+        sweep every log-structured format runs."""
+        import shutil
+
+        if retain_versions < 1:
+            raise ValueError("retain_versions must be >= 1")
+        versions = self._versions()
+        if not versions:
+            return {"data_dirs": 0, "manifests": 0}
+        retained = versions[-retain_versions:]
+        live_roots: set[str] = set()
+        for v in retained:
+            for e in self._read_manifest(v).entries:
+                # entries point at data/<uuid> or data/<uuid>/<col>=v;
+                # the vacuum unit is the top-level uuid directory
+                rel = os.path.relpath(e["path"], os.path.join(self.path, "data"))
+                live_roots.add(rel.split(os.sep)[0])
+        deleted_dirs = 0
+        data_root = os.path.join(self.path, "data")
+        now = time.time()
+        for name in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+            full = os.path.join(data_root, name)
+            if name in live_roots or not os.path.isdir(full):
+                continue
+            if now - os.path.getmtime(full) < min_age_s:
+                continue  # possibly an uncommitted writer's fresh files
+            shutil.rmtree(full)
+            deleted_dirs += 1
+        deleted_manifests = 0
+        for v in versions:
+            if v not in retained:
+                os.unlink(os.path.join(self._log, f"{v:0{_VERSION_WIDTH}d}.json"))
+                deleted_manifests += 1
+        return {"data_dirs": deleted_dirs, "manifests": deleted_manifests}

@@ -331,3 +331,49 @@ def test_concurrent_rollup_writers_no_lost_update(spark, tmp_path):
 
     got = {r["g"]: (r["n_rows"], r["sum_x"]) for r in rollup_read_txn(spark, t).collect()}
     assert got == {"a": (6, 6), "b": (6, sum(range(6)))}
+
+
+def test_vacuum_reclaims_orphans_and_old_versions(spark, tmp_path):
+    import os
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 10)]))
+    t.append(_df(spark, [(2, 20)]))
+    t.overwrite(_df(spark, [(9, 90)]))  # v1/v2 data now superseded
+    # a crashed writer's orphan: data written, never committed
+    t._write_data(_df(spark, [(7, 70)]), None)
+    n_dirs_before = len(os.listdir(os.path.join(t.path, "data")))
+    assert n_dirs_before == 4
+
+    stats = t.vacuum(retain_versions=1, min_age_s=0.0)
+    assert stats == {"data_dirs": 3, "manifests": 2}
+    # the live snapshot is untouched and readable
+    assert [(r["k"], r["v"]) for r in t.read(spark).collect()] == [(9, 90)]
+    assert t.history() == [3]
+    # vacuumed versions are gone (time travel window shrank, cleanly)
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=1)
+
+
+def test_vacuum_age_guard_spares_fresh_uncommitted_files(spark, tmp_path):
+    """An in-flight writer's data (written, not yet committed) must
+    survive a vacuum with the age guard on."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 10)]))
+    orphan = t._write_data(_df(spark, [(7, 70)]), None)
+    stats = t.vacuum(retain_versions=1, min_age_s=3600.0)
+    assert stats["data_dirs"] == 0
+    assert os.path.exists(orphan[0]["path"])
+
+
+def test_vacuum_keeps_partitioned_entries_of_retained_versions(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.replace_partitions(
+        _df(spark, [(0, 1, 100), (1, 2, 200)], "b int, k long, v long"), "b"
+    )
+    t.replace_partitions(_df(spark, [(1, 2, 999)], "b int, k long, v long"), "b")
+    t.vacuum(retain_versions=1, min_age_s=0.0)
+    got = sorted((r["b"], r["v"]) for r in t.read(spark).collect())
+    assert got == [(0, 100), (1, 999)]
+    # partition pruning still works post-vacuum
+    assert [r["v"] for r in t.read(spark, partition_filter=[1]).collect()] == [999]
