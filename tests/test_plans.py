@@ -254,3 +254,27 @@ def test_ivf_knn_join_plan_is_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:1500]
     # the single intended nested loop: queries x model-sized centroids
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:1500]
+
+
+def test_asof_join_plan_has_no_join_at_all(spark, sf_dir):
+    """asof_join is the union+window sort-merge: the physical plan must
+    contain a Window and ZERO join operators — the naive `l.ts >= r.ts`
+    theta formulation would appear as a BroadcastNestedLoopJoin."""
+    from terrorblade_spark.queries.eventops import q72_asof_view_before_purchase
+
+    plan = _plan(q72_asof_view_before_purchase(spark, sf_dir))
+    assert "Window" in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, (op, plan[:1500])
+
+
+def test_range_join_plan_is_equi_join(spark, sf_dir):
+    """range_join chunk-quantizes into an equi-join: hash/merge join
+    keyed on (user_id, chunk), never a nested loop."""
+    from terrorblade_spark.queries.eventops import q73_clicks_in_signup_window
+
+    plan = _plan(q73_clicks_in_signup_window(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert any(op in plan for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")), plan[:1500]
