@@ -35,6 +35,10 @@ HEADLINE = [
     # production serving shape: loads the PERSISTED term-bucketed BM25
     # index (built untimed on the dry pass) and serves one top-k
     "q71_bm25_persisted_topk",
+    # temporal operator classes (round 5): union+window as-of join and
+    # the sequence()-grid resample — no join in the asof plan at all
+    "q72_asof_view_before_purchase",
+    "q76_hourly_resample",
 ]
 
 
