@@ -43,6 +43,8 @@ class CorpusPipeline:
         redact: bool = True,
         lm_buckets: int = 0,
         boilerplate_line_df: float | None = None,
+        quality_model=None,
+        quality_threshold: float = 0.5,
         **gopher_kwargs,
     ) -> DataFrame:
         """Optional corpus-level boilerplate line removal
@@ -51,9 +53,14 @@ class CorpusPipeline:
         reasons — run AFTER boilerplate removal so banner-only docs
         fail the word-count rule), optional PII redaction, optional LM
         fluency bucketing (``lm_buckets`` > 0 fits a corpus LM and
-        attaches ``mean_nll`` + ``ppl_bucket``). Returns ALL rows with
-        a ``keep`` flag — dropping is the caller's `.where("keep")`,
-        so audits can count the rejects."""
+        attaches ``mean_nll`` + ``ppl_bucket``), and optionally a
+        LEARNED quality gate (``quality_model`` = a fitted
+        ``operators.classifier`` pipeline; attaches ``quality_score``
+        and folds ``score < threshold`` into ``keep`` with its own
+        rejection reason — the standard heuristics-then-model two-stage
+        recipe). Returns ALL rows with a ``keep`` flag — dropping is
+        the caller's `.where("keep")`, so audits can count the
+        rejects."""
         from terrorblade_spark.operators.curation import (
             gopher_filter,
             redact_pii,
@@ -90,6 +97,22 @@ class CorpusPipeline:
             scores.count()
             lm.unpersist()
             out = out.join(scores, self.id_col, "left")
+        if quality_model is not None:
+            from pyspark.sql import functions as F
+
+            from terrorblade_spark.operators.classifier import score_quality
+
+            out = score_quality(quality_model, out)
+            low = F.col("quality_score") < F.lit(float(quality_threshold))
+            out = out.withColumn(
+                "quality_reasons",
+                F.when(
+                    low,
+                    F.array_union(
+                        F.col("quality_reasons"), F.array(F.lit("quality_model"))
+                    ),
+                ).otherwise(F.col("quality_reasons")),
+            ).withColumn("keep", F.col("keep") & ~low)
         return out
 
     # -- stage 2: dedup -----------------------------------------------------

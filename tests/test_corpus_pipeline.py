@@ -64,3 +64,42 @@ def test_curate_with_boilerplate_removal(spark, sf_dir):
     # the injected banner (df = 100%) is stripped before quality rules
     assert out.where(F.col("text").contains("SUBSCRIBE")).count() == 0
     assert out.where("n_removed_lines >= 1").count() == docs.count()
+
+
+def test_curate_with_learned_quality_gate(spark):
+    """The two-stage recipe: Gopher heuristics + the learned model; a
+    junk doc passing the heuristics is caught by the model with its own
+    rejection reason."""
+    from terrorblade_spark.corpus import CorpusPipeline
+    from terrorblade_spark.operators.classifier import train_quality_classifier
+
+    good = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "a clear and well formed sentence with ordinary words and a good structure",
+        "researchers published a detailed study about language and human learning",
+    ]
+    junk = [
+        "buy now cheap prize winner click here free money offer deal sale now",
+        "click click here buy cheap free prize money now deal winner offer sale",
+        "free money prize deal cheap buy click now winner offer sale here today",
+    ]
+    labeled = spark.createDataFrame(
+        [(i, t, 1.0) for i, t in enumerate(good * 4)]
+        + [(100 + i, t, 0.0) for i, t in enumerate(junk * 4)],
+        "doc_id long, text string, label double",
+    )
+    model = train_quality_classifier(labeled, n_features=1 << 12, max_iter=30)
+
+    docs = spark.createDataFrame(
+        [(1, good[0]), (2, junk[0])], "doc_id long, text string"
+    )
+    pipe = CorpusPipeline(spark, docs)
+    out = pipe.curate(
+        redact=False, quality_model=model,
+        # both docs are well-formed enough to pass the word-count rules
+        min_words=5, max_words=10_000,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["keep"] and "quality_model" not in got[1]["quality_reasons"]
+    assert not got[2]["keep"] and "quality_model" in got[2]["quality_reasons"]
+    assert got[2]["quality_score"] < 0.5 < got[1]["quality_score"]
