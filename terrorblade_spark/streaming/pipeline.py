@@ -527,3 +527,19 @@ def neardup_dedup_writer(
             banded.unpersist()
 
     return stream.writeStream.foreachBatch(merge)
+
+
+def txn_append_writer(stream: DataFrame, table):
+    """Exactly-once streaming append into a ``txn.TxnTable``: the
+    micro-batch's rows and its batch-id marker commit in ONE atomic
+    manifest swap, so a replayed batch (restart after a crash anywhere
+    around the write) is a no-op — the transactional upgrade of
+    ``dedup_merge_writer``'s read-back anti-join recipe, and the same
+    contract Delta's idempotent `txnAppId`/`txnVersion` sink options
+    provide. No read of existing data per batch: the replay check is a
+    manifest-side id lookup, O(1) vs the anti-join's scan."""
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        table.append(batch_df, applied_id=f"batch_{batch_id}")
+
+    return stream.writeStream.foreachBatch(append)
