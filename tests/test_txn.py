@@ -377,3 +377,29 @@ def test_vacuum_keeps_partitioned_entries_of_retained_versions(spark, tmp_path):
     assert got == [(0, 100), (1, 999)]
     # partition pruning still works post-vacuum
     assert [r["v"] for r in t.read(spark, partition_filter=[1]).collect()] == [999]
+
+
+def test_concurrent_merge_upsert_no_lost_or_duplicate_keys(spark, tmp_path):
+    """6 writers merge-upserting OVERLAPPING key ranges concurrently:
+    insert-or-ignore must converge to the exact key union with no
+    duplicates — each loser's retry re-reads and re-merges against the
+    new snapshot."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = TxnTable(str(tmp_path / "t"))
+    ranges = [(0, 20), (10, 30), (20, 40), (5, 25), (15, 35), (30, 50)]
+
+    def write(arg):
+        i, (lo, hi) = arg
+        t.merge_upsert(
+            _df(spark, [(k, i) for k in range(lo, hi)]), keys=["k"],
+            applied_id=f"w{i}",
+        )
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        list(ex.map(write, enumerate(ranges)))
+
+    rows = t.read(spark).collect()
+    keys = sorted(r["k"] for r in rows)
+    assert keys == list(range(0, 50))  # union, no loss
+    assert len(keys) == len(set(keys))  # no duplicates
