@@ -209,3 +209,64 @@ def q76_hourly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "bucket", F.col("sum_value").cast("double").alias("sum_value")
     ).orderBy("event_type", "bucket")
+
+
+# --- q79: thread reconstruction (pointer doubling) ---------------------------
+# Per-user reply chains: each event's parent is the user's previous
+# event when the gap is <= 30 min (the sessionization threshold as a
+# reply-chain proxy — the message data model's reply_to_message_id has
+# the same directed-forest shape). The engine resolves every event's
+# THREAD ROOT and DEPTH by pointer doubling (O(log chain) equi-join
+# rounds, operators/components.py resolve_roots); the oracle walks the
+# same chains with a recursive CTE — O(chain) sequential steps, fine at
+# oracle scale, the exact reason the engine doubles instead.
+
+_Q79_GAP_MS = 1_800_000
+
+
+@query(
+    "q79_event_thread_roots",
+    oracle=f"""
+    WITH RECURSIVE parent AS (
+      SELECT event_id,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w <= {_Q79_GAP_MS}
+                  THEN lag(event_id) OVER w END AS p
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    chain(event_id, root, depth) AS (
+      SELECT event_id, event_id, 0 FROM parent WHERE p IS NULL
+      UNION ALL
+      SELECT c.event_id, ch.root, ch.depth + 1
+      FROM parent c JOIN chain ch ON c.p = ch.event_id
+    )
+    SELECT event_id, root AS thread_root, depth
+    FROM chain ORDER BY event_id
+    """,
+)
+def q79_event_thread_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from terrorblade_spark.operators.components import resolve_roots
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_millis(F.col("ts")) - F.lag(F.unix_millis(F.col("ts"))).over(w)
+    with_parent = e.select(
+        "event_id",
+        F.when(gap <= _Q79_GAP_MS, F.lag("event_id").over(w)).alias("parent_id"),
+    )
+    edges = with_parent.where(F.col("parent_id").isNotNull()).select(
+        F.col("event_id").alias("child"), F.col("parent_id").alias("parent")
+    )
+    resolved = resolve_roots(edges, "child", "parent")
+    return (
+        with_parent.select("event_id")
+        .join(resolved, with_parent.event_id == resolved.node, "left")
+        .select(
+            "event_id",
+            F.coalesce("root", "event_id").alias("thread_root"),
+            F.coalesce("depth", F.lit(0)).cast("int").alias("depth"),
+        )
+        .orderBy("event_id")
+    )

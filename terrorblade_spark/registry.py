@@ -79,6 +79,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q76_hourly_resample",
     "q77_stratified_sample",
     "q78_neardup_components",
+    "q79_event_thread_roots",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

@@ -179,3 +179,34 @@ def test_canonicalize_by_score_null_scores_fall_back_to_min_id(spark):
     assert rows[8] == (8, False)
     # NULL-scored singleton keeps itself
     assert rows[5] == (5, False)
+
+
+def test_resolve_roots_forest_roots_and_depths(spark):
+    from terrorblade_spark.operators.components import resolve_roots
+
+    # forest: 1<-2<-3<-4 (chain), 10<-11, 10<-12 (branch)
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (11, 10), (12, 10)], "child long, parent long"
+    )
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in resolve_roots(edges, "child", "parent").collect()
+    }
+    assert got == {
+        1: (1, 0), 2: (1, 1), 3: (1, 2), 4: (1, 3),
+        10: (10, 0), 11: (10, 1), 12: (10, 1),
+    }
+
+
+def test_resolve_roots_long_chain_logarithmic_rounds(spark):
+    """A 300-node chain must resolve within the default 20 doubling
+    rounds (2^20 >> 300) — the O(log chain) claim, not O(chain)."""
+    from terrorblade_spark.operators.components import resolve_roots
+
+    n = 300
+    edges = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, n)], "child long, parent long"
+    )
+    got = {r["node"]: (r["root"], r["depth"]) for r in resolve_roots(edges).collect()}
+    assert got[n - 1] == (0, n - 1) and got[0] == (0, 0)
+    assert len(got) == n
