@@ -140,3 +140,82 @@ def load_ivfpq(spark: SparkSession, path: str):
         spark.read.parquet(f"{path}/codebooks").persist(),
         int(meta["m"]),
     )
+
+
+# -- transactional IVF index: atomic persistence + incremental appends --------
+# The serving-system lifecycle the plain save_ivf layout lacks: new
+# vectors arrive continuously, and re-clustering the corpus per batch
+# is absurd — production IVF systems (the FAISS add-after-train model)
+# keep the trained coarse quantizer FIXED and route new vectors to
+# their nearest existing list, rebuilding centroids only on scheduled
+# retrains when drift accumulates.
+
+
+def save_ivf_txn(assigned, centroids, path: str) -> None:
+    """Persist an IVF index transactionally: vectors in a TxnTable
+    partitioned by list_id (manifest-level nprobe pruning + atomic
+    visibility), centroids in their own TxnTable snapshot."""
+    from terrorblade_spark.txn import TxnTable
+
+    TxnTable(f"{path}/assigned").replace_partitions(assigned, "list_id")
+    TxnTable(f"{path}/centroids").overwrite(centroids)
+    _write_meta(assigned.sparkSession, path, {"kind": "ivf_txn"})
+
+
+def load_ivf_txn(spark: SparkSession, path: str):
+    """Load as ``(assigned, centroids)`` — drop-in for ``ivf_topk`` /
+    ``ivf_knn_join`` with ``list_col='list_id'``."""
+    from terrorblade_spark.txn import TxnTable
+
+    meta = _read_meta(spark, path)
+    if meta.get("kind") != "ivf_txn":
+        raise ValueError(f"{path} holds {meta.get('kind')!r}, not an ivf_txn index")
+    return (
+        TxnTable(f"{path}/assigned").read(spark, partition_type="int"),
+        TxnTable(f"{path}/centroids").read(spark).persist(),
+    )
+
+
+def ivf_append_txn(
+    spark: SparkSession,
+    path: str,
+    new_vectors,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    applied_id: str | None = None,
+) -> None:
+    """Incrementally add vectors to a persisted ``ivf_txn`` index:
+    assign each to its nearest TRAINED centroid (squared-L2, the
+    k-means metric — broadcast centroids, narrow (id, list, dist)
+    pipeline, payloads never multiply), then append ONLY the touched
+    list partitions in one atomic, exactly-once commit. Queries running
+    concurrently keep their pinned snapshot; the next query sees the
+    new vectors. Centroids are NOT moved — the FAISS add contract;
+    re-run ivf_build when drift warrants a retrain."""
+    from pyspark.sql import functions as F
+
+    from terrorblade_spark.txn import TxnTable
+
+    t = TxnTable(f"{path}/assigned")
+    if applied_id is not None and t.applied(applied_id):
+        return
+    cents = TxnTable(f"{path}/centroids").read(spark)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    best = (
+        new_vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(id_col, F.struct(d2.alias("d"), F.col("list_id").alias("l")).alias("s"))
+        .groupBy(id_col)
+        .agg(F.min("s").alias("s"))
+        .select(id_col, F.col("s.l").alias("list_id"))
+    )
+    assigned = new_vectors.join(best, id_col)
+    t.append(assigned, applied_id=applied_id, partition_col="list_id")

@@ -243,13 +243,22 @@ class TxnTable:
                 time.sleep(min(0.05 * (2**attempt), 1.0))
         raise CommitConflict(f"gave up after {max_attempts} attempts on {self.path}")
 
-    def append(self, df: DataFrame, applied_id: str | None = None) -> None:
+    def append(
+        self,
+        df: DataFrame,
+        applied_id: str | None = None,
+        partition_col: str | None = None,
+    ) -> None:
         """Atomically append ``df``'s rows (new files + manifest swap).
         With ``applied_id``, the append is exactly-once: a replay whose
-        id is already committed is a no-op."""
+        id is already committed is a no-op. With ``partition_col`` the
+        new files land hive-split with per-partition manifest entries —
+        appends into a partitioned table keep manifest-level pruning
+        (an unpartitioned entry would be scanned by every filtered
+        read until the next compact)."""
         if applied_id is not None and self.applied(applied_id):
             return
-        new_entries = self._write_data(df, None)
+        new_entries = self._write_data(df, partition_col)
 
         def build(base: Manifest | None) -> Manifest | None:
             if applied_id is not None and base and applied_id in base.applied_ids:

@@ -486,3 +486,49 @@ def test_ivf_knn_join_matches_brute_at_full_probe(spark, sf_dir):
         r["query_id"] == key[0] and r["neighbor_id"] == nid for r in part
     ))
     assert hits / len(full) >= 0.5
+
+
+def test_ivf_txn_incremental_append_serves_new_vectors(spark, sf_dir, tmp_path):
+    """The index lifecycle: build -> persist (txn) -> append a new
+    batch (assigned to trained lists, exactly-once) -> a query finds
+    the new vector; old results unchanged; pruning preserved
+    (per-partition manifest entries, no unpartitioned blob)."""
+    from terrorblade_spark.operators.models import (
+        ivf_append_txn,
+        load_ivf_txn,
+        save_ivf_txn,
+    )
+    from terrorblade_spark.operators.vector import ivf_build, ivf_knn_join
+    from terrorblade_spark.tables import load_table
+    from terrorblade_spark.txn import TxnTable
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, cents = ivf_build(emb, n_lists=4, max_iter=5)
+    path = str(tmp_path / "ivf")
+    save_ivf_txn(assigned, cents, path)
+
+    a0, c0 = load_ivf_txn(spark, path)
+    n0 = a0.count()
+
+    # the new batch: an exact copy of an existing vector under a new id
+    # -> it must become that vector's top neighbor
+    probe = emb.limit(1).collect()[0]
+    new = spark.createDataFrame(
+        [(9_000_001, probe["embedding"])], "vec_id long, embedding array<float>"
+    )
+    ivf_append_txn(spark, path, new, applied_id="batch_1")
+    ivf_append_txn(spark, path, new, applied_id="batch_1")  # replay no-ops
+
+    a1, c1 = load_ivf_txn(spark, path)
+    assert a1.count() == n0 + 1
+    q = spark.createDataFrame(
+        [(int(probe["vec_id"]), probe["embedding"])],
+        "vec_id long, embedding array<float>",
+    )
+    top = ivf_knn_join(q, a1, c1, k=3, nprobe=2).collect()
+    assert top[0]["neighbor_id"] == 9_000_001  # the appended twin wins
+    assert abs(top[0]["cosine_sim"] - 1.0) < 1e-6
+
+    # pruning preserved: every manifest entry is per-partition
+    m = TxnTable(f"{path}/assigned").latest()
+    assert all(e["partition"] for e in m.entries)
