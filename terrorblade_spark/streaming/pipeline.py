@@ -543,3 +543,36 @@ def txn_append_writer(stream: DataFrame, table):
         table.append(batch_df, applied_id=f"batch_{batch_id}")
 
     return stream.writeStream.foreachBatch(append)
+
+
+def txn_content_dedup_writer(
+    stream: DataFrame,
+    corpus_table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Content-dedup streaming ingest with the crash window CLOSED:
+    where ``content_dedup_writer`` appends corpus and hash-index under
+    two non-atomic writes (documented re-admission window between
+    them), here the admitted rows — WITH their ``content_hash`` column
+    — land in one ``txn.TxnTable`` commit that also carries the batch
+    marker: replay is a no-op, and the "index" is the corpus table's
+    own stored hash column (a column-pruned narrow scan; at 100 TB
+    bucket the table by ``content_hash`` so the per-batch anti-join is
+    index-side-pruned like the separate-index recipe, without the
+    second write that broke atomicity)."""
+    from terrorblade_spark.operators.dedup import incremental_dedup
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        applied_id = f"batch_{batch_id}"
+        if corpus_table.applied(applied_id):
+            return
+        spark = batch_df.sparkSession
+        try:
+            index = corpus_table.read(spark).select("content_hash")
+        except FileNotFoundError:
+            index = None
+        admitted, _ = incremental_dedup(batch_df, index, id_col, text_col)
+        corpus_table.append(admitted, applied_id=applied_id)
+
+    return stream.writeStream.foreachBatch(merge)

@@ -384,3 +384,48 @@ def test_txn_append_writer_exactly_once_across_replay(spark, tmp_path):
     ).start()
     q2.awaitTermination(120)
     assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_txn_content_dedup_writer_closes_replay_window(spark, tmp_path):
+    """Replaying a batch AND re-sending seen content must both no-op:
+    rows + marker are one commit, the hash 'index' is the corpus's own
+    stored column."""
+    import os
+
+    from terrorblade_spark.streaming.pipeline import txn_content_dedup_writer
+    from terrorblade_spark.txn import TxnTable
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(f"{src}/f0.parquet")
+    spark.createDataFrame(
+        [(4, "alpha text"), (5, "gamma text")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{src}/f1.parquet")
+
+    t = TxnTable(str(tmp_path / "corpus"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = txn_content_dedup_writer(stream, t).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    rows = t.read(spark).collect()
+    # within-batch dup (3) and cross-batch dup (4) rejected; canonical
+    # = smallest id per content
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 5]
+    assert all("content_hash" in r.asDict() for r in rows)
+
+    # crash-replay of batch 0: atomic marker makes it a no-op
+    b0 = spark.read.parquet(f"{src}/f0.parquet")
+    from terrorblade_spark.operators.dedup import incremental_dedup
+
+    admitted, _ = incremental_dedup(b0, t.read(spark).select("content_hash"))
+    t.append(admitted, applied_id="batch_0")
+    assert sorted(r["doc_id"] for r in t.read(spark).collect()) == [1, 2, 5]
