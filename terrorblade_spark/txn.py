@@ -216,7 +216,13 @@ class TxnTable:
                 # reattach it from the manifest entry
                 part_df = part_df.withColumn(col, F.lit(raw).cast(partition_type))
             parts.append(part_df)
-        return reduce(lambda a, b: a.unionByName(b), parts)
+        # allowMissingColumns = additive schema evolution: entries
+        # written before a column existed read it as typed nulls (the
+        # Delta mergeSchema read behavior); renames/drops/type changes
+        # remain the caller's migration problem, as everywhere
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
 
     def applied(self, applied_id: str) -> bool:
         """True iff a committed manifest recorded ``applied_id`` —

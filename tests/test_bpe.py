@@ -120,3 +120,23 @@ def test_learn_bpe_from_spark_word_frequencies(spark):
     )
     wf = word_frequencies(df)
     assert learn_bpe(wf, 10) == _brute_learn(_ITEMS, 10)
+
+
+def test_learn_matches_bruteforce_on_random_corpora():
+    """Property check: the incremental pair-count maintenance must
+    track the recount-everything reference on arbitrary corpora."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.text(alphabet="abcd", min_size=1, max_size=6)
+    corpora = st.lists(
+        st.tuples(words, st.integers(min_value=1, max_value=9)),
+        min_size=1, max_size=12, unique_by=lambda kv: kv[0],
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(corpora, st.integers(min_value=1, max_value=15))
+    def check(items, n_merges):
+        assert learn_bpe(items, n_merges) == _brute_learn(items, n_merges)
+
+    check()

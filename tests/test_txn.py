@@ -403,3 +403,15 @@ def test_concurrent_merge_upsert_no_lost_or_duplicate_keys(spark, tmp_path):
     keys = sorted(r["k"] for r in rows)
     assert keys == list(range(0, 50))  # union, no loss
     assert len(keys) == len(set(keys))  # no duplicates
+
+
+def test_read_with_additive_schema_evolution(spark, tmp_path):
+    """Entries written before a column existed read as typed nulls —
+    appends may widen the schema without rewriting history."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 10)]))
+    t.append(
+        spark.createDataFrame([(2, 20, "fr")], "k long, v long, lang string")
+    )
+    got = {r["k"]: (r["v"], r["lang"]) for r in t.read(spark).collect()}
+    assert got == {1: (10, None), 2: (20, "fr")}
