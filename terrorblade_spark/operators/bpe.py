@@ -79,6 +79,8 @@ def learn_bpe(
     else:
         items = sorted(word_freq, key=lambda kv: (-kv[1], kv[0]))[:max_vocab_words]
 
+    import heapq
+
     vocab: list[list[str]] = [list(_symbols(w)) for w, _ in items]
     freqs = [f for _, f in items]
     pair_counts: Counter = Counter()
@@ -88,20 +90,34 @@ def learn_bpe(
             pair_counts[p] += freqs[wi]
             pair_words[p].add(wi)
 
+    # best-pair selection via a max-heap with LAZY invalidation: stale
+    # entries (count changed since push) are discarded at pop time. A
+    # full min() scan of pair_counts per merge would be O(n_merges x
+    # |distinct pairs|) driver time — at the 1M-word cap that is the
+    # difference between seconds and hours. Heap order (-count, pair)
+    # reproduces the deterministic (count desc, pair asc) tie-break.
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        if not pair_counts:
-            break
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pair_counts[best] <= 0:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p) == -negc:
+                best = p
+                break
+        if best is None:
             break
         merges.append(best)
         joined = best[0] + best[1]
+        touched: set[tuple[str, str]] = set()
         # incremental update: only words containing `best` change
         for wi in list(pair_words[best]):
             syms, f = vocab[wi], freqs[wi]
             for p in zip(syms, syms[1:]):
                 pair_counts[p] -= f
+                touched.add(p)
                 if pair_counts[p] <= 0:
                     del pair_counts[p]
                 pair_words[p].discard(wi)
@@ -116,7 +132,11 @@ def learn_bpe(
             vocab[wi] = out
             for p in zip(out, out[1:]):
                 pair_counts[p] += f
+                touched.add(p)
                 pair_words[p].add(wi)
+        for p in touched:
+            if p in pair_counts:
+                heapq.heappush(heap, (-pair_counts[p], p))
     return merges
 
 

@@ -42,10 +42,13 @@ def _feature_stages(text_col: str, n_features: int):
 
     # tokenization as a SQLTransformer so the WHOLE pipeline (including
     # this step) serializes with the model — a loaded model scores raw
-    # text with no Python-side preprocessing contract to keep in sync
+    # text with no Python-side preprocessing contract to keep in sync.
+    # coalesce: NULL text must yield an empty token array (the JVM
+    # NGram/HashingTF transformers NPE on null input), so null-text
+    # rows score at the model's prior instead of killing the job
     tok = SQLTransformer(
         statement=(
-            "SELECT *, filter(split(lower(__THIS__." + text_col + "), "
+            "SELECT *, filter(split(lower(coalesce(__THIS__." + text_col + ", '')), "
             "'[^\\\\p{L}\\\\p{N}]+'), x -> x != '') AS __tokens FROM __THIS__"
         )
     )

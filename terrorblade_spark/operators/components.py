@@ -283,6 +283,7 @@ def resolve_roots(
     ptr = ptr.unionByName(roots).localCheckpoint(eager=True)
 
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
         hop = ptr.alias("a").join(
             ptr.alias("b"), F.col("a.anc") == F.col("b.node")
@@ -297,7 +298,19 @@ def resolve_roots(
             F.sum(F.xxhash64("node", "anc", "d").cast("decimal(38,0)")).alias("s"),
         ).first()
         if prev_sig == (sig["n"], sig["s"]):
+            converged = True
             break
         prev_sig = (sig["n"], sig["s"])
+    if not converged:
+        # a forest ALWAYS converges within log2(longest chain) rounds;
+        # a moving signature after max_rounds means the precondition is
+        # violated (a cycle, or a node with two parents — e.g. ids only
+        # unique per chat). Returning the partial pointers would be
+        # silently-wrong roots/depths downstream.
+        raise ValueError(
+            f"resolve_roots did not converge in {max_rounds} rounds: the "
+            "edge set is not a forest (cycle or duplicate child rows?), "
+            "or chains exceed 2^max_rounds"
+        )
 
     return ptr.select("node", F.col("anc").alias("root"), F.col("d").cast("int").alias("depth"))

@@ -154,10 +154,13 @@ def load_ivfpq(spark: SparkSession, path: str):
 def save_ivf_txn(assigned, centroids, path: str) -> None:
     """Persist an IVF index transactionally: vectors in a TxnTable
     partitioned by list_id (manifest-level nprobe pruning + atomic
-    visibility), centroids in their own TxnTable snapshot."""
+    visibility), centroids in their own TxnTable snapshot. A retrain at
+    the same path is a FULL overwrite — lists absent from the new
+    quantizer (n_lists shrank) leave no stale vectors behind, which a
+    dynamic partition replace would."""
     from terrorblade_spark.txn import TxnTable
 
-    TxnTable(f"{path}/assigned").replace_partitions(assigned, "list_id")
+    TxnTable(f"{path}/assigned").overwrite(assigned, partition_col="list_id")
     TxnTable(f"{path}/centroids").overwrite(centroids)
     _write_meta(assigned.sparkSession, path, {"kind": "ivf_txn"})
 
@@ -199,16 +202,10 @@ def ivf_append_txn(
     t = TxnTable(f"{path}/assigned")
     if applied_id is not None and t.applied(applied_id):
         return
+    from terrorblade_spark.operators.vector import _sq_l2
+
     cents = TxnTable(f"{path}/centroids").read(spark)
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col(vec_col).cast("array<double>"),
-            F.col("centroid"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    d2 = _sq_l2(F.col(vec_col), F.col("centroid"))
     best = (
         new_vectors.select(id_col, vec_col)
         .crossJoin(F.broadcast(cents))

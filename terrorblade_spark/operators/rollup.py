@@ -255,12 +255,18 @@ def rollup_read_txn(
     return df
 
 
-def rollup_merge_fn_txn(table, keys: Sequence[str], **kwargs):
+def rollup_merge_fn_txn(table, keys: Sequence[str], writer_id: str = "rollup", **kwargs):
     """foreachBatch closure over the transactional state: exactly-once
-    across crashes because the batch id IS part of the state commit."""
+    across crashes because the batch id IS part of the state commit.
+    ``writer_id`` (Delta txnAppId analog) namespaces the query-local
+    batch ids — give each query feeding one state table its own id, and
+    a restart with a FRESH checkpoint a new one (else replayed batch
+    numbers are mistaken for already-applied)."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        rollup_update_txn(batch_df, table, keys, applied_id=f"batch_{batch_id}", **kwargs)
+        rollup_update_txn(
+            batch_df, table, keys, applied_id=f"{writer_id}/batch_{batch_id}", **kwargs
+        )
 
     return merge
 

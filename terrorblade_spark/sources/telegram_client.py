@@ -198,13 +198,19 @@ class TelegramCollector:
             if name is not None:
                 names[s] = name
         batch = normalize_live_batch(self.spark, rows, chat_id, chat_name, names)
-        n = batch.count()
-        if n == 0:
+        if batch.count() == 0:
             return 0
         # insert-or-ignore on the message PK: replaying an already-landed
-        # fetch (crash between land and watermark re-read) is a no-op
+        # fetch (crash between land and watermark re-read) is a no-op.
+        # "Landed" is the table's manifest row-count delta — the batch
+        # size would over-report on exactly those ignored replays.
+        before = self._manifest_rows()
         self.table.merge_upsert(batch, keys=["chat_id", "message_id"])
-        return n
+        return self._manifest_rows() - before
+
+    def _manifest_rows(self) -> int:
+        m = self.table.latest()
+        return sum(e["rows"] for e in m.entries) if m else 0
 
     def sync_all(
         self,

@@ -529,7 +529,7 @@ def neardup_dedup_writer(
     return stream.writeStream.foreachBatch(merge)
 
 
-def txn_append_writer(stream: DataFrame, table):
+def txn_append_writer(stream: DataFrame, table, writer_id: str):
     """Exactly-once streaming append into a ``txn.TxnTable``: the
     micro-batch's rows and its batch-id marker commit in ONE atomic
     manifest swap, so a replayed batch (restart after a crash anywhere
@@ -537,10 +537,17 @@ def txn_append_writer(stream: DataFrame, table):
     ``dedup_merge_writer``'s read-back anti-join recipe, and the same
     contract Delta's idempotent `txnAppId`/`txnVersion` sink options
     provide. No read of existing data per batch: the replay check is a
-    manifest-side id lookup, O(1) vs the anti-join's scan."""
+    manifest-side id lookup, O(1) vs the anti-join's scan.
+
+    ``writer_id`` is the Delta ``txnAppId`` analog and is REQUIRED:
+    batch ids alone are query-local, so two queries feeding one table —
+    or one query restarted with a fresh checkpoint — would collide at
+    ``batch_0`` and silently drop each other's data. Use one stable id
+    per (query, checkpoint) pairing; replays within that pairing are
+    deduplicated, distinct writers never interfere."""
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
-        table.append(batch_df, applied_id=f"batch_{batch_id}")
+        table.append(batch_df, applied_id=f"{writer_id}/batch_{batch_id}")
 
     return stream.writeStream.foreachBatch(append)
 
@@ -548,6 +555,7 @@ def txn_append_writer(stream: DataFrame, table):
 def txn_content_dedup_writer(
     stream: DataFrame,
     corpus_table,
+    writer_id: str,
     id_col: str = "doc_id",
     text_col: str = "text",
 ):
@@ -560,11 +568,14 @@ def txn_content_dedup_writer(
     own stored hash column (a column-pruned narrow scan; at 100 TB
     bucket the table by ``content_hash`` so the per-batch anti-join is
     index-side-pruned like the separate-index recipe, without the
-    second write that broke atomicity)."""
+    second write that broke atomicity). ``writer_id`` is the Delta
+    txnAppId analog (see ``txn_append_writer``): REQUIRED so distinct
+    queries or a fresh checkpoint never collide on query-local batch
+    ids."""
     from terrorblade_spark.operators.dedup import incremental_dedup
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        applied_id = f"batch_{batch_id}"
+        applied_id = f"{writer_id}/batch_{batch_id}"
         if corpus_table.applied(applied_id):
             return
         spark = batch_df.sparkSession
@@ -573,6 +584,12 @@ def txn_content_dedup_writer(
         except FileNotFoundError:
             index = None
         admitted, _ = incremental_dedup(batch_df, index, id_col, text_col)
-        corpus_table.append(admitted, applied_id=applied_id)
+        # persist: TxnTable.append counts then writes the plan — without
+        # it the corpus-wide anti-join would run TWICE per batch
+        admitted = admitted.persist()
+        try:
+            corpus_table.append(admitted, applied_id=applied_id)
+        finally:
+            admitted.unpersist()
 
     return stream.writeStream.foreachBatch(merge)

@@ -172,6 +172,7 @@ class TxnTable:
                 return []
             df.write.mode("errorifexists").parquet(dest)
             return [{"path": dest, "partition": {}, "rows": n}]
+        ptype = dict(df.dtypes)[partition_col]
         df.write.mode("errorifexists").partitionBy(partition_col).parquet(dest)
         entries = []
         for name in sorted(os.listdir(dest)):
@@ -179,7 +180,15 @@ class TxnTable:
                 continue
             col, _, raw = name.partition("=")
             entries.append(
-                {"path": os.path.join(dest, name), "partition": {col: raw}, "rows": -1}
+                {
+                    "path": os.path.join(dest, name),
+                    "partition": {col: raw},
+                    "rows": -1,
+                    # the partition column's declared type: readers
+                    # reattach with THIS cast, so a string-keyed table
+                    # round-trips (a hard-coded int cast would null it)
+                    "ptype": ptype,
+                }
             )
         return entries
 
@@ -213,8 +222,12 @@ class TxnTable:
             part_df = spark.read.parquet(e["path"])
             for col, raw in e["partition"].items():
                 # partitionBy strips the column from the data files;
-                # reattach it from the manifest entry
-                part_df = part_df.withColumn(col, F.lit(raw).cast(partition_type))
+                # reattach it from the manifest entry with the type the
+                # WRITER recorded (fallback: the caller's hint, for
+                # manifests predating the ptype field)
+                cast_to = e.get("ptype", partition_type)
+                val = None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+                part_df = part_df.withColumn(col, F.lit(val).cast(cast_to))
             parts.append(part_df)
         # allowMissingColumns = additive schema evolution: entries
         # written before a column existed read it as typed nulls (the
@@ -277,11 +290,21 @@ class TxnTable:
 
         self._retrying_commit(build)
 
-    def overwrite(self, df: DataFrame, applied_id: str | None = None) -> None:
-        """Atomically replace the whole table contents."""
+    def overwrite(
+        self,
+        df: DataFrame,
+        applied_id: str | None = None,
+        partition_col: str | None = None,
+    ) -> None:
+        """Atomically replace the whole table contents. With
+        ``partition_col`` the new snapshot lands hive-split with
+        per-partition entries — the full-rebuild form for partitioned
+        tables (unlike ``replace_partitions``, values absent from
+        ``df`` do NOT survive: an index retrain with fewer partitions
+        leaves no stale ones)."""
         if applied_id is not None and self.applied(applied_id):
             return
-        new_entries = self._write_data(df, None)
+        new_entries = self._write_data(df, partition_col)
 
         def build(base: Manifest | None) -> Manifest | None:
             if applied_id is not None and base and applied_id in base.applied_ids:
@@ -356,9 +379,13 @@ class TxnTable:
                         f"txn table {self.path} has unpartitioned entries without "
                         f"column {partition_col!r}; cannot replace partitions safely"
                     )
-                remainder = stale.where(
-                    ~F.col(partition_col).cast("string").isin(sorted(touched))
-                )
+                # NULL partition values: isin() is NULL-valued for NULL
+                # rows, and a bare where() would silently DROP them.
+                # Keep NULL rows unless the replacement explicitly
+                # targets the hive default partition.
+                keep = ~F.col(partition_col).cast("string").isin(sorted(touched))
+                null_kept = "__HIVE_DEFAULT_PARTITION__" not in touched
+                remainder = stale.where(F.coalesce(keep, F.lit(null_kept)))
                 split_entries = self._write_data(remainder, partition_col)
             elif unpart:
                 kept = unpart + kept

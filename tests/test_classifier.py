@@ -102,3 +102,15 @@ def test_save_load_scores_raw_text(model_and_data, spark, tmp_path):
     )
     got = {r["doc_id"]: r["quality_score"] for r in score_quality(loaded, df).collect()}
     assert got[1] > got[2]
+
+
+def test_null_text_scores_instead_of_crashing(model_and_data, spark):
+    """NULL text must flow through the JVM pipeline as an empty token
+    array (prior-level score), not NPE the job — the heuristics-first
+    stage tolerates such rows, so the model stage must too."""
+    model, _ = model_and_data
+    df = spark.createDataFrame(
+        [(1, "a clear ordinary sentence"), (2, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["quality_score"] for r in score_quality(model, df).collect()}
+    assert 0.0 <= got[2] <= 1.0 and got[1] > 0.5

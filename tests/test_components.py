@@ -210,3 +210,13 @@ def test_resolve_roots_long_chain_logarithmic_rounds(spark):
     got = {r["node"]: (r["root"], r["depth"]) for r in resolve_roots(edges).collect()}
     assert got[n - 1] == (0, n - 1) and got[0] == (0, 0)
     assert len(got) == n
+
+
+def test_resolve_roots_raises_on_cycle(spark):
+    import pytest as _pytest
+
+    from terrorblade_spark.operators.components import resolve_roots
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "child long, parent long")
+    with _pytest.raises(ValueError, match="not a forest"):
+        resolve_roots(edges, max_rounds=6)

@@ -367,7 +367,7 @@ def test_txn_append_writer_exactly_once_across_replay(spark, tmp_path):
     )
     # first run: fresh checkpoint, drains both files as two batches
     ckpt = str(tmp_path / "ckpt")
-    q = txn_append_writer(stream, t).option("checkpointLocation", ckpt).trigger(
+    q = txn_append_writer(stream, t, "w1").option("checkpointLocation", ckpt).trigger(
         availableNow=True
     ).start()
     q.awaitTermination(120)
@@ -375,11 +375,11 @@ def test_txn_append_writer_exactly_once_across_replay(spark, tmp_path):
 
     # simulate the crash-replay window: re-deliver batch 0 by hand
     batch0 = spark.read.parquet(f"{src}/f0.parquet")
-    t.append(batch0, applied_id="batch_0")  # what a restarted sink would do
+    t.append(batch0, applied_id="w1/batch_0")  # what a restarted sink would do
     assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2]
 
     # a genuine restart with the same checkpoint also lands nothing new
-    q2 = txn_append_writer(stream, t).option("checkpointLocation", ckpt).trigger(
+    q2 = txn_append_writer(stream, t, "w1").option("checkpointLocation", ckpt).trigger(
         availableNow=True
     ).start()
     q2.awaitTermination(120)
@@ -411,7 +411,7 @@ def test_txn_content_dedup_writer_closes_replay_window(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
     )
-    q = txn_content_dedup_writer(stream, t).option(
+    q = txn_content_dedup_writer(stream, t, "w1").option(
         "checkpointLocation", str(tmp_path / "ckpt")
     ).trigger(availableNow=True).start()
     q.awaitTermination(120)
@@ -427,5 +427,5 @@ def test_txn_content_dedup_writer_closes_replay_window(spark, tmp_path):
     from terrorblade_spark.operators.dedup import incremental_dedup
 
     admitted, _ = incremental_dedup(b0, t.read(spark).select("content_hash"))
-    t.append(admitted, applied_id="batch_0")
+    t.append(admitted, applied_id="w1/batch_0")
     assert sorted(r["doc_id"] for r in t.read(spark).collect()) == [1, 2, 5]

@@ -415,3 +415,59 @@ def test_read_with_additive_schema_evolution(spark, tmp_path):
     )
     got = {r["k"]: (r["v"], r["lang"]) for r in t.read(spark).collect()}
     assert got == {1: (10, None), 2: (20, "fr")}
+
+
+def test_replace_partitions_preserves_null_partition_rows(spark, tmp_path):
+    """NULL partition values in unpartitioned entries must survive a
+    split (isin() is NULL-valued for NULLs; a bare where() drops them)."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(0, 1, 100), (None, 2, 200)], "b int, k long, v long")
+    )
+    t.replace_partitions(_df(spark, [(0, 1, 555)], "b int, k long, v long"), "b")
+    got = sorted(
+        ((r["b"], r["k"], r["v"]) for r in t.read(spark).collect()),
+        key=lambda x: (x[0] is None, x),
+    )
+    assert got == [(0, 1, 555), (None, 2, 200)]
+
+
+def test_string_partition_round_trips_through_compact(spark, tmp_path):
+    """Partition values carry their declared type in the manifest: a
+    string-keyed table compacts without nulling the key (the old
+    hard-coded int cast would corrupt it)."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.replace_partitions(
+        spark.createDataFrame([("fr", 1), ("en", 2)], "lang string, k long"), "lang"
+    )
+    t.replace_partitions(
+        spark.createDataFrame([("en", 3)], "lang string, k long"), "lang"
+    )
+    t.compact(spark)
+    got = sorted((r["lang"], r["k"]) for r in t.read(spark).collect())
+    assert got == [("en", 3), ("fr", 1)]
+
+
+def test_overwrite_partitioned_leaves_no_stale_partitions(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite(
+        _df(spark, [(0, 1, 1), (1, 2, 2), (2, 3, 3)], "b int, k long, v long"),
+        partition_col="b",
+    )
+    # "retrain" with fewer partitions: b=2 must NOT survive
+    t.overwrite(
+        _df(spark, [(0, 9, 9), (1, 8, 8)], "b int, k long, v long"), partition_col="b"
+    )
+    assert sorted(r["b"] for r in t.read(spark).collect()) == [0, 1]
+    # and entries are per-partition (pruning works)
+    assert all(e["partition"] for e in t.latest().entries)
+
+
+def test_distinct_writer_ids_do_not_collide_on_batch_numbers(spark, tmp_path):
+    """The Delta txnAppId analog: two streaming writers both at batch 0
+    must both land (query-local batch ids are only unique per writer)."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 10)]), applied_id="writerA/batch_0")
+    t.append(_df(spark, [(2, 20)]), applied_id="writerB/batch_0")  # not a replay
+    t.append(_df(spark, [(3, 30)]), applied_id="writerA/batch_0")  # replay: no-op
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 2]
