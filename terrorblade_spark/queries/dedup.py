@@ -367,3 +367,72 @@ def q78_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3
     )
     return connected_components(pairs, "id_a", "id_b").orderBy("node")
+
+
+# --- q80: exact-substring repeated-window span detection ---------------------
+# Sequence-level dedup's detection half (operators/substr.py — the
+# ExactSubstr analog). Hash VALUES are engine-specific (xxhash64 vs
+# md5), but the SPAN POSITIONS they induce are not: the oracle computes
+# its own window hashes and merges overlapping hits with a
+# gaps-and-islands window, reproducing the Spark fold's positions
+# exactly. Corpus = documents + re-ingested copy (q31's pattern), so
+# every >=window-token doc carries a guaranteed repeated span.
+
+_SUBSTR_W = 12
+_SUBSTR_OFFSET = 3_000_000_000
+
+
+@query(
+    "q80_repeated_window_spans",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_SUBSTR_OFFSET} AS doc_id, text FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+      FROM corpus
+    ),
+    w AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:i+{_SUBSTR_W - 1}], chr(1))) AS wh
+      FROM t, unnest(range(1, len(toks) - {_SUBSTR_W} + 2)) AS u(i)
+      WHERE len(toks) >= {_SUBSTR_W}
+    ),
+    hot AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+    m AS (SELECT doc_id, pos FROM w WHERE wh IN (SELECT wh FROM hot)),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos > prev + {_SUBSTR_W} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM m
+      )
+    )
+    SELECT doc_id, CAST(min(pos) AS INT) AS start,
+           CAST(max(pos) + {_SUBSTR_W} AS INT) AS "end"
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, start
+    """,
+)
+def q80_repeated_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.substr import repeated_window_spans
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + F.lit(_SUBSTR_OFFSET)).alias("doc_id"), "text")
+    )
+    spans = repeated_window_spans(corpus, window=_SUBSTR_W, min_repeats=2)
+    return (
+        spans.select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.start").alias("start"),
+            F.col("s.end").alias("end"),
+        )
+        .orderBy("doc_id", "start")
+    )

@@ -80,6 +80,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q77_stratified_sample",
     "q78_neardup_components",
     "q79_event_thread_roots",
+    "q80_repeated_window_spans",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",
