@@ -115,6 +115,36 @@ class CorpusPipeline:
             ).withColumn("keep", F.col("keep") & ~low)
         return out
 
+    # -- stage 1b: sequence-level dedup -------------------------------------
+
+    def cut_repeats(
+        self,
+        df: DataFrame,
+        window: int = 50,
+        min_repeats: int = 2,
+        method: str = "rolling",
+    ) -> DataFrame:
+        """Exact-substring dedup between curation and document dedup:
+        detect token windows repeated ``min_repeats``+ times corpus-wide
+        and cut them (operators/substr.py — boilerplate and quoted runs
+        that whole-document MinHash can't see). The cleaned text lands
+        back in ``text_col``; ``repeated_frac`` is attached for
+        auditing (null = nothing repeated)."""
+        from terrorblade_spark.operators.substr import (
+            cut_repeated_windows,
+            repeated_window_spans,
+        )
+        from pyspark.sql import functions as F
+
+        spans = repeated_window_spans(
+            df, self.id_col, self.text_col, window, min_repeats, method=method
+        )
+        cut = cut_repeated_windows(df, spans, self.id_col, self.text_col, "__cut")
+        out = cut.withColumn(self.text_col, F.col("__cut")).drop("__cut")
+        return out.join(
+            spans.select(self.id_col, "repeated_frac"), self.id_col, "left"
+        )
+
     # -- stage 2: dedup -----------------------------------------------------
 
     def dedup(

@@ -103,3 +103,23 @@ def test_curate_with_learned_quality_gate(spark):
     assert got[1]["keep"] and "quality_model" not in got[1]["quality_reasons"]
     assert not got[2]["keep"] and "quality_model" in got[2]["quality_reasons"]
     assert got[2]["quality_score"] < 0.5 < got[1]["quality_score"]
+
+
+def test_cut_repeats_stage_removes_shared_boilerplate(spark):
+    from terrorblade_spark.corpus import CorpusPipeline
+
+    boiler = "all rights reserved by the publisher and its assigns"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta epsilon zeta eta theta iota {boiler}"),
+            (2, f"{boiler} one two three four five six seven eight nine"),
+            (3, "red orange yellow green blue indigo violet pink brown"),
+        ],
+        "doc_id long, text string",
+    )
+    pipe = CorpusPipeline(spark, docs)
+    out = pipe.cut_repeats(docs, window=9, min_repeats=2)
+    got = {r["doc_id"]: (r["text"], r["repeated_frac"]) for r in out.collect()}
+    assert "rights" not in got[1][0] and "rights" not in got[2][0]
+    assert got[3][0].startswith("red orange") and got[3][1] is None
+    assert got[1][1] is not None and got[1][1] > 0.4
