@@ -164,6 +164,12 @@ def minhash_lsh_candidates(
     band) — ~24 B x |docs| x bands, disk-spillable, so the tradeoff
     holds at cluster scale where the text itself is 1000x larger.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): trailing "
+            "signature positions would be silently ignored, giving a weaker "
+            "banding curve than the parameters imply"
+        )
     rows = num_hashes // bands
     # _minhash_core omits unshingleable docs, which is exactly the
     # `signature[0] != -1` filter — no sentinel join, no re-filter
@@ -176,7 +182,13 @@ def minhash_lsh_candidates(
 def lsh_candidates_from_signatures(sig: DataFrame, bands: int, rows: int) -> DataFrame:
     """Banded self-join over a prepared (doc, sig) relation — split out
     so pipelines that also need the signatures (e.g. for estimated-
-    Jaccard verification) compute them ONCE and reuse the relation."""
+    Jaccard verification) compute them ONCE and reuse the relation.
+
+    Sentinel rows are dropped first: ``minhash_signatures`` gives
+    unshingleable docs an all -1 signature, and every such doc shares
+    every band hash — one quadratic bucket of false pairs that
+    estimated Jaccard would then score 1.0."""
+    sig = sig.where(F.element_at(F.col("sig"), 1) != -1)
     banded = sig.select("doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash")
     )
@@ -438,6 +450,9 @@ def jaccard_for_pairs(
     # only candidate docs are shingled onward; at 100 TB candidates are
     # a sliver of the corpus, so this semi-join is the big pruner
     ex = ex.join(cand_docs, "doc", "leftsemi")
+    # ex feeds THREE consumers (counts + both intersection sides) —
+    # same measured-2x persist rationale as jaccard_pairs' explode
+    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
     counts = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         pairs.join(

@@ -131,13 +131,16 @@ def shuffle_corpus(
     so each output file IS a shard in reading order. A new epoch is a
     new ``seed`` — a full reshuffle with zero state carried over.
     """
+    # __-prefixed temp (package convention): an input column named "h"
+    # must survive untouched. shard/pos are the OUTPUT contract and
+    # intentionally overwrite same-named inputs.
     h = hash64(F.col(key_col).cast("string"), salt=f"{seed}/")
-    w = Window.partitionBy("shard").orderBy("h", key_col)
+    w = Window.partitionBy("shard").orderBy("__h", key_col)
     return (
-        df.withColumn("h", h)
-        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
+        df.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
-        .drop("h")
+        .drop("__h")
     )
 
 
@@ -303,8 +306,14 @@ def weighted_sample_without_replacement(
     from pyspark.sql import Window
 
     u = seeded_uniform(id_col, seed)
-    # u^(1/w) via exp(ln(u)/w); u in (0,1) so ln(u) < 0 and key in (0,1)
-    key = F.exp(F.log(u) / F.col(weight_col))
+    # A-Res keys on u^(1/w); ordering by the LOG key ln(u)/w is the
+    # same order (log is monotone) without exp()'s underflow: for small
+    # weights exp(ln(u)/w) flushes to exactly 0.0 (w=0.001 underflows
+    # for roughly half of all draws), collapsing ties that the
+    # (desc key, asc id) break then resolves by ID — an id-biased,
+    # no-longer-weight-proportional sample. ln(u)/w never underflows in
+    # the relevant range.
+    key = F.log(u) / F.col(weight_col)
     keyed = df.where(F.col(weight_col) > 0).withColumn("__wkey", key)
     if not strata_cols:
         return (

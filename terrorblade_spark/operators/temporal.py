@@ -54,14 +54,17 @@ def asof_join(
         F.col(on).cast("double").alias("__rt"), *[F.col(c) for c in rcols]
     ).alias("__r")
 
+    # no trailing comma when the right side carries no payload columns
+    # (a payload-free right table is legal: tolerance checks only)
+    r_ddl = "struct<" + ",".join(
+        ["__rt:double"] + [f"{c}:{dict(right.dtypes)[c]}" for c in rcols]
+    ) + ">"
     l2 = left.select(
         *by,
         F.col(on).cast("double").alias("__t"),
         F.lit(0).alias("__side"),
         lpayload,
-        F.lit(None).cast(
-            "struct<__rt:double," + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in rcols) + ">"
-        ).alias("__r"),
+        F.lit(None).cast(r_ddl).alias("__r"),
     )
     r2 = right.select(
         *by,
@@ -139,18 +142,28 @@ def range_join(
     if how == "inner":
         return joined
     if how == "left":
+        from functools import reduce
+
         # left join = inner result unioned with unmatched points
         matched = joined
         unmatched = pts.join(
             ivals.select(*by, "__chunk").distinct(), on=[*by, "__chunk"], how="left_anti"
         ).drop("__chunk")
         # unmatched within an existing bucket (bucket hit, predicate
-        # miss) need the anti-join against actual matches
-        bucket_hit_no_match = (
-            pts.join(ivals.select(*by, "__chunk").distinct(), on=[*by, "__chunk"])
-            .drop("__chunk")
-            .join(matched.select(*points.columns).distinct(), on=points.columns, how="left_anti")
+        # miss) need the anti-join against actual matches. The join
+        # condition must be NULL-SAFE: `on=columns` equality is NULL for
+        # NULL payload cells, so a matched point with any NULL column
+        # would never anti-join against itself and come back a second
+        # time as a phantom unmatched row.
+        bh = pts.join(
+            ivals.select(*by, "__chunk").distinct(), on=[*by, "__chunk"]
+        ).drop("__chunk").alias("__bh")
+        mpts = matched.select(*points.columns).distinct().alias("__m")
+        ns_cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"__bh.{c}").eqNullSafe(F.col(f"__m.{c}")) for c in points.columns],
         )
+        bucket_hit_no_match = bh.join(mpts, ns_cond, "left_anti")
         for c in intervals.columns:
             if c not in points.columns:
                 unmatched = unmatched.withColumn(c, F.lit(None))

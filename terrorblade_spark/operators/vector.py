@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -140,8 +141,18 @@ def sign_lsh_bucket(vec_col: Column, planes: int = 8, dims: int = 64, salt: str 
                 for d in range(dims)
             ]
         )
+        # coalesce: zip_with pads the shorter array with NULLs, and one
+        # NULL poisons the whole fold — a vector shorter than `dims`
+        # would project to NULL, land every row (and the query) in
+        # bucket 0, and silently turn the pruned scan into a full scan.
+        # Missing positions contribute 0 (project on the prefix).
         proj = F.aggregate(
-            F.zip_with(vec_col, signs, lambda x, s: x.cast("double") * s),
+            F.zip_with(
+                vec_col,
+                signs,
+                lambda x, s: F.coalesce(x.cast("double"), F.lit(0.0))
+                * F.coalesce(s, F.lit(0.0)),
+            ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -373,8 +384,14 @@ def pq_encode(
     billion-vector corpus: work is m * n_codes distance folds per row,
     all JVM-side, embarrassingly parallel.
     """
-    dim = len(vectors.select(vec_col).first()[0])
-    ds = dim // m
+    # subvector width comes from the MODEL-sized codebooks relation, not
+    # a corpus scan: building this plan must not run a job over the
+    # vectors (the package's plan-build contract), and an empty corpus
+    # must encode to an empty result rather than crash on first()=None
+    first_cb = codebooks.select("centroid").first()
+    if first_cb is None:
+        raise ValueError("pq_encode needs non-empty codebooks (run pq_build first)")
+    ds = len(first_cb[0])
     subs = vectors.select(
         F.col(id_col),
         F.explode(
@@ -580,11 +597,20 @@ def ivfpq_build(
             lambda x, c: x.cast("double") - c,
         ),
     ).drop("centroid")
-    cb = pq_build(
-        res, m=m, n_codes=n_codes, vec_col="__res",
-        seed=seed, max_iter=max_iter, train_fraction=train_fraction,
-    )
-    enc = pq_encode(res, cb, m=m, id_col=id_col, vec_col="__res").drop("__res")
+    # res feeds m sequential codebook fits plus the encode pass — each
+    # would otherwise re-run ivf_build's transform + the residual join
+    # over the full corpus (~m+2 recomputes for the default m=8)
+    res = res.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cb = pq_build(
+            res, m=m, n_codes=n_codes, vec_col="__res",
+            seed=seed, max_iter=max_iter, train_fraction=train_fraction,
+        )
+        enc = pq_encode(res, cb, m=m, id_col=id_col, vec_col="__res").drop("__res")
+        enc = enc.persist(StorageLevel.MEMORY_AND_DISK)
+        enc.count()  # materialize while res is still cached
+    finally:
+        res.unpersist()
     return enc, cents, cb
 
 
