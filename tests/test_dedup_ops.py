@@ -282,3 +282,29 @@ def test_canonical_text_collapses_noise_variants(spark):
     rows = {r["doc_id"]: r["c"] for r in df.select("doc_id", canonical_text("text").alias("c")).collect()}
     assert rows[0] == rows[1] == rows[2] == rows[3] == "hello world"
     assert rows[4] != rows[0]
+
+
+def test_signature_lsh_seam_filters_sentinels(spark):
+    """Review repro: all -1 sentinel signatures (unshingleable docs)
+    fed to the public signature seam must not pair with each other."""
+    from terrorblade_spark.operators.dedup import lsh_candidates_from_signatures
+
+    sig = spark.createDataFrame(
+        [(1, [-1] * 8), (2, [-1] * 8), (3, [5, 6, 7, 8, 9, 10, 11, 12]),
+         (4, [5, 6, 7, 8, 9, 10, 11, 12])],
+        "doc long, sig array<long>",
+    )
+    pairs = {(r["id_a"], r["id_b"])
+             for r in lsh_candidates_from_signatures(sig, bands=4, rows=2).collect()}
+    assert pairs == {(3, 4)}  # sentinels never pair
+
+
+def test_minhash_bands_must_divide_num_hashes(spark, sf_dir):
+    import pytest as _pytest
+
+    from terrorblade_spark.operators.dedup import minhash_lsh_candidates
+    from terrorblade_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_candidates(d, "doc_id", num_hashes=16, bands=5)

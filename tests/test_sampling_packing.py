@@ -410,3 +410,19 @@ def test_hard_negatives_ivf_mode_matches_brute_at_full_probe(spark):
         ).collect()
     }
     assert ivf == brute
+
+
+def test_wsr_small_weights_remain_weight_proportional(spark):
+    """Review repro: exp-key underflow at w=0.001 id-biased the sample;
+    the log-key order must keep heavy rows overwhelmingly more likely."""
+    from terrorblade_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = [(i, 0.001) for i in range(200)] + [(1000 + i, 10.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, weight double")
+    got = {r["doc_id"] for r in
+           weighted_sample_without_replacement(df, k=20, weight_col="weight").collect()}
+    heavy = sum(1 for d in got if d >= 1000)
+    # weights differ 10000x: essentially every pick must be heavy
+    assert heavy >= 18, heavy

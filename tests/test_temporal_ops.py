@@ -195,3 +195,34 @@ def test_resample_matches_duckdb_on_events(spark, duck, sf_dir):
     import math
 
     assert all(math.isclose(got[k], want[k], rel_tol=1e-9, abs_tol=1e-9) for k in got)
+
+
+def test_range_join_left_null_payload_no_phantom_rows(spark):
+    """Review repro: a matched point with a NULL payload column must
+    come back ONCE, not again as a phantom unmatched row (the anti-join
+    must be null-safe)."""
+    from terrorblade_spark.operators.temporal import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 100.0, None), (1, 999999.0, None)], "user_id long, ts double, payload string"
+    )
+    ivals = spark.createDataFrame(
+        [(1, 50.0, 200.0)], "user_id long, start_ts double, end_ts double"
+    )
+    out = range_join(pts, ivals, "ts", "start_ts", "end_ts", by=["user_id"],
+                     chunk_s=100.0, how="left").collect()
+    matched = [r for r in out if r["ts"] == 100.0]
+    unmatched = [r for r in out if r["ts"] == 999999.0]
+    assert len(matched) == 1 and matched[0]["start_ts"] == 50.0
+    assert len(unmatched) == 1 and unmatched[0]["start_ts"] is None
+
+
+def test_asof_join_payload_free_right_side(spark):
+    """Review repro: a right table with only (key, ts) — tolerance
+    checks — must not ParseException on the struct DDL."""
+    from terrorblade_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 10.0), (1, 20.0)], "k long, t double")
+    right = spark.createDataFrame([(1, 15.0)], "k long, t double")
+    out = asof_join(left, right, on="t", by=["k"]).collect()
+    assert len(out) == 2  # no crash; left rows all survive

@@ -532,3 +532,31 @@ def test_ivf_txn_incremental_append_serves_new_vectors(spark, sf_dir, tmp_path):
     # pruning preserved: every manifest entry is per-partition
     m = TxnTable(f"{path}/assigned").latest()
     assert all(e["partition"] for e in m.entries)
+
+
+def test_sign_lsh_bucket_short_vectors_not_all_zero(spark):
+    """Review repro: vectors shorter than dims null-poisoned the fold
+    and ALL landed in bucket 0 (silent full scan)."""
+    from terrorblade_spark.operators.vector import sign_lsh_bucket
+
+    rows = [(i, [float((i * 7 + j) % 13) - 6.0 for j in range(32)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    buckets = [
+        r["b"] for r in df.select(
+            sign_lsh_bucket(F.col("embedding"), planes=8, dims=64).alias("b")
+        ).collect()
+    ]
+    assert len(set(buckets)) > 4  # spread, not all-zero collapse
+
+
+def test_pq_encode_requires_codebooks_not_corpus_scan(spark):
+    import pytest
+
+    from terrorblade_spark.operators.vector import pq_encode
+
+    empty_cb = spark.createDataFrame(
+        [], "sub_id int, code_id int, centroid array<double>"
+    )
+    vecs = spark.createDataFrame([(1, [0.0, 1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="non-empty codebooks"):
+        pq_encode(vecs, empty_cb, m=1)
