@@ -122,8 +122,10 @@ def decode_images(df: DataFrame, decoder: str = "fake") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
-            ws = pdf["width"].fillna(16).astype("int64").to_numpy()
-            hs = pdf["height"].fillna(16).astype("int64").to_numpy()
+            # >=1 clamp (same corrupt-metadata guard as resize_images):
+            # width 0 yields NaN stats, negative kills the task
+            ws = np.maximum(pdf["width"].fillna(16).astype("int64").to_numpy(), 1)
+            hs = np.maximum(pdf["height"].fillna(16).astype("int64").to_numpy(), 1)
             seeds = np.fromiter(
                 (_decode_seed(c) for c in pdf["content"]), dtype=np.int64, count=n
             )
@@ -205,11 +207,15 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, decoder: str = "fake") ->
         for pdf in batches:
             ids, offs, fps = [], [], []
             # columnar zip (no iterrows); md5-per-frame is the payload
+            # fillna BEFORE int(): Arrow gives nullable longs as float64
+            # with NaN, and NaN is truthy — int(nan or 0) raises. Clamp
+            # negatives (corrupt metadata) to 0 = no frames.
+            durs = pdf["duration_ms"].fillna(0).clip(lower=0).astype("int64").to_numpy()
             for mid, dur, content in zip(
-                pdf["media_id"].to_numpy(), pdf["duration_ms"], pdf["content"]
+                pdf["media_id"].to_numpy(), durs, pdf["content"]
             ):
                 c = content or b""
-                for off in range(0, int(dur or 0), every_ms):
+                for off in range(0, int(dur), every_ms):
                     ids.append(mid)
                     offs.append(off)
                     fps.append(
@@ -418,7 +424,9 @@ def decode_audio(df: DataFrame, decoder: str = "fake", max_samples: int = 480_00
             seeds = np.fromiter(
                 (_decode_seed(c) for c in pdf["content"]), dtype=np.int64, count=n
             )
-            counts = np.minimum(srs * durs // 1000, max_samples).astype("int64")
+            # clip below at 0: negative duration_ms (corrupt metadata)
+            # would request a negative-size RNG draw and kill the task
+            counts = np.clip(srs * durs // 1000, 0, max_samples).astype("int64")
             rms = np.empty(n, dtype=np.float64)
             peak = np.empty(n, dtype=np.float64)
             for j in range(n):

@@ -86,6 +86,7 @@ def connected_components(
     ).distinct()
 
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
         sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         edges = _small_star(_large_star(sym)).localCheckpoint(eager=True)
@@ -99,8 +100,19 @@ def connected_components(
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
         ).first()
         if prev_sig == (sig["n"], sig["s"]):
+            converged = True
             break
         prev_sig = (sig["n"], sig["s"])
+    if not converged:
+        # pre-fixpoint edges are not yet stars: a node could carry
+        # MULTIPLE (node, component) labels and near_dup_components'
+        # join would then duplicate doc rows with conflicting canonical
+        # ids — silently corrupt dedup output. Star contraction needs
+        # ~O(log^2 n) rounds; a long-chain graph can exceed the default.
+        raise ValueError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(long-chain component?); raise max_rounds"
+        )
 
     # converged edges are (child, root) stars; roots label themselves
     labels = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
@@ -168,6 +180,12 @@ def near_dup_components(
                 .select("id_a", "id_b")
             )
     comp = connected_components(cand, "id_a", "id_b")
+    if jaccard_threshold is not None and not exact_verify:
+        # components are materialized (eager localCheckpoints inside
+        # connected_components), so the cached signatures are no longer
+        # reachable — unpersist here rather than leaking one cached
+        # relation per call for the session lifetime
+        sig.unpersist()
     return (
         df.select(F.col(id_col).cast("long").alias(id_col))
         .join(comp, F.col(id_col) == F.col("node"), "left")

@@ -184,7 +184,10 @@ def gopher_filter(
     and ``keep`` — filtering is the caller's choice so rejects can be
     audited. One pass of row-local expressions; no shuffle.
     """
-    toks = tokens(text_col)
+    # coalesce: NULL text must fail too_few_words like '' does — raw
+    # NULL makes every check condition NULL, which filters to an empty
+    # reasons array and silently KEEPS the junk row
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     n_words = F.size(toks).cast("long")
     mean_wl = F.when(
         n_words > 0,

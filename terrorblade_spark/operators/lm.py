@@ -138,8 +138,11 @@ def score_documents(
     token by unigram and subsequent tokens by conditional bigram with
     unigram backoff for unseen pairs.
 
-    Docs with no tokens score NULL (nothing to judge — callers decide;
-    forcing 0 would rank empty docs as maximally fluent).
+    Docs with no tokens score NULL mean_nll with n_scored_tokens = 0
+    (nothing to judge — callers decide; forcing 0 would rank empty docs
+    as maximally fluent). Every input id appears in the output — the
+    aggregate is left-joined back to the id set, so inner-joining the
+    scores does not silently drop token-less docs.
     """
     toks = _token_stream(df, id_col, text_col)
     # disambiguated model relations (the corpus side also has `tok`)
@@ -172,10 +175,19 @@ def score_documents(
         )
     else:
         raise ValueError("order must be 1 or 2")
+    agg = scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_scored_tokens"), F.avg(-F.col("lp")).alias("mean_nll")
+    )
+    # token-less docs emit no scored rows; the documented contract is a
+    # NULL-scored row per input id, not a missing one
     return (
-        scored.groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("n_scored_tokens"), F.avg(-F.col("lp")).alias("mean_nll"))
-        .withColumnRenamed("doc", id_col)
+        df.select(F.col(id_col)).distinct()
+        .join(agg, F.col(id_col) == F.col("doc"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_scored_tokens", F.lit(0)).alias("n_scored_tokens"),
+            "mean_nll",
+        )
     )
 
 

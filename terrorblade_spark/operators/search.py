@@ -197,6 +197,8 @@ def rrf_fuse(
     """
     from pyspark.sql import Window
 
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
     tagged = []
     for i, r in enumerate(rankings):
         w = Window.orderBy(F.desc(score_col), F.asc(id_col))

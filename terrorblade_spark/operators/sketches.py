@@ -130,7 +130,12 @@ def frequent_items(
             .orderBy(F.desc("n_lower"), F.asc("value"))
             .limit(capacity)
         )
-        return _recount_or_rank(source, merged, exact_recount, k)
+        # without the recount, raw sample counts must be scaled back to
+        # corpus magnitude (1/fraction) — otherwise `n` is silently
+        # ~1/fraction too small and discontinuous with the other modes
+        return _recount_or_rank(
+            source, merged, exact_recount, k, scale=1.0 / sample_fraction
+        )
     if method != "mg":
         raise ValueError(f"unknown method {method!r}")
 
@@ -201,13 +206,23 @@ def top_k_per_group(
 
 
 def _recount_or_rank(
-    source: DataFrame, merged: DataFrame, exact_recount: bool, k: int | None
+    source: DataFrame,
+    merged: DataFrame,
+    exact_recount: bool,
+    k: int | None,
+    scale: float = 1.0,
 ) -> DataFrame:
     if exact_recount:
         out = (
             source.join(F.broadcast(merged.select("value")), "value", "leftsemi")
             .groupBy("value")
             .agg(F.count(F.lit(1)).alias("n"))
+        )
+    elif scale != 1.0:
+        # sampled counts scaled to corpus magnitude (ESTIMATES, not the
+        # MG path's lower bounds)
+        out = merged.select(
+            "value", F.round(F.col("n_lower") * F.lit(scale)).cast("long").alias("n")
         )
     else:
         out = merged.withColumnRenamed("n_lower", "n")

@@ -219,3 +219,20 @@ def test_boilerplate_null_text_row_survives(spark):
     assert out[98]["text"] is None
     assert out[98]["n_removed_lines"] == 0
     assert out[0]["text"] == "content 0"
+
+
+def test_gopher_filter_rejects_null_text(spark):
+    """Review repro: NULL text made every rule condition NULL and the
+    row sailed through with keep=True; it must fail too_few_words like
+    the empty string does."""
+    from terrorblade_spark.operators.curation import gopher_filter
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a perfectly ordinary sentence of words here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["keep"], list(r["quality_reasons"])) for r in
+           gopher_filter(df).collect()}
+    assert got[1][0] is False and "too_few_words" in got[1][1]
+    assert got[2][0] is False
+    assert got[3][0] is True

@@ -80,9 +80,16 @@ def test_fluent_text_scores_below_gibberish(spark, sf_dir, lm):
 
 
 def test_empty_doc_scores_null_not_zero(spark, lm):
-    probe = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
-    rows = score_documents(probe, lm).collect()
-    assert rows == []  # no tokens -> no row; never a fake 'perfect' 0
+    """The documented contract: token-less docs get a NULL-scored row
+    (n_scored_tokens=0), never a fake 'perfect' 0 and never a silently
+    MISSING row that an inner join downstream would drop."""
+    probe = spark.createDataFrame(
+        [(1, "   "), (2, "the quick fox")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in score_documents(probe, lm).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["mean_nll"] is None and rows[1]["n_scored_tokens"] == 0
+    assert rows[2]["mean_nll"] is not None
 
 
 def test_perplexity_buckets_are_balanced(spark, sf_dir, lm):

@@ -187,3 +187,24 @@ def test_decode_audio_stats(spark, media):
         assert r["rms"] <= r["peak"] <= 1.0
         assert r["n_samples"] >= 1
         assert r["sample_rate"] == 16000
+
+
+def test_sample_frames_null_and_negative_duration(spark):
+    """Review repro: NULL duration_ms arrived as NaN (truthy) and
+    int(NaN or 0) killed the task; negatives must mean no frames."""
+    from terrorblade_spark.multimodal.media import sample_frames
+
+    rows = [
+        (1, "video", (2000, None, None, None, None), b"x"),
+        (2, "video", (None, None, None, None, None), b"y"),
+        (3, "video", (-500, None, None, None, None), b"z"),
+    ]
+    schema = (
+        "media_id long, kind string, "
+        "meta struct<duration_ms: long, width: long, height: long, "
+        "sample_rate: long, n_channels: long>, content binary"
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = sample_frames(df, every_ms=1000).groupBy("media_id").count().collect()
+    counts = {r["media_id"]: r["count"] for r in got}
+    assert counts == {1: 2}  # null/negative durations contribute nothing

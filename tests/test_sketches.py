@@ -216,3 +216,20 @@ def test_boundary_bucket_matches_bisect_property(spark):
         uniq = sorted(set(bounds))
         assert got_inc[i] == bisect.bisect_right(uniq, v), (v, bounds)
         assert got_exc[i] == bisect.bisect_left(uniq, v), (v, bounds)
+
+
+def test_sampled_frequent_items_scaled_to_corpus_magnitude(spark):
+    """Review repro: sample mode without the exact recount returned raw
+    sample counts (~1/fraction too small)."""
+    from terrorblade_spark.operators.sketches import frequent_items
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 2 == 0 else f"cold{i}") for i in range(20000)],
+        "i long, v string",
+    )
+    got = {r["value"]: r["n"] for r in frequent_items(
+        df, "v", capacity=4, method="sample", sample_fraction=0.1,
+        exact_recount=False,
+    ).collect()}
+    # true count 10,000; the scaled estimate must be the right magnitude
+    assert 8000 <= got["hot"] <= 12000, got
