@@ -190,13 +190,14 @@ def compact(
     coalesce-style repartition (round-robin, no skew) suffices.
     """
     import math
-    import os
 
-    total = 0
-    for root, _dirs, files in os.walk(src_path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+    # size via the Hadoop FileSystem API, not os.walk: a URI or remote
+    # path (hdfs://, s3a://, file://) walks to 0 bytes locally and the
+    # whole dataset would silently collapse into ONE file
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(src_path)
     if preserve_sort:
@@ -250,8 +251,19 @@ def salted_join(
     spread over ``n_salts`` tasks instead of one straggler.
 
     (AQE's skewJoin handles this adaptively for sort-merge joins; this
-    explicit form works for any join and documents the technique.)
+    explicit form documents the technique.) Supported joins: inner and
+    any left-* variant — the big side carries one salt per row, so its
+    semantics are preserved. Right/full outer are REFUSED: the small
+    side is replicated across every salt, and each unmatched replica
+    would surface as its own null-extended output row (n_salts-fold
+    phantom duplication). Salt the other way around for those.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not how={how!r}: the "
+            "replicated small side would duplicate unmatched rows"
+        )
     b = with_salt(big, n_salts)
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

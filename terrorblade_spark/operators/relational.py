@@ -32,8 +32,20 @@ def anti_join_new(df: DataFrame, existing: DataFrame, keys: Sequence[str]) -> Da
     """P4/S5 idempotent-append filter: rows of ``df`` whose key is not
     already in ``existing``. Replaces the reference's driver-side id-set
     collection (TelegramPreprocessor.py:1270-1277) — never collects.
+
+    NULL-SAFE on the keys: plain `on=keys` equality is NULL for NULL
+    key cells, so a row with a NULL key part would count as "new" on
+    EVERY run and idempotent_append would re-append it per retry.
     """
-    return df.join(existing.select(*keys), on=list(keys), how="left_anti")
+    from functools import reduce
+
+    ex = existing.select(*keys).alias("__ex")
+    d = df.alias("__new")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"__new.{k}").eqNullSafe(F.col(f"__ex.{k}")) for k in keys],
+    )
+    return d.join(ex, cond, "left_anti")
 
 
 def idempotent_append(new_rows: DataFrame, existing: DataFrame, keys: Sequence[str]) -> DataFrame:
@@ -47,10 +59,17 @@ def idempotent_append(new_rows: DataFrame, existing: DataFrame, keys: Sequence[s
 
 
 def upsert_latest(new_rows: DataFrame, existing: DataFrame, keys: Sequence[str], version_col: str) -> DataFrame:
-    """S6 'INSERT OR REPLACE': union then keep the newest version per key."""
-    merged = existing.unionByName(new_rows, allowMissingColumns=True)
-    order = [F.col(version_col).desc_nulls_last()] + [F.col(k) for k in keys]
-    return latest_by(merged, keys, order)
+    """S6 'INSERT OR REPLACE': union then keep the newest version per
+    key. Version TIES go to the NEW row — re-upserting a row with an
+    unchanged version must apply the update (the REPLACE semantics),
+    and the tiebreaker must be a real one: ordering by the partition
+    keys (constant within the partition) broke no ties, which left the
+    winner to shuffle order."""
+    merged = existing.select("*", F.lit(0).alias("__src")).unionByName(
+        new_rows.select("*", F.lit(1).alias("__src")), allowMissingColumns=True
+    )
+    order = [F.col(version_col).desc_nulls_last(), F.col("__src").desc()]
+    return latest_by(merged, keys, order).drop("__src")
 
 
 def dictionary_encode(
@@ -73,10 +92,15 @@ def dictionary_encode(
 def apply_dictionary(df: DataFrame, dim: DataFrame, value_col: str, id_col: str) -> DataFrame:
     """Replace a low-cardinality string column with its dictionary id via
     broadcast join (replaces map_elements lookup, telegram_database.py:769-778).
+
+    The dictionary's id column is renamed BEFORE the join: with the
+    default id_col='id' and a df that already has an 'id' column the
+    old drop/rename corrupted the frame (two identically-named output
+    columns).
     """
-    return df.join(F.broadcast(dim), on=value_col, how="left").drop(value_col).withColumnRenamed(
-        id_col, value_col + "_id"
-    )
+    out_col = value_col + "_id"
+    lookup = dim.select(value_col, F.col(id_col).alias(out_col))
+    return df.join(F.broadcast(lookup), on=value_col, how="left").drop(value_col)
 
 
 def scd_rollup(df: DataFrame, keys: Sequence[str], ts_col: str) -> DataFrame:

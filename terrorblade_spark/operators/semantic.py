@@ -53,11 +53,17 @@ def sliding_distance(
         trail = F.collect_list(F.col(vec_col)).over(
             w.rowsBetween(-window, -1)
         )
-        sims = F.transform(trail, lambda v: cosine(F.col(vec_col), v))
+        # mean over NON-NULL sims: one zero-norm vector in the trail
+        # would null the whole fold, coalesce to 0.0, and glue a real
+        # semantic break onto the previous segment
+        sims = F.filter(
+            F.transform(trail, lambda v: cosine(F.col(vec_col), v)),
+            lambda x: x.isNotNull(),
+        )
         dist = F.when(
-            F.size(trail) > 0,
+            F.size(sims) > 0,
             1.0
-            - F.aggregate(sims, F.lit(0.0), lambda a, x: a + x) / F.size(trail),
+            - F.aggregate(sims, F.lit(0.0), lambda a, x: a + x) / F.size(sims),
         )
     return df.withColumn(out_col, F.coalesce(dist, F.lit(0.0)))
 
@@ -111,8 +117,11 @@ def author_runs(
     """E6: new run on author change OR gap > window
     (TextPreprocessor.py:133-142)."""
     w = entity_window(partition_cols, [ts_col, id_col])
+    # null-safe (see windows.run_ids): adjacent NULL authors — channel
+    # posts with no from_id — are the SAME author, not a break each
     author_changed = F.coalesce(
-        F.col(author_col) != F.lag(F.col(author_col)).over(w), F.lit(True)
+        ~F.col(author_col).eqNullSafe(F.lag(F.col(author_col)).over(w)),
+        F.lit(True),
     )
     return sessionize(
         df, ts_col, partition_cols, id_col, gap=gap,

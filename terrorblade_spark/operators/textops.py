@@ -47,12 +47,14 @@ def stopword_ratio(text_col: str, lang: str) -> Column:
 def predict_language(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
     """Language-ID heuristic: argmax of per-language stopword ratio,
     'und' (undetermined) when no stopwords hit. Deterministic argmax:
-    ties broken by language code order via greatest-of-structs.
+    score ties break to the alphabetically LAST language code
+    (array_max compares (score, lang) structs lexicographically;
+    element order in the array is irrelevant to it).
     """
     scored = F.array(
         *[
             F.struct(stopword_ratio(text_col, lang).alias("score"), F.lit(lang).alias("lang"))
-            for lang in sorted(STOPWORDS, reverse=True)
+            for lang in STOPWORDS
         ]
     )
     best = F.array_max(scored)

@@ -97,9 +97,13 @@ def run_ids(
     reference's forced df[0,'group_id']=0, TextPreprocessor.py:458,
     falls out of coalescing the null lag to 'changed')."""
     w = entity_window(partition_cols, order_cols)
-    changed = F.coalesce(
-        change_col != F.lag(change_col).over(w), F.lit(True)
-    )
+    # null-SAFE change detection: plain != is NULL for NULL values, so
+    # consecutive rows sharing a NULL (missing author, etc.) would each
+    # "change" and become singleton runs. The first-row marker lags a
+    # constant — eqNullSafe alone would mark a NULL-valued first row as
+    # unchanged (run_id -1).
+    first = F.lag(F.lit(1)).over(w).isNull()
+    changed = first | ~change_col.eqNullSafe(F.lag(change_col).over(w))
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(out_col, (F.sum(changed.cast("int")).over(run) - 1).cast("long"))
 

@@ -111,6 +111,14 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    # .rdd under AQE EXECUTES any upstream shuffle stages just to count
+    # partitions — doubling work on plans with joins/aggregations. Only
+    # consult .rdd when the non-adaptive physical plan has no Exchange
+    # (scan-shaped input, where the count is metadata); shuffled plans
+    # already set their parallelism from spark.sql.shuffle.partitions.
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    if "Exchange" in plan:
+        return df
     if df.rdd.getNumPartitions() < min_partitions:
         return df.repartition(min_partitions)
     return df

@@ -82,3 +82,44 @@ def test_scd_rollup(spark):
         ("n1", 10, 30),
         ("n2", 20, 20),
     ]
+
+
+def test_idempotent_append_null_keys_not_redppended(spark):
+    """Review repro: NULL key parts always classified as 'new' under a
+    null-unsafe anti-join — every retry re-appended the same row."""
+    from terrorblade_spark.operators.relational import idempotent_append
+
+    existing = spark.createDataFrame([(None, 1), (2, 2)], "k long, v long")
+    batch = spark.createDataFrame([(None, 1), (3, 3)], "k long, v long")
+    out = idempotent_append(batch, existing, ["k"])
+    assert out.count() == 3  # the NULL-keyed row is NOT duplicated
+    out2 = idempotent_append(batch, out, ["k"])
+    assert out2.count() == 3  # stable under replay
+
+
+def test_upsert_latest_version_tie_prefers_new_row(spark):
+    """Review repro: version ties were decided by shuffle order (the
+    'tiebreaker' was the constant partition key) — REPLACE semantics
+    require the new row to win."""
+    from terrorblade_spark.operators.relational import upsert_latest
+
+    existing = spark.createDataFrame([(1, 5, "old")], "k long, ver long, name string")
+    new = spark.createDataFrame([(1, 5, "new")], "k long, ver long, name string")
+    got = upsert_latest(new, existing, ["k"], "ver").collect()
+    assert len(got) == 1 and got[0]["name"] == "new"
+
+
+def test_apply_dictionary_with_conflicting_id_column(spark):
+    """Review repro: df already carrying an 'id' column got two
+    identically-named output columns."""
+    from terrorblade_spark.operators.relational import (
+        apply_dictionary,
+        dictionary_encode,
+    )
+
+    df = spark.createDataFrame([(10, "red"), (11, "blue")], "id long, color string")
+    dim = dictionary_encode(df, "color")
+    out = apply_dictionary(df, dim, "color", "id")
+    assert sorted(out.columns) == ["color_id", "id"]
+    got = {r["id"]: r["color_id"] for r in out.collect()}
+    assert got[11] == 0 and got[10] == 1  # blue < red by sort order

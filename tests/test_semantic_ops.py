@@ -204,3 +204,20 @@ class TestFullPipeline:
         )
         # one exchange for the window chain + one for the group-size count
         assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_sliding_distance_ignores_null_cosines_in_window(spark):
+    """Review repro: one zero-norm vector in the trailing window nulled
+    the aggregate and the coalesce reported 'perfectly similar' (0.0),
+    suppressing a certain semantic break."""
+    from terrorblade_spark.operators.semantic import sliding_distance
+
+    df = spark.createDataFrame(
+        [(1, 1, [1.0, 0.0]), (1, 2, [0.0, 0.0]), (1, 3, [-1.0, 0.0])],
+        "chat long, i long, vec array<float>",
+    )
+    got = {
+        r["i"]: r["distance"]
+        for r in sliding_distance(df, "vec", ["chat"], ["i"], window=2).collect()
+    }
+    assert abs(got[3] - 2.0) < 1e-9  # cosine -1 vs row 1; null row ignored

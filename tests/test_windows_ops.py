@@ -141,3 +141,31 @@ def test_global_renumber(spark):
     df = _events(spark, [(3, "u", 30), (1, "u", 10), (2, "u", 20)])
     rows = global_renumber(df, ["ts"], "n").orderBy("n").collect()
     assert [(r["n"], r["id"]) for r in rows] == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_run_ids_null_values_share_a_run(spark):
+    """Review repro: adjacent NULL authors each started a new run
+    (NULL != NULL is NULL -> 'changed'); they are the SAME run."""
+    from pyspark.sql import functions as F
+
+    from terrorblade_spark.operators.windows import run_ids
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, None), (1, 3, None), (1, 4, "a")],
+        "chat long, i long, author string",
+    )
+    got = [
+        r["run_id"]
+        for r in run_ids(df, F.col("author"), ["chat"], ["i"]).orderBy("i").collect()
+    ]
+    assert got == [0, 1, 1, 2]
+
+
+def test_run_ids_null_first_row_starts_run_zero(spark):
+    from pyspark.sql import functions as F
+
+    from terrorblade_spark.operators.windows import run_ids
+
+    df = spark.createDataFrame([(1, 1, None), (1, 2, None)], "chat long, i long, author string")
+    got = [r["run_id"] for r in run_ids(df, F.col("author"), ["chat"], ["i"]).orderBy("i").collect()]
+    assert got == [0, 0]
