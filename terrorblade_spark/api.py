@@ -39,11 +39,17 @@ class TerrorbladeSpark:
         messages: DataFrame,
         embeddings: DataFrame | None = None,
         clusters: DataFrame | None = None,
+        encoder=None,
     ):
         self.spark = spark
         self.messages = messages
         self.embeddings = embeddings
         self.clusters = clusters
+        # ONE encoder for corpus and queries: a supplied ``embeddings``
+        # DataFrame is only searchable with the encoder that built it
+        # (dim + model must match, else every cosine is NULL). Pass the
+        # same ``embed_text(dim, model)`` column fn used at ingest.
+        self.encoder = encoder if encoder is not None else embed_text()
         # lazily-built, reused BM25 index over messages: serving tools
         # (text_search / hybrid_search) must not pay a full corpus
         # re-tokenization + aggregation per call. Invalidated whenever
@@ -95,7 +101,7 @@ class TerrorbladeSpark:
                 ["message_id", "chat_id"],
             )
         else:
-            m = m.withColumn("embeddings", embed_text()(F.col("text")))
+            m = m.withColumn("embeddings", self.encoder(F.col("text")))
         grouped = process_message_groups(
             m,
             "embeddings",
@@ -207,19 +213,19 @@ class TerrorbladeSpark:
 
     def get_largest_cluster_messages(self, chat_id: int | None = None) -> DataFrame:
         """Q3/O3 (telegram_database.py:950-1006): messages of the
-        largest cluster, window top-1 instead of a count-then-fetch."""
+        largest cluster(s). The max is found on the AGGREGATED
+        (chat, group, n) relation and broadcast-joined back — an
+        unpartitioned window over the raw messages would funnel the
+        whole corpus through one task. Ties: all largest clusters
+        return, as before."""
         g = self._with_groups().where(F.col("group_id").isNotNull())
         if chat_id is not None:
             g = g.where(F.col("chat_id") == chat_id)
-        sized = g.withColumn(
-            "n", F.count(F.lit(1)).over(Window.partitionBy("chat_id", "group_id"))
-        )
-        w = Window.orderBy(F.desc("n"), "chat_id", "group_id")
-        return (
-            sized.withColumn("rk", F.dense_rank().over(w))
-            .where(F.col("rk") == 1)
-            .drop("rk", "n")
-            .orderBy("date", "message_id")
+        sizes = g.groupBy("chat_id", "group_id").agg(F.count(F.lit(1)).alias("n"))
+        mx = sizes.agg(F.max("n").alias("n"))
+        top = sizes.join(F.broadcast(mx), "n").select("chat_id", "group_id")
+        return g.join(F.broadcast(top), ["chat_id", "group_id"]).orderBy(
+            "date", "message_id"
         )
 
     def get_random_large_cluster(
@@ -405,7 +411,7 @@ class TerrorbladeSpark:
         lexical = bm25_topk(self._bm25(), query_text, k=fetch_k)
         q = (
             self.spark.createDataFrame([(query_text,)], "q string")
-            .select(embed_text()(F.col("q")).alias("__qvec"))
+            .select(self.encoder(F.col("q")).alias("__qvec"))
         )
         semantic = (
             self.embeddings.crossJoin(F.broadcast(q))
@@ -426,17 +432,24 @@ class TerrorbladeSpark:
             .orderBy(F.desc("rrf_score"), "chat_id", "message_id")
         )
 
-    def cluster_search(self, query_text: str, k: int = 5) -> DataFrame:
+    def cluster_search(
+        self, query_text: str, k: int = 5, chat_id: int | None = None
+    ) -> DataFrame:
         """Q9 (mcp/server.py:191-276): embed the query, top-k cosine
         over message embeddings, best hit per cluster — set-wise, no
-        per-hit SQL."""
+        per-hit SQL. ``chat_id`` scopes the CANDIDATE set before the
+        top-k (filtering afterwards would return empty for any chat
+        whose best hits rank below the global top-k)."""
         if self.embeddings is None:
             raise ValueError("cluster_search needs an embeddings DataFrame")
         q = (
             self.spark.createDataFrame([(query_text,)], "q string")
-            .select(embed_text()(F.col("q")).alias("__qvec"))
+            .select(self.encoder(F.col("q")).alias("__qvec"))
         )
-        scored = self.embeddings.crossJoin(F.broadcast(q)).select(
+        emb = self.embeddings
+        if chat_id is not None:
+            emb = emb.where(F.col("chat_id") == chat_id)
+        scored = emb.crossJoin(F.broadcast(q)).select(
             "message_id",
             "chat_id",
             cosine(F.col("embeddings"), F.col("__qvec")).alias("cosine_sim"),

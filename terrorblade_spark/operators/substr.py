@@ -239,7 +239,12 @@ def cut_repeated_windows(
             F.lit(False),
         ),
     )
+    # docs with NO spans pass through with their ORIGINAL text (the
+    # token rejoin collapses whitespace, which must only happen to
+    # documents that were actually cut)
     return joined.withColumn(
         out_col,
-        F.array_join(F.transform(kept, lambda s: s["t"]), " "),
+        F.when(F.col("spans").isNull(), F.col(text_col)).otherwise(
+            F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+        ),
     ).drop("__toks", "spans")

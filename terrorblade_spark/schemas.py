@@ -98,8 +98,25 @@ EXPORT_MESSAGE = StructType(
         StructField("file_name", StringType()),
         StructField("media_type", StringType()),
         StructField("mime_type", StringType()),
-        StructField("location_information.latitude", StringType()),
-        StructField("contact_information.first_name", StringType()),
+        StructField(
+            "location_information",
+            StructType(
+                [
+                    StructField("latitude", StringType()),
+                    StructField("longitude", StringType()),
+                ]
+            ),
+        ),
+        StructField(
+            "contact_information",
+            StructType(
+                [
+                    StructField("first_name", StringType()),
+                    StructField("last_name", StringType()),
+                    StructField("phone_number", StringType()),
+                ]
+            ),
+        ),
         StructField("members", ArrayType(StringType())),
     ]
 )

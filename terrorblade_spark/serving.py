@@ -196,9 +196,10 @@ class ToolDispatcher:
             raise ValueError("top_k must be in the range 1..1000")
         if not 0.0 <= similarity_threshold <= 1.0:
             raise ValueError("similarity_threshold must be between 0.0 and 1.0")
-        hits = self.tb.cluster_search(query, k=top_k)
-        if chat_id is not None:
-            hits = hits.where(F.col("chat_id") == chat_id)
+        # chat scoping happens INSIDE the search, before its top-k —
+        # filtering the k global hits afterwards returns empty for any
+        # chat whose best matches rank below them
+        hits = self.tb.cluster_search(query, k=top_k, chat_id=chat_id)
         if similarity_threshold > 0.0:
             hits = hits.where(F.col("cosine_sim") >= similarity_threshold)
         stats = _rows(
@@ -216,10 +217,14 @@ class ToolDispatcher:
         max_clusters: int = 10,
         similarity_threshold: float = 0.0,
     ) -> list[dict[str, Any]]:
+        if not isinstance(query, str) or not query.strip():
+            raise ValueError("query must be a non-empty string")
         if not 1 <= max_clusters <= 1000:
             raise ValueError("max_clusters must be in the range 1..1000")
         if not 1 <= top_k <= 1000:
             raise ValueError("top_k must be in the range 1..1000")
+        if not 0.0 <= similarity_threshold <= 1.0:
+            raise ValueError("similarity_threshold must be between 0.0 and 1.0")
         hits = self.tb.cluster_search(query, k=top_k).where(
             F.col("group_id").isNotNull() & (F.col("cosine_sim") >= similarity_threshold)
         )
@@ -283,14 +288,48 @@ def build_mcp_server(tb: TerrorbladeSpark):
         ) from e
 
     server = FastMCP("terrorblade-spark")
-    dispatcher = ToolDispatcher(tb)
+    d = ToolDispatcher(tb)
+
+    # explicit signatures: FastMCP derives each tool's input schema by
+    # introspection, so a **kwargs lambda (or an underscore-named
+    # parameter) yields an unusable or rejected tool. One typed wrapper
+    # per inventory entry keeps the schema faithful to TOOL_SPECS.
+    def vector_search(query: str, top_k: int = 10, chat_id: int | None = None,
+                      similarity_threshold: float = 0.0):
+        return d.call("vector_search", query=query, top_k=top_k,
+                      chat_id=chat_id, similarity_threshold=similarity_threshold)
+
+    def cluster_search(query: str, top_k: int = 50, max_clusters: int = 10,
+                       similarity_threshold: float = 0.0):
+        return d.call("cluster_search", query=query, top_k=top_k,
+                      max_clusters=max_clusters,
+                      similarity_threshold=similarity_threshold)
+
+    def get_cluster(chat_id: int, group_id: int):
+        return d.call("get_cluster", chat_id=chat_id, group_id=group_id)
+
+    def text_search(query: str, top_k: int = 10):
+        return d.call("text_search", query=query, top_k=top_k)
+
+    def hybrid_search(query: str, top_k: int = 10):
+        return d.call("hybrid_search", query=query, top_k=top_k)
+
+    def random_large_cluster(min_size: int = 5, chat_id: int | None = None):
+        return d.call("random_large_cluster", min_size=min_size, chat_id=chat_id)
+
+    impls = {f.__name__: f for f in (
+        vector_search, cluster_search, get_cluster, text_search,
+        hybrid_search, random_large_cluster,
+    )}
     for spec in TOOL_SPECS:
-        name = spec["name"]
         server.add_tool(
-            lambda _n=name, **kw: dispatcher.call(_n, **kw),
-            name=name,
-            description=spec["description"],
+            impls[spec["name"]], name=spec["name"], description=spec["description"]
         )
-    for pname, fn in PROMPTS.items():
-        server.add_prompt(fn, name=pname)
+    try:
+        from mcp.server.fastmcp.prompts import Prompt
+
+        for pname, fn in PROMPTS.items():
+            server.add_prompt(Prompt.from_function(fn, name=pname))
+    except ImportError:  # pragma: no cover - older mcp layouts
+        pass
     return server

@@ -66,12 +66,24 @@ def load_telegram_export(
         F.col("chat.type").alias("chat_type"),
         F.explode("chat.messages").alias("msg"),
     )
+    # ENTITIES FIRST: real Telegram Desktop exports encode any formatted
+    # message's `text` as an ARRAY of segments, which the declared
+    # StringType stringifies to raw JSON — preferring a non-empty
+    # text_entities list (always populated alongside array text) keeps
+    # formatted/link/mention messages as their visible text instead of
+    # JSON garbage. The rlike guard catches the array-without-entities
+    # residue: a plain string starting like a JSON array is overwhelmingly
+    # a stringified segment list, not message prose.
+    looks_jsonified = F.col("msg.text").rlike(r'^\s*\[\s*["{]')
     text_raw = F.coalesce(
-        F.when(F.length(F.col("msg.text")) > 0, F.col("msg.text")),
         F.when(
             F.col("msg.text_entities").isNotNull()
             & (F.size("msg.text_entities") > 0),
             _entities_text(F.col("msg.text_entities")),
+        ),
+        F.when(
+            (F.length(F.col("msg.text")) > 0) & ~looks_jsonified,
+            F.col("msg.text"),
         ),
     )
     text_with_media = F.coalesce(
@@ -90,9 +102,10 @@ def load_telegram_export(
         F.col("msg.from").alias("from_name"),
         F.col("msg.forwarded_from").alias("forwarded_from"),
         F.coalesce(F.col("msg.file_name"), F.col("msg.file")).alias("file_name"),
-        F.coalesce(F.col("msg.type"), F.lit("message")).alias("chat_type_msg"),
         "chat_type",
-    ).where(F.col("msg.type") != "service")  # P2 service filter
+        # P2 service filter, null-safe: a record without `type` is a
+        # plain message (raw `!= 'service'` is NULL for it -> dropped)
+    ).where(F.coalesce(F.col("msg.type"), F.lit("message")) != "service")
     # P3: blank -> null, then require text
     cleaned = normalized.withColumn(
         "text", F.when(F.length(F.trim("text")) > 0, F.col("text"))

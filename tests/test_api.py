@@ -213,3 +213,44 @@ def test_bm25_index_cached_across_serving_calls(tb):
     finally:
         tb.messages = old_messages
         tb._bm25()  # rebuild for any later module-scoped test
+
+
+def test_custom_encoder_used_for_corpus_and_query(spark):
+    """Review repro: the query was always embedded with the default
+    64-dim hash encoder, so externally-built embeddings of any other
+    dim got NULL cosine everywhere. One encoder now drives both."""
+    from terrorblade_spark.api import TerrorbladeSpark
+    from terrorblade_spark.functions.embed import embed_text
+
+    msgs = spark.createDataFrame(
+        [(1, 100, "spark streaming joins", 7), (2, 100, "cooking pasta recipes", 8)],
+        "message_id long, chat_id long, text string, from_id long",
+    ).withColumn("date", F.current_timestamp())
+    enc = embed_text(dim=32)  # non-default dim
+    emb = msgs.select(
+        "message_id", "chat_id", enc(F.col("text")).alias("embeddings")
+    )
+    clusters = msgs.select("message_id", "chat_id", (F.col("message_id") % 2).alias("group_id"))
+    tb = TerrorbladeSpark(spark, msgs, embeddings=emb, clusters=clusters, encoder=enc)
+    hits = tb.cluster_search("spark streaming", k=1).collect()
+    assert len(hits) == 1 and hits[0]["message_id"] == 1
+    assert hits[0]["cosine_sim"] is not None
+
+
+def test_cluster_search_chat_scope_before_topk(spark):
+    """Review repro: scoping a chat AFTER the global top-k returned
+    empty when the chat's best hits ranked below it."""
+    from terrorblade_spark.api import TerrorbladeSpark
+    from terrorblade_spark.functions.embed import embed_text
+
+    rows = [(i, 1, "spark streaming query engine", 7) for i in range(1, 10)]
+    rows += [(100, 2, "spark streaming", 8)]
+    msgs = spark.createDataFrame(
+        rows, "message_id long, chat_id long, text string, from_id long"
+    ).withColumn("date", F.current_timestamp())
+    enc = embed_text()
+    emb = msgs.select("message_id", "chat_id", enc(F.col("text")).alias("embeddings"))
+    clusters = msgs.select("message_id", "chat_id", F.lit(0).alias("group_id"))
+    tb = TerrorbladeSpark(spark, msgs, embeddings=emb, clusters=clusters)
+    got = tb.cluster_search("spark streaming query engine", k=3, chat_id=2).collect()
+    assert [r["chat_id"] for r in got] == [2]

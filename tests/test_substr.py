@@ -93,3 +93,12 @@ def test_rolling_hash_no_false_positives_on_distinct_windows(spark):
     rows = [(i, " ".join(f"t{i}_{j}" for j in range(20))) for i in range(200)]
     d = spark.createDataFrame(rows, "doc_id long, text string")
     assert repeated_window_spans(d, window=5, min_repeats=2, method="rolling").count() == 0
+
+
+def test_cut_preserves_original_whitespace_of_unspanned_docs(spark):
+    d = spark.createDataFrame(
+        [(1, "line one\n\nline two\tend")], "doc_id long, text string"
+    )
+    spans = repeated_window_spans(d, window=3, min_repeats=2)  # none repeat
+    out = cut_repeated_windows(d, spans).first()
+    assert out["text_dedup"] == "line one\n\nline two\tend"
