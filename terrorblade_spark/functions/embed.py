@@ -35,11 +35,20 @@ _MODEL_CACHE: dict = {}
 def _hash_encode_batch(texts: pd.Series, dim: int) -> pd.Series:
     """Deterministic feature hashing: token -> md5 -> (bucket, sign),
     l2-normalized. Pure numpy per Arrow batch."""
+    import re as _re
+
+    # ASCII \s+, matching exprs.tokens()'s Java regex and the DuckDB
+    # twin: Python str.split() additionally splits on Unicode spaces
+    # (NBSP etc.), which would silently de-sync the vectors from the
+    # oracle and from every tokens()-based operator
+    _ws = _re.compile(r"\s+", _re.ASCII)
     out = []
     for t in texts:
         vec = np.zeros(dim, dtype=np.float64)
         if t:
-            for tok in t.lower().split():
+            for tok in _ws.split(t.lower()):
+                if not tok:
+                    continue
                 h = int.from_bytes(
                     hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
                 )

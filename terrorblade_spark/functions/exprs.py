@@ -28,9 +28,15 @@ from pyspark.sql import functions as F
 
 
 def dec_sum(col: Column | str, scale: int = 2) -> Column:
-    """Order-independent exact sum of a double column, returned as double."""
+    """Order-independent exact sum of a double column, returned as
+    double. Precision 30: per-value headroom to 10^(30-scale) — a
+    decimal(18,s) cast overflows at 10^12-ish values, which under
+    Spark 4's default ANSI mode KILLS the query (and with ANSI off
+    silently nulls the value out of the sum). The DuckDB oracles keep
+    DECIMAL(18,s): identical values below the 18-digit bound, and the
+    gate data is orders of magnitude below it."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+    return F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
 
 
 def avg_exact(col: Column | str, scale: int = 6) -> Column:

@@ -40,7 +40,10 @@ def key_skew_profile(
         F.sum("n_rows").alias("total_rows"),
         F.mean("n_rows").alias("mean_rows"),
         F.max("n_rows").alias("max_rows"),
-        F.expr("percentile(n_rows, array(0.5, 0.9, 0.99))").alias("p"),
+        # approx: the EXACT percentile buffers a per-distinct-count map
+        # in one reducer — the one thing a skew profiler must not do on
+        # the high-cardinality keys it exists to diagnose
+        F.expr("percentile_approx(n_rows, array(0.5, 0.9, 0.99), 10000)").alias("p"),
     ).select(
         "n_keys",
         "total_rows",
@@ -61,6 +64,12 @@ def key_skew_profile(
         .orderBy(F.desc("n_rows"), *keys)
         .limit(top_n)
     )
+    # both outputs are tiny (top_n rows / one row): materialize them
+    # and release the cached counts — returning lazy frames that pin
+    # the cache would leak one cached relation per profiling call
+    hot = hot.localCheckpoint(eager=True)
+    total = total.localCheckpoint(eager=True)
+    counts.unpersist()
     return hot, total
 
 

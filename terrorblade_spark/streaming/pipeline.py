@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from terrorblade_spark.functions.exprs import dec_sum
 from terrorblade_spark.tables import _enable_nanos_read, normalize_ts
 
 
@@ -59,7 +60,7 @@ def session_aggregate(
         .groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            dec_sum(F.col("value"), 6).alias("total_value"),
         )
         .select(
             "user_id",
@@ -78,10 +79,18 @@ def dedup_merge_writer(stream: DataFrame, target_path: str, keys: list[str]):
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors.exceptions.captured import AnalysisException
 
+        from terrorblade_spark.operators.relational import anti_join_new
+
         spark = batch_df.sparkSession
+        # WITHIN-batch dedup first: the same key delivered twice in one
+        # trigger passes any anti-join against the target (neither copy
+        # is there yet) and both would land permanently
+        batch_df = batch_df.dropDuplicates(list(keys))
         try:
             existing = spark.read.parquet(target_path).select(*keys)
-            fresh = batch_df.join(existing, on=keys, how="left_anti")
+            # null-safe helper: plain on=keys equality re-admits
+            # NULL-keyed rows on every redelivery
+            fresh = anti_join_new(batch_df, existing, keys)
         except AnalysisException as e:
             # ONLY a genuinely missing target means "first batch". Any
             # other failure (transient IO, schema mismatch) must raise —
@@ -196,13 +205,32 @@ def stateful_session_counts(
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        # timeout invocation: the watermark passed an idle user's
+        # timeout — Spark calls with NO data. Evict the state and emit
+        # nothing; concatenating the empty iterator would crash the
+        # stream at exactly the eviction moment the timeout exists for.
+        if state.hasTimedOut:
+            state.remove()
+            return
         last_ts, n_sessions, n_events = (
             state.get if state.exists else (None, 0, 0)
         )
-        rows = pd.concat(list(pdfs), ignore_index=True)
+        batches = [b for b in pdfs if len(b)]
+        if not batches:
+            return
+        rows = pd.concat(batches, ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"])
         for ts in rows["ts"]:
             ts_ms = int(ts.value // 1_000_000)
+            if last_ts is not None and ts_ms <= last_ts:
+                # late (within-watermark) event from an earlier batch:
+                # it belongs to an already-open session. last_ts must
+                # NOT regress — a rewound clock would count the next
+                # in-order event as a fresh session (overcount). The
+                # trade: a late event that truly opened an earlier gap
+                # is folded in (undercount), the conservative side.
+                n_events += 1
+                continue
             if last_ts is None or ts_ms - last_ts > gap_s * 1000:
                 n_sessions += 1
             last_ts = ts_ms
@@ -517,12 +545,16 @@ def neardup_dedup_writer(
                 )
                 .persist()
             )
-            admitted.write.mode("append").parquet(corpus_path)
-            new_bands = banded.join(
-                admit_ids, "doc", "leftsemi"
-            ).select("band", "band_hash")
-            new_bands.write.mode("append").parquet(index_path)
-            admitted.unpersist()
+            try:
+                admitted.write.mode("append").parquet(corpus_path)
+                new_bands = banded.join(
+                    admit_ids, "doc", "leftsemi"
+                ).select("band", "band_hash")
+                new_bands.write.mode("append").parquet(index_path)
+            finally:
+                # unpersist on failure too: foreachBatch retries would
+                # otherwise accumulate pinned datasets
+                admitted.unpersist()
         finally:
             banded.unpersist()
 
