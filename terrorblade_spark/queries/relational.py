@@ -299,7 +299,9 @@ def q56_high_watermark_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     existing = ev.where(F.col("ts") < F.lit("1995-06-01").cast("timestamp"))
     wm = existing.groupBy("user_id").agg(F.max("event_id").alias("hwm"))
-    fresh = ev.join(F.broadcast(wm), on="user_id", how="left").where(
+    # no broadcast hint on wm: per-user watermarks scale with user
+    # cardinality — let AQE size the join
+    fresh = ev.join(wm, on="user_id", how="left").where(
         F.col("hwm").isNull() | (F.col("event_id") > F.col("hwm"))
     )
     return (

@@ -24,14 +24,19 @@ from terrorblade_spark.registry import query
 from terrorblade_spark.tables import load_table
 
 # cosine between a vector and its lag, in DuckDB (embeddings cast to
-# double so the fold matches Spark bit-for-bit — see queries.vector)
+# double so the fold matches Spark bit-for-bit — see queries.vector).
+# Zero-norm guard mirrors Spark's cosine(): without it DuckDB computes
+# 0/0 = NaN (not NULL — the coalesce would NOT catch it) while Spark
+# yields NULL -> 0.0; q46's oracle below uses the same guarded form.
 _DCOS = (
-    "list_dot_product(v, pv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv)))"
+    "CASE WHEN list_dot_product(v, v) > 0 AND list_dot_product(pv, pv) > 0 "
+    "THEN list_dot_product(v, pv) / "
+    "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) END"
 )
 
 _SLIDING_SQL = f"""
       SELECT vec_id, label,
-             coalesce(1.0 - {_DCOS}, 0.0) AS distance
+             coalesce(1.0 - ({_DCOS}), 0.0) AS distance
       FROM (
         SELECT vec_id, label, embedding::DOUBLE[] AS v,
                lag(embedding::DOUBLE[]) OVER (PARTITION BY label ORDER BY vec_id) AS pv

@@ -11,17 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from terrorblade_spark.registry import query
 
-_SESSIONIZE_30M = """
-      SELECT *,
-             CAST(sum(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
-      FROM (
-        SELECT *, epoch_ms(ts) - lag(epoch_ms(ts))
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
-        FROM events
-      )
-"""
+# ONE sessionization oracle template for the whole suite: a tie-break
+# or gap-comparison fix in sessions.py must reach q47/q57 too
+from terrorblade_spark.queries.sessions import _SESSIONIZE_SQL
+
+_SESSIONIZE_30M = _SESSIONIZE_SQL.format(gap_ms=1_800_000, src="events")
 
 
 @query(

@@ -19,7 +19,11 @@ from terrorblade_spark.functions.exprs import duck_hash64, hash64
 from terrorblade_spark.registry import query
 from terrorblade_spark.sources.telegram_json import load_telegram_export
 
-FIXTURE = "/root/repo/tests/data/export.json"
+from pathlib import Path
+
+# repo-relative (queries/ -> terrorblade_spark/ -> repo root): a
+# hardcoded absolute path broke the query on any other checkout
+FIXTURE = str(Path(__file__).resolve().parents[2] / "tests" / "data" / "export.json")
 
 # DuckDB twin of sources.telegram_json.load_telegram_export
 _NORMALIZED_SQL = f"""
@@ -40,17 +44,21 @@ _NORMALIZED_SQL = f"""
                strptime(msg.date, '%Y-%m-%dT%H:%M:%S') AS date,
                TRY_CAST(regexp_replace(msg.from_id, '^(user|channel)', '') AS BIGINT) AS from_id,
                coalesce(
-                 CASE WHEN length(msg.text) > 0 THEN msg.text END,
                  CASE WHEN msg.text_entities IS NOT NULL AND len(msg.text_entities) > 0
                       THEN array_to_string(list_transform(msg.text_entities, e -> e.text), '')
-                 END
+                 END,
+                 CASE WHEN length(msg.text) > 0
+                           AND NOT regexp_matches(msg.text, '^\s*\[\s*["{{]')
+                      THEN msg.text END
                ) AS text_raw,
                CASE
                  WHEN msg.photo IS NOT NULL THEN '[photo](' || msg.photo || ')'
-                 WHEN msg.media_type IS NOT NULL AND msg.file IS NOT NULL
-                   THEN '[' || msg.media_type || '](' || msg.file || ')'
+                 WHEN msg.media_type IS NOT NULL
+                      AND coalesce(msg.file_name, msg.file) IS NOT NULL
+                   THEN '[' || msg.media_type || '](' || coalesce(msg.file_name, msg.file) || ')'
                  WHEN msg.media_type IS NOT NULL THEN '[' || msg.media_type || ']'
-                 WHEN msg.file IS NOT NULL THEN '[file](' || msg.file || ')'
+                 WHEN coalesce(msg.file_name, msg.file) IS NOT NULL
+                   THEN '[file](' || coalesce(msg.file_name, msg.file) || ')'
                END AS media_marker,
                msg.type AS msg_type
         FROM msgs
@@ -59,7 +67,7 @@ _NORMALIZED_SQL = f"""
         SELECT *, coalesce(CASE WHEN length(text_raw) > 0 THEN text_raw END,
                            media_marker) AS text
         FROM flattened
-        WHERE msg_type != 'service'
+        WHERE coalesce(msg_type, 'message') != 'service'
       )
       SELECT chat_id, chat_name, message_id, date, from_id, text
       FROM cleaned

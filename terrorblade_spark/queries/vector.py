@@ -163,7 +163,7 @@ def q40_label_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q53_ivf_ann_topk",
     oracle=f"""
-    WITH q AS {_Q.replace("qvec", "qvec")},
+    WITH q AS {_Q},
     ex AS (
       SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS v
       FROM embeddings

@@ -54,6 +54,22 @@ def main() -> None:
                 msg["reply_to_message_id"] = mid - 1
             if i % 8 == 5:
                 msg["forwarded_from"] = "Channel X"
+            if i == 6:
+                # modern export shape: file_name, no legacy "file" key
+                msg["text"] = ""
+                msg["media_type"] = "document"
+                msg["file_name"] = f"doc_{mid}.pdf"
+            if i == 7:
+                # records without a type key are plain messages
+                del msg["type"]
+            if i == 8:
+                # plain text AND entities present: entities win (the
+                # array-text stringification guard depends on it)
+                msg["text"] = "plain-loses"
+                msg["text_entities"] = [
+                    {"type": "plain", "text": "entities win "},
+                    {"type": "bold", "text": "here"},
+                ]
             messages.append(msg)
         # one service message per chat (must be filtered out)
         messages.append(
