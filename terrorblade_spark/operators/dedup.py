@@ -566,3 +566,102 @@ def incremental_dedup(
             corpus_index.select("content_hash"), "content_hash", "left_anti"
         )
     return canon, canon.select("content_hash")
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_fraction: float | None = None,
+    keep: str = "farthest",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public recipe): embedding-space
+    near-duplicate removal — k-means cluster the embeddings, find
+    within-cluster pairs above a cosine threshold, connected-component
+    them, keep ONE representative per semantic duplicate group.
+
+    ``keep`` picks the representative: ``"farthest"`` (the paper's
+    choice — the member with the LOWEST cosine similarity to its
+    cluster centroid, i.e. the least prototypical example, preserving
+    diversity) or ``"min_id"`` (idempotent-ingest style).
+
+    Returns (id_col, list_id, canonical_id, is_duplicate) for every
+    input row.
+
+    Scale design: the quadratic stage is bounded per-cluster — the
+    same contract as every bucketed dedup here (q52 LSH buckets, q33
+    bands). n_clusters MUST scale with the corpus so cluster
+    populations stay bounded (the paper fits k ~ sqrt(N)); a fixed k
+    over a growing corpus recreates the q39 hot-key lesson
+    (COVERAGE.md sf1 finding). The k-means fit runs on a seeded sample
+    (``train_fraction``), assignment is one distributed transform, and
+    the pair join shuffles only (cluster, id, vector) rows.
+    """
+    from terrorblade_spark.operators.components import (
+        canonicalize_by_score,
+        connected_components,
+    )
+    from terrorblade_spark.operators.vector import cosine, ivf_build
+
+    if keep not in ("farthest", "min_id"):
+        raise ValueError(f"keep must be 'farthest' or 'min_id', got {keep!r}")
+    if n_clusters < 2:
+        # MLlib KMeans requires k >= 2; a 1-cluster semantic dedup is
+        # an unbucketed all-pairs join — refuse rather than go quadratic
+        raise ValueError("n_clusters must be >= 2 (all-pairs within one cluster does not scale)")
+    assigned, centroids = ivf_build(
+        vectors.select(id_col, vec_col),
+        n_lists=n_clusters,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        train_fraction=train_fraction,
+    )
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    left = assigned.select(
+        F.col("list_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    right = assigned.select(
+        F.col("list_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    edges = (
+        left.join(right, "list_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("__va"), F.col("__vb")) >= F.lit(float(threshold)))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges, "id_a", "id_b")
+    if keep == "min_id":
+        out = (
+            assigned.select(id_col, "list_id")
+            .join(comp, F.col(id_col) == F.col("node"), "left")
+            .select(
+                id_col,
+                "list_id",
+                F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+                (F.coalesce("component", F.col(id_col)) != F.col(id_col)).alias(
+                    "is_duplicate"
+                ),
+            )
+        )
+    else:
+        # score = NEGATIVE similarity to own centroid: max score ==
+        # farthest-from-centroid member (the paper's diversity keep)
+        scored = (
+            assigned.join(F.broadcast(centroids), "list_id")
+            .select(
+                id_col,
+                "list_id",
+                (-cosine(F.col(vec_col), F.col("centroid"))).alias("__score"),
+            )
+        )
+        canon = canonicalize_by_score(scored, comp, id_col, "__score")
+        out = scored.select(id_col, "list_id").join(
+            canon.select(id_col, "canonical_id", "is_duplicate"), id_col
+        )
+    out = out.localCheckpoint(eager=True)
+    assigned.unpersist()
+    return out

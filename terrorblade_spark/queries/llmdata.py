@@ -288,3 +288,96 @@ def q77_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, ["lang"], quota=_STRAT_QUOTA, id_col="doc_id", seed=_STRAT_SEED
     )
     return out.orderBy("lang", "doc_id")
+
+
+# --- q81: DSIR importance resampling -----------------------------------------
+# Target the raw corpus at the English subset: fit smoothed hashed-
+# n-gram bucket distributions over target and raw, weight every doc by
+# its log importance ratio, Gumbel-top-k sample k docs with probability
+# proportional to exp(weight). Every stage (md5 bucket hash, count
+# ratios, ln, seeded uniform, 6-dp rounding) is engine-portable, so the
+# SELECTION ITSELF is value-oracled — see operators/dsir.py for why the
+# rounding is what makes a float-weighted sample deterministic.
+
+_DSIR_B = 4096
+_DSIR_ALPHA = 0.5
+_DSIR_K = 100
+_DSIR_SEED = "dsir-v1"
+_DSIR_SALT = "dsir-b"
+_DSIR_SPAN = float(1 << 60)
+
+
+@query(
+    "q81_dsir_sample",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang,
+             list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t)
+             ) AS toks
+      FROM documents
+    ),
+    ng AS (
+      SELECT doc_id, lang,
+             list_concat(
+               toks,
+               list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+             ) AS ngrams
+      FROM docs
+    ),
+    bk AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5('{_DSIR_SALT}' || u.ngram), 1, 15))::BIGINT % {_DSIR_B} AS bucket
+      FROM ng, unnest(ngrams) AS u(ngram)
+    ),
+    tc AS (SELECT bucket, count(*) AS c_t FROM bk WHERE lang = 'en' GROUP BY 1),
+    rc AS (SELECT bucket, count(*) AS c_r FROM bk GROUP BY 1),
+    tt AS (SELECT sum(c_t) AS t FROM tc),
+    rt AS (SELECT sum(c_r) AS t FROM rc),
+    ratio AS (
+      SELECT rc.bucket,
+             ln((coalesce(tc.c_t, 0) + {_DSIR_ALPHA}) / (tt.t + {_DSIR_ALPHA * _DSIR_B}))
+             - ln((rc.c_r + {_DSIR_ALPHA}) / (rt.t + {_DSIR_ALPHA * _DSIR_B})) AS lr
+      FROM rc LEFT JOIN tc USING (bucket), tt, rt
+    ),
+    w AS (
+      SELECT d.doc_id,
+             coalesce(round(s.w, 6), 0.0) AS dsir_weight
+      FROM (SELECT doc_id FROM documents) d
+      LEFT JOIN (
+        SELECT bk.doc_id, sum(ratio.lr) AS w
+        FROM bk JOIN ratio USING (bucket) GROUP BY 1
+      ) s USING (doc_id)
+    ),
+    keyed AS (
+      SELECT doc_id, dsir_weight,
+             round(
+               dsir_weight - ln(-ln(
+                 (('0x' || substring(md5('{_DSIR_SEED}' || doc_id::VARCHAR), 1, 15))::BIGINT + 0.5)
+                 / {_DSIR_SPAN!r}
+               )), 6
+             ) AS gumbel_key
+      FROM w
+    )
+    SELECT doc_id, dsir_weight, gumbel_key
+    FROM keyed
+    ORDER BY gumbel_key DESC, doc_id
+    LIMIT {_DSIR_K}
+    """,
+)
+def q81_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.dsir import dsir_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", "text")
+    target = d.where(F.col("lang") == "en").select("doc_id", "text")
+    return dsir_sample(
+        raw,
+        target,
+        k=_DSIR_K,
+        n_buckets=_DSIR_B,
+        alpha=_DSIR_ALPHA,
+        seed=_DSIR_SEED,
+        salt=_DSIR_SALT,
+    )

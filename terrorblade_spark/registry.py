@@ -81,6 +81,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q78_neardup_components",
     "q79_event_thread_roots",
     "q80_repeated_window_spans",
+    "q81_dsir_sample",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

@@ -1,0 +1,110 @@
+"""SemDeDup (operators/dedup.py semantic_dedup): embedding-space
+near-dup removal via k-means clusters + within-cluster cosine pairs +
+connected components. Geometry is constructed so cluster membership,
+duplicate groups, and the farthest-from-centroid representative are
+all known a priori.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from terrorblade_spark.operators.dedup import semantic_dedup
+
+
+def _rot(theta: float, i: int, j: int, dims: int = 4) -> list[float]:
+    """Unit vector rotated by theta from axis i toward axis j."""
+    v = [0.0] * dims
+    v[i] = math.cos(theta)
+    v[j] = math.sin(theta)
+    return v
+
+
+@pytest.fixture(scope="module")
+def geometry(spark):
+    """Three well-separated clusters; known duplicate groups inside.
+
+    Cluster A (axis 0): ids 5,10 are twins (0.10 rad apart, cos 0.995);
+    id 11 is a member but below threshold vs both (0.35-0.45 rad).
+    Cluster B (axis 1): ids 19,20 are twins (0.08 rad); id 22 pulls the
+    centroid so the farthest twin is unambiguous. Cluster C: singleton.
+    Centroids sit at the member means, so within each twin group the
+    member at angle 0 is FARTHER from the centroid than its twin.
+    """
+    rows = [
+        (5, _rot(0.10, 0, 1)),   # A twin (closer to centroid)
+        (10, _rot(0.00, 0, 1)),  # A twin (farther from centroid)
+        (11, _rot(0.45, 0, 1)),  # A non-dup member
+        (19, _rot(0.08, 1, 2)),  # B twin (closer)
+        (20, _rot(0.00, 1, 2)),  # B twin (farther)
+        (22, _rot(0.40, 1, 2)),  # B non-dup member
+        (30, _rot(0.0, 2, 3)),   # C singleton
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_duplicate_groups_and_counts(spark, geometry):
+    out = semantic_dedup(geometry, threshold=0.95, n_clusters=3).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(out) == 7
+    # exactly one duplicate flagged per twin group
+    assert sum(r.is_duplicate for r in out) == 2
+    # twins share a canonical; non-dups are their own canonical
+    assert by_id[5].canonical_id == by_id[10].canonical_id
+    assert by_id[19].canonical_id == by_id[20].canonical_id
+    for vid in (11, 22, 30):
+        assert by_id[vid].canonical_id == vid
+        assert not by_id[vid].is_duplicate
+    # twin groups never merge across clusters
+    assert by_id[5].canonical_id != by_id[19].canonical_id
+
+
+def test_farthest_keep_prefers_least_prototypical(spark, geometry):
+    out = {r.vec_id: r for r in semantic_dedup(geometry, threshold=0.95, n_clusters=3).collect()}
+    # the angle-0 member of each twin pair is farther from the pulled
+    # centroid -> it is the kept representative (SemDeDup's keep rule)
+    assert out[10].canonical_id == 10 and not out[10].is_duplicate
+    assert out[5].is_duplicate
+    assert out[20].canonical_id == 20 and not out[20].is_duplicate
+    assert out[19].is_duplicate
+
+
+def test_min_id_keep(spark, geometry):
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(geometry, threshold=0.95, n_clusters=3, keep="min_id").collect()
+    }
+    assert out[5].canonical_id == 5 and not out[5].is_duplicate
+    assert out[10].is_duplicate
+    assert out[19].canonical_id == 19 and not out[19].is_duplicate
+    assert out[20].is_duplicate
+
+
+def test_deterministic_across_calls(spark, geometry):
+    a = sorted(map(tuple, semantic_dedup(geometry, threshold=0.95, n_clusters=3).collect()))
+    b = sorted(map(tuple, semantic_dedup(geometry, threshold=0.95, n_clusters=3).collect()))
+    assert a == b
+
+
+def test_threshold_1_keeps_only_exact(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),  # exact twin of 1
+        (3, _rot(0.05, 0, 1)),      # near but not exact
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(df, threshold=1.0, n_clusters=2).collect()}
+    assert out[1].canonical_id == out[2].canonical_id
+    assert not out[3].is_duplicate
+
+
+def test_single_cluster_refused(spark, geometry):
+    with pytest.raises(ValueError):
+        semantic_dedup(geometry, n_clusters=1)
+
+
+def test_bad_keep_raises(spark, geometry):
+    with pytest.raises(ValueError):
+        semantic_dedup(geometry, keep="best")
