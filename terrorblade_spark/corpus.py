@@ -183,6 +183,77 @@ class CorpusPipeline:
             ).select(self.id_col, "canonical_id", "is_duplicate")
         return src.join(flags, self.id_col)
 
+    # -- stage 2b: embedding-space dedup ------------------------------------
+
+    def dedup_semantic(
+        self,
+        df: DataFrame | None,
+        vectors: DataFrame,
+        threshold: float = 0.95,
+        n_clusters: int = 64,
+        vec_col: str = "embedding",
+        keep: str = "farthest",
+        **semdedup_kwargs,
+    ) -> DataFrame:
+        """SemDeDup stage (operators/dedup.semantic_dedup): drop docs
+        whose EMBEDDINGS are near-identical — catches paraphrases and
+        re-renderings that text-level MinHash can't see. ``vectors``
+        must carry ``id_col`` + ``vec_col`` for (at least) the docs in
+        ``df``; docs without a vector pass through as their own
+        canonical. Returns input rows + (canonical_id, is_duplicate),
+        the same contract as :meth:`dedup`, so ``chunk_and_pack``
+        accepts either stage's output."""
+        from terrorblade_spark.operators.dedup import semantic_dedup
+
+        src = df if df is not None else self.docs
+        flags = semantic_dedup(
+            vectors,
+            threshold=threshold,
+            n_clusters=n_clusters,
+            id_col=self.id_col,
+            vec_col=vec_col,
+            keep=keep,
+            **semdedup_kwargs,
+        )
+        return src.join(
+            flags.select(self.id_col, "canonical_id", "is_duplicate"),
+            self.id_col,
+            "left",
+        ).select(
+            *src.columns,
+            F.coalesce("canonical_id", F.col(self.id_col)).alias("canonical_id"),
+            F.coalesce("is_duplicate", F.lit(False)).alias("is_duplicate"),
+        )
+
+    # -- stage 2c: target selection -----------------------------------------
+
+    def select_target(
+        self,
+        df: DataFrame | None,
+        target: DataFrame,
+        k: int,
+        **dsir_kwargs,
+    ) -> DataFrame:
+        """DSIR stage (operators/dsir.dsir_sample): keep the ``k`` docs
+        most like ``target`` (a reference corpus with the same
+        id/text columns), sampled proportionally to the hashed-n-gram
+        importance weight. Returns the SELECTED rows of ``df`` with
+        ``dsir_weight`` attached — run after curation/dedup so the
+        quality gates see everything but training only reads the
+        targeted subset."""
+        src = df if df is not None else self.docs
+        from terrorblade_spark.operators.dsir import dsir_sample
+
+        sel = dsir_sample(
+            src.select(self.id_col, self.text_col),
+            target.select(self.id_col, self.text_col),
+            k,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            **dsir_kwargs,
+        )
+        return src.join(sel.select(self.id_col, "dsir_weight"), self.id_col)
+
     # -- stage 3: sequences -------------------------------------------------
 
     def chunk_and_pack(

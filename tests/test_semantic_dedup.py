@@ -108,3 +108,52 @@ def test_single_cluster_refused(spark, geometry):
 def test_bad_keep_raises(spark, geometry):
     with pytest.raises(ValueError):
         semantic_dedup(geometry, keep="best")
+
+
+def test_blas_and_join_pair_methods_agree(spark, geometry):
+    a = sorted(
+        map(tuple, semantic_dedup(geometry, threshold=0.95, n_clusters=3).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                geometry, threshold=0.95, n_clusters=3, pair_method="join"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_blas_blocking_matches_unblocked(spark):
+    """Many vectors in one cluster with block_rows smaller than the
+    cluster: the blocked matmul must find the same pairs."""
+    import math
+
+    rows = []
+    for i in range(40):
+        theta = 0.02 * (i % 5)  # 8 groups of 5 near-identical directions
+        axis = i % 5
+        v = [0.0] * 8
+        v[axis] = math.cos(theta)
+        v[(axis + 1) % 8] = math.sin(theta)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from terrorblade_spark.operators.dedup import _cluster_edges_blas
+    from terrorblade_spark.operators.vector import norm
+    from pyspark.sql import functions as F
+
+    nrm = norm(F.col("embedding"))
+    unit = df.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x / nrm).alias("embedding"),
+        F.lit(0).alias("list_id"),
+    )
+    small = sorted(
+        map(tuple, _cluster_edges_blas(unit, "vec_id", "embedding", 0.999, block_rows=7).collect())
+    )
+    big = sorted(
+        map(tuple, _cluster_edges_blas(unit, "vec_id", "embedding", 0.999, block_rows=4096).collect())
+    )
+    assert small == big
+    assert len(small) > 0
