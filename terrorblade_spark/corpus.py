@@ -199,15 +199,22 @@ class CorpusPipeline:
         whose EMBEDDINGS are near-identical — catches paraphrases and
         re-renderings that text-level MinHash can't see. ``vectors``
         must carry ``id_col`` + ``vec_col`` for (at least) the docs in
-        ``df``; docs without a vector pass through as their own
-        canonical. Returns input rows + (canonical_id, is_duplicate),
-        the same contract as :meth:`dedup`, so ``chunk_and_pack``
+        ``df``; extra vector rows are semi-join-pruned to ``df``'s ids
+        FIRST, so a corpus-wide embedding table can never elect a
+        representative that is absent from ``df`` (which would silently
+        drop the whole group downstream). Docs without a vector pass
+        through as their own canonical. Returns input rows +
+        (canonical_id, is_duplicate) — REPLACING any flag columns a
+        previous dedup stage attached (chain as
+        ``dedup_semantic(dedup(...).where("NOT is_duplicate"), vecs)``)
+        — the same contract as :meth:`dedup`, so ``chunk_and_pack``
         accepts either stage's output."""
         from terrorblade_spark.operators.dedup import semantic_dedup
 
         src = df if df is not None else self.docs
+        src = src.drop("canonical_id", "is_duplicate")
         flags = semantic_dedup(
-            vectors,
+            vectors.join(src.select(self.id_col), self.id_col, "left_semi"),
             threshold=threshold,
             n_clusters=n_clusters,
             id_col=self.id_col,

@@ -601,11 +601,15 @@ def _cluster_edges_blas(
         out_b: list[np.ndarray] = []
         for lo in range(0, m, block_rows):
             hi = min(lo + block_rows, m)
-            sims = mat[lo:hi] @ mat.T  # (block, m)
+            # columns start at lo, not 0: a pair (i<j) is found in the
+            # block containing i, so the sub-lo columns are always
+            # redundant — skipping them halves the matmul FLOPs
+            sims = mat[lo:hi] @ mat[lo:].T  # (block, m - lo)
             bi, bj = np.nonzero(sims >= threshold)
             gi = bi + lo
-            mask = gi < bj  # strict upper triangle, global indices
-            a, b = ids[gi[mask]], ids[bj[mask]]
+            gj = bj + lo
+            mask = gi < gj  # strict upper triangle, global indices
+            a, b = ids[gi[mask]], ids[gj[mask]]
             out_a.append(np.minimum(a, b))
             out_b.append(np.maximum(a, b))
         return pd.DataFrame({
@@ -675,14 +679,21 @@ def semantic_dedup(
         # MLlib KMeans requires k >= 2; a 1-cluster semantic dedup is
         # an unbucketed all-pairs join — refuse rather than go quadratic
         raise ValueError("n_clusters must be >= 2 (all-pairs within one cluster does not scale)")
-    nrm = norm(F.col(vec_col))
-    unit = vectors.select(
-        id_col,
-        F.when(
-            nrm > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
+    # the norm must be a COLUMN the lambda references, not an expression
+    # embedded in it — an embedded norm re-folds the whole array for
+    # every element (O(d^2) per vector; measured 16x at dim 1024)
+    unit = (
+        vectors.select(id_col, vec_col)
+        .withColumn("__n", norm(F.col(vec_col)))
+        .select(
+            id_col,
+            F.when(
+                F.col("__n") > 0,
+                F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n")),
+            )
+            .otherwise(F.col(vec_col).cast("array<double>"))
+            .alias(vec_col),
         )
-        .otherwise(F.col(vec_col).cast("array<double>"))
-        .alias(vec_col),
     )
     assigned, centroids = ivf_build(
         unit,

@@ -37,8 +37,6 @@ from pyspark.sql import functions as F
 
 from terrorblade_spark.functions.exprs import hash64, tokens
 
-_HASH_SPAN = float(1 << 60)
-
 
 def hashed_ngrams(text_col: str) -> F.Column:
     """Array of lowercased unigrams + space-joined bigrams for a text
@@ -112,6 +110,23 @@ def dsir_logratio(
     )
 
 
+def _weights_from_bk(raw: DataFrame, bk: DataFrame, logratio: DataFrame, id_col: str) -> DataFrame:
+    """(id, dsir_weight) from a precomputed (doc, bucket) relation —
+    the single definition both the standalone scorer and the sampler
+    share, so smoothing/rounding can never drift between them (and the
+    q81 oracle)."""
+    w = (
+        bk.join(F.broadcast(logratio), "bucket")
+        .groupBy("doc")
+        .agg(F.round(F.sum("log_ratio"), 6).alias("dsir_weight"))
+    )
+    return (
+        raw.select(F.col(id_col))
+        .join(w, F.col(id_col) == F.col("doc"), "left")
+        .select(id_col, F.coalesce("dsir_weight", F.lit(0.0)).alias("dsir_weight"))
+    )
+
+
 def dsir_weights(
     raw: DataFrame,
     logratio: DataFrame,
@@ -124,16 +139,7 @@ def dsir_weights(
     doc's n-gram occurrences, rounded to 6 decimals (see module doc).
     Docs with no tokens weight 0. Output: (id_col, dsir_weight)."""
     bk = _bucketed(raw, id_col, text_col, n_buckets, salt)
-    w = (
-        bk.join(F.broadcast(logratio), "bucket")
-        .groupBy("doc")
-        .agg(F.round(F.sum("log_ratio"), 6).alias("dsir_weight"))
-    )
-    return (
-        raw.select(F.col(id_col))
-        .join(w, F.col(id_col) == F.col("doc"), "left")
-        .select(id_col, F.coalesce("dsir_weight", F.lit(0.0)).alias("dsir_weight"))
-    )
+    return _weights_from_bk(raw, bk, logratio, id_col)
 
 
 def dsir_sample(
@@ -151,9 +157,12 @@ def dsir_sample(
     to exp(importance weight), without replacement, deterministically:
     Gumbel top-k with the seeded-md5 uniform as the noise source.
 
-    key = round(weight + (-ln(-ln u)), 6), u = (hash64(seed||id)+0.5)/2^60
-    — the +0.5 keeps u strictly inside (0,1) so both logs are finite,
-    and every piece (md5, one division, two logs, one add, round) is
+    key = round(weight + (-ln(-ln u)), 6), with u the open-interval
+    seeded uniform (sampling.seeded_uniform_open: +0.5 avoids 0, a
+    clamp to 1-2^-53 avoids the ~128 top hash values that round to
+    exactly 1.0 — ln(1)=0 would make the outer log blow up, and the
+    two engines disagree on it: Spark returns NULL, DuckDB errors).
+    Every piece (md5, one division, two logs, one add, round) is
     engine-portable, so the selection itself carries a full DuckDB
     oracle (q81). Ties on the rounded key break by id.
 
@@ -177,17 +186,10 @@ def dsir_sample(
     lr = _ratio_from_buckets(
         _bucketed(target, id_col, text_col, n_buckets, salt), bk, n_buckets, alpha
     )
-    w = (
-        bk.join(F.broadcast(lr), "bucket")
-        .groupBy("doc")
-        .agg(F.round(F.sum("log_ratio"), 6).alias("dsir_weight"))
-    )
-    w = (
-        raw.select(F.col(id_col))
-        .join(w, F.col(id_col) == F.col("doc"), "left")
-        .select(id_col, F.coalesce("dsir_weight", F.lit(0.0)).alias("dsir_weight"))
-    )
-    u = (hash64(F.col(id_col).cast("string"), salt=seed) + F.lit(0.5)) / F.lit(_HASH_SPAN)
+    w = _weights_from_bk(raw, bk, lr, id_col)
+    from terrorblade_spark.operators.sampling import seeded_uniform_open
+
+    u = seeded_uniform_open(id_col, seed)
     keyed = w.select(
         id_col,
         "dsir_weight",

@@ -27,6 +27,17 @@ def seeded_uniform(key_col, seed: str) -> "F.Column":
     return hash64(F.col(key_col).cast("string"), salt=seed) / F.lit(_HASH_SPAN)
 
 
+def seeded_uniform_open(key_col, seed: str) -> "F.Column":
+    """Deterministic draw on the OPEN interval (0,1) — for consumers
+    that take log(u) or log(1-u) (Gumbel keys, exponential draws) and
+    must never see an endpoint. (hash+0.5)/2^60 avoids 0 but NOT 1:
+    doubles near 2^60 are spaced 128 apart, so the top ~128 hash values
+    round to exactly 1.0 — clamp to the largest double below 1. DuckDB
+    twin: least((hash64 + 0.5)/2^60, 1 - power(2.0, -53))."""
+    u = (hash64(F.col(key_col).cast("string"), salt=seed) + F.lit(0.5)) / F.lit(_HASH_SPAN)
+    return F.least(u, F.lit(1.0 - 2.0**-53))
+
+
 def stratified_quota_sample(
     df: DataFrame,
     strata_cols: list[str],

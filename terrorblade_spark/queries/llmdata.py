@@ -353,10 +353,11 @@ _DSIR_SPAN = float(1 << 60)
     keyed AS (
       SELECT doc_id, dsir_weight,
              round(
-               dsir_weight - ln(-ln(
+               dsir_weight - ln(-ln(least(
                  (('0x' || substring(md5('{_DSIR_SEED}' || doc_id::VARCHAR), 1, 15))::BIGINT + 0.5)
-                 / {_DSIR_SPAN!r}
-               )), 6
+                 / {_DSIR_SPAN!r},
+                 1 - power(2.0, -53)
+               ))), 6
              ) AS gumbel_key
       FROM w
     )

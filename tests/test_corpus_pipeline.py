@@ -174,3 +174,53 @@ def test_select_target_stage_skews_to_target(spark):
     assert len(sel) == 20
     assert all(r.doc_id < 100 for r in sel)  # dialect-A only
     assert all(r.dsir_weight is not None for r in sel)
+
+
+def test_dedup_semantic_chains_after_text_dedup(spark):
+    """Round-5 review finding: stage 2 -> stage 2b chaining crashed
+    with AMBIGUOUS_REFERENCE because both stages emit the same flag
+    columns; dedup_semantic now replaces them."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "alpha doc one"), (2, "alpha doc one"), (3, "unrelated text here")],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]),
+         (3, [0.0, 1.0, 0.0, 0.0]),
+         (2, [0.0, 0.0, 1.0, 0.0])],
+        "doc_id long, embedding array<double>",
+    )
+    pipe = CorpusPipeline(spark, docs)
+    text_flagged = pipe.dedup()  # 1 and 2 are byte twins
+    out = pipe.dedup_semantic(
+        text_flagged.where("NOT is_duplicate"), vecs, n_clusters=2
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(out.columns) >= {"doc_id", "canonical_id", "is_duplicate"}
+    assert len([c for c in out.columns if c == "is_duplicate"]) == 1
+    # the text-dedup survivor set passes through un-flagged (vectors distinct)
+    assert all(not r.is_duplicate for r in rows.values())
+
+
+def test_dedup_semantic_never_elects_out_of_df_representative(spark):
+    """Round-5 review finding: with corpus-wide vectors, a duplicate
+    group's keeper could be a doc absent from df — the whole group then
+    vanished downstream. Vectors are now pruned to df's ids first."""
+    docs = spark.createDataFrame(
+        [(1, "in-df member"), (9, "other"), (10, "third")],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]),
+         (2, [1.0, 0.0, 0.0, 0.0]),   # twin of 1, NOT in docs
+         (9, [0.0, 1.0, 0.0, 0.0]),
+         (10, [0.0, 0.0, 1.0, 0.0])],
+        "doc_id long, embedding array<double>",
+    )
+    pipe = CorpusPipeline(spark, docs)
+    out = {r.doc_id: r for r in pipe.dedup_semantic(None, vecs, n_clusters=3).collect()}
+    # doc 1's only twin is outside df -> singleton, kept
+    assert not out[1].is_duplicate and out[1].canonical_id == 1
+    assert set(out) == {1, 9, 10}

@@ -121,3 +121,16 @@ def test_weight_mass_shifts_with_target(spark, corpora):
     lr = dsir_logratio(b_target, raw)
     w = {r.doc_id: r.dsir_weight for r in dsir_weights(raw, lr).collect()}
     assert min(w[100 + i] for i in range(40)) > max(w[i] for i in range(40))
+
+
+def test_seeded_uniform_open_stays_inside_open_interval(spark):
+    from terrorblade_spark.operators.sampling import seeded_uniform_open
+
+    df = spark.range(20000).select(F.col("id").cast("string").alias("k"))
+    row = df.select(
+        F.min(seeded_uniform_open("k", "s")).alias("lo"),
+        F.max(seeded_uniform_open("k", "s")).alias("hi"),
+    ).head()
+    assert 0.0 < row.lo and row.hi < 1.0
+    # the clamp itself: the largest representable sub-1 double survives
+    assert 1.0 - 2.0**-53 < 1.0
