@@ -751,3 +751,46 @@ def semantic_dedup(
     out = out.localCheckpoint(eager=True)
     assigned.unpersist()
     return out
+
+
+def semantic_neardup_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 6,
+    dims: int = 64,
+) -> DataFrame:
+    """Embedding near-dup candidate pairs via DETERMINISTIC sign-LSH
+    buckets — the oracle-able twin of :func:`semantic_dedup`'s k-means
+    candidate stage (q82 value-checks this path end-to-end; k-means
+    itself is iterative and engine-specific, so the learned path is
+    unit-tested instead).
+
+    Bucket from the RAW vector (sign projections are scale-invariant,
+    and using one base keeps the Spark and SQL sign computations
+    bit-identical); the pair score is the dot of L2-normalized vectors
+    (sequential folds — both engines evaluate them in array order, so
+    cosine thresholds compare identically). Zero-norm vectors are
+    excluded (they have no direction to compare). Same scale contract
+    as every bucketed dedup: quadratic only within a bucket, and at
+    2^planes buckets the bucket key is a partition-prunable column.
+
+    Returns (id_a, id_b) with id_a < id_b.
+    """
+    from terrorblade_spark.operators.vector import dot, norm, sign_lsh_bucket
+
+    base = vectors.select(id_col, vec_col).withColumn("__n", norm(F.col(vec_col)))
+    unit = base.where(F.col("__n") > 0).select(
+        F.col(id_col),
+        sign_lsh_bucket(F.col(vec_col), planes, dims).alias("__b"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n")).alias("__u"),
+    )
+    left = unit.select(F.col("__b"), F.col(id_col).alias("id_a"), F.col("__u").alias("__ua"))
+    right = unit.select(F.col("__b"), F.col(id_col).alias("id_b"), F.col("__u").alias("__ub"))
+    return (
+        left.join(right, "__b")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(dot(F.col("__ua"), F.col("__ub")) >= F.lit(float(threshold)))
+        .select("id_a", "id_b")
+    )

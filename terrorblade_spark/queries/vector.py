@@ -282,3 +282,73 @@ def q55_search_with_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cosine_sim", "source", "snippet", "context_ids")
         .orderBy(F.desc("cosine_sim"), "vec_id")
     )
+
+
+# --- q82: semantic near-dup components, fully oracled ------------------------
+# The deterministic (sign-LSH-bucketed) twin of operators.dedup.
+# semantic_dedup's candidate stage, taken all the way through connected
+# components against a recursive-CTE closure (q78's pattern, but over
+# EMBEDDING-space pairs): corpus = embeddings + a re-ingested copy
+# (q31's pattern) so every vector carries one exact semantic twin. Sign
+# buckets come from the raw vectors (scale-invariant, one shared base
+# for both engines' float math); pair scores are dots of L2-normalized
+# vectors (sequential folds, bit-identical across engines).
+
+_Q82_OFFSET = 5_000_000
+_Q82_PLANES = 6
+_Q82_THRESHOLD = 0.999
+
+
+@query(
+    "q82_semantic_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_Q82_OFFSET} AS vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    signs AS ({_duck_lsh_signs(_Q82_PLANES, 64)}),
+    bucketed AS (
+      SELECT c.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(c.v, s.signs) > 0
+                           THEN 1 << s.p ELSE 0 END) AS INTEGER) AS b
+      FROM corpus c, signs s GROUP BY c.vec_id
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM corpus WHERE list_dot_product(v, v) > 0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+      FROM unit a JOIN bucketed ba ON a.vec_id = ba.vec_id
+      JOIN bucketed bb ON ba.b = bb.b AND a.vec_id < bb.vec_id
+      JOIN unit b2 ON b2.vec_id = bb.vec_id
+      WHERE list_dot_product(a.u, b2.u) >= {_Q82_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node
+    )
+    SELECT node, min(r) AS component
+    FROM reach GROUP BY node ORDER BY node
+    """,
+)
+def q82_semantic_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.components import connected_components
+    from terrorblade_spark.operators.dedup import semantic_neardup_pairs_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + _Q82_OFFSET).alias("vec_id"), "embedding")
+    )
+    pairs = semantic_neardup_pairs_lsh(
+        corpus, threshold=_Q82_THRESHOLD, planes=_Q82_PLANES, dims=64
+    )
+    return connected_components(pairs, "id_a", "id_b").orderBy("node")

@@ -157,3 +157,34 @@ def test_blas_blocking_matches_unblocked(spark):
     )
     assert small == big
     assert len(small) > 0
+
+
+def test_lsh_pairs_find_twins_and_skip_zero_norm(spark):
+    from terrorblade_spark.operators.dedup import semantic_neardup_pairs_lsh
+
+    rows = [
+        (1, [0.5, 0.1, 0.2, 0.0] * 16),
+        (2, [1.0, 0.2, 0.4, 0.0] * 16),   # scaled twin of 1 (cos 1.0)
+        (3, [0.0, 0.0, 0.0, 0.0] * 16),   # zero norm: excluded
+        (4, [0.0, 1.0, 0.0, 0.3] * 16),   # distinct direction
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = sorted(
+        map(tuple, semantic_neardup_pairs_lsh(df, threshold=0.999, planes=4).collect())
+    )
+    assert pairs == [(1, 2)]
+
+
+def test_lsh_pairs_threshold_excludes_moderate_similarity(spark):
+    from terrorblade_spark.operators.dedup import semantic_neardup_pairs_lsh
+
+    rows = [
+        (1, _rot(0.00, 0, 1, 64)),
+        (2, _rot(0.30, 0, 1, 64)),  # cos ~0.955 < 0.999
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert semantic_neardup_pairs_lsh(df, threshold=0.999, planes=4).count() == 0
+    # ...but a looser threshold admits it IF the bucket agrees; with
+    # nearby directions and 4 planes the twin usually shares the bucket
+    loose = semantic_neardup_pairs_lsh(df, threshold=0.9, planes=1).collect()
+    assert [(r.id_a, r.id_b) for r in loose] == [(1, 2)]
