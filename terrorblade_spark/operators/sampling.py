@@ -96,6 +96,70 @@ def weighted_corpus_mix(
     return out
 
 
+def temperature_mix(
+    sources: list[DataFrame],
+    id_col: str,
+    total_rows: int,
+    alpha: float = 0.7,
+    seed: str = "mix-v1",
+    source_col: str = "mix_source",
+) -> DataFrame:
+    """Temperature-flattened multi-corpus mix (the standard LLM
+    data-recipe shape): source i is sampled with probability
+    q_i ∝ n_i^alpha, targeting ~``total_rows`` output rows. alpha=1 is
+    proportional-to-size; alpha<1 up-weights small sources (the reason
+    the recipe exists — a giant crawl must not drown the small
+    high-quality corpora); alpha=0 is uniform-over-sources.
+
+    Per-source keep fraction f_i = min(1, total_rows * q_i / n_i),
+    applied as the same seeded-uniform Bernoulli filter as
+    :func:`weighted_corpus_mix` — so the OUTPUT SIZE is an expectation,
+    not an exact quota (use :func:`stratified_quota_sample` when the
+    recipe is specified in exact rows). A source whose f_i clamps at 1
+    contributes everything it has; the shortfall is NOT redistributed
+    (document the mix you asked for, don't silently reshape it).
+
+    Scale design: the n_i come from per-source 1-row count aggregates
+    unioned into a k-row relation; the normalizer is one more 1-row
+    aggregate, and each source's fraction joins back in as a broadcast
+    1-row scalar — fully lazy, no driver-side count(), no shuffle of
+    any source (narrow filter + UNION ALL, as in weighted_corpus_mix).
+    """
+    from functools import reduce
+
+    if not sources:
+        raise ValueError("temperature_mix needs at least one source")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = [
+        df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(i).alias("__src"), "n")
+        for i, df in enumerate(sources)
+    ]
+    all_counts = reduce(lambda a, b: a.unionByName(b), counts)
+    weights = all_counts.select(
+        "__src", "n", F.pow(F.col("n").cast("double"), F.lit(float(alpha))).alias("__w")
+    )
+    tot = weights.agg(F.sum("__w").alias("__S"))
+    fracs = weights.crossJoin(F.broadcast(tot)).select(
+        "__src",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(total_rows)) * (F.col("__w") / F.col("__S")) / F.col("n"),
+        ).alias("__f"),
+    )
+    parts = []
+    for i, df in enumerate(sources):
+        fi = F.broadcast(fracs.where(F.col("__src") == i).select("__f"))
+        draw = seeded_uniform(id_col, f"{seed}/src{i}")
+        parts.append(
+            df.crossJoin(fi)
+            .where(draw < F.col("__f"))
+            .drop("__f")
+            .withColumn(source_col, F.lit(i))
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def train_eval_split(
     df: DataFrame,
     id_col: str,

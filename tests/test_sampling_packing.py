@@ -426,3 +426,50 @@ def test_wsr_small_weights_remain_weight_proportional(spark):
     heavy = sum(1 for d in got if d >= 1000)
     # weights differ 10000x: essentially every pick must be heavy
     assert heavy >= 18, heavy
+
+
+# --- temperature mix ----------------------------------------------------------
+
+
+def test_temperature_mix_flattens_toward_small_sources(spark):
+    from terrorblade_spark.operators.sampling import temperature_mix
+
+    big = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    small = spark.range(500).select((F.col("id") + 1_000_000).alias("doc_id"))
+
+    # alpha=1: proportional to size -> small source's share ~ its size share
+    prop = temperature_mix([big, small], "doc_id", total_rows=2_000, alpha=1.0)
+    prop_counts = {r.mix_source: r.n for r in prop.groupBy("mix_source").agg(F.count("*").alias("n")).collect()}
+    # alpha=0.3: strongly flattened -> small source's share rises sharply
+    flat = temperature_mix([big, small], "doc_id", total_rows=2_000, alpha=0.3)
+    flat_counts = {r.mix_source: r.n for r in flat.groupBy("mix_source").agg(F.count("*").alias("n")).collect()}
+
+    prop_small_share = prop_counts.get(1, 0) / (prop_counts[0] + prop_counts.get(1, 0))
+    flat_small_share = flat_counts.get(1, 0) / (flat_counts[0] + flat_counts.get(1, 0))
+    assert flat_small_share > 2 * prop_small_share
+    # totals land near the target (Bernoulli expectation, +-20%)
+    for counts in (prop_counts, flat_counts):
+        total = sum(counts.values())
+        assert 1_600 <= total <= 2_400
+
+
+def test_temperature_mix_deterministic_and_clamped(spark):
+    from terrorblade_spark.operators.sampling import temperature_mix
+
+    a = spark.range(100).select(F.col("id").alias("doc_id"))
+    b = spark.range(50).select((F.col("id") + 1_000).alias("doc_id"))
+    m1 = sorted(r.doc_id for r in temperature_mix([a, b], "doc_id", 5_000, alpha=0.5).collect())
+    m2 = sorted(r.doc_id for r in temperature_mix([a, b], "doc_id", 5_000, alpha=0.5).collect())
+    assert m1 == m2
+    # target far above availability -> fractions clamp at 1, everything kept
+    assert len(m1) == 150
+
+
+def test_temperature_mix_rejects_bad_args(spark):
+    from terrorblade_spark.operators.sampling import temperature_mix
+
+    with pytest.raises(ValueError):
+        temperature_mix([], "doc_id", 10)
+    a = spark.range(10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        temperature_mix([a], "doc_id", 10, alpha=-1)
