@@ -352,3 +352,46 @@ def q82_semantic_neardup_components(spark: SparkSession, sf_dir: str) -> DataFra
         corpus, threshold=_Q82_THRESHOLD, planes=_Q82_PLANES, dims=64
     )
     return connected_components(pairs, "id_a", "id_b").orderBy("node")
+
+
+# --- q83: per-dimension embedding moments (PCA's distributed stats) ---------
+# The value-oracled surface of operators/pca.py: the same per-dimension
+# mean/variance the Arrow Gram partials produce (cross-checked in
+# tests/test_pca.py), computed via posexplode + order-independent
+# decimal sums. The double->decimal cast itself can tie-break a 1-ulp
+# difference between engines (observed once in 32k values at sf0.01),
+# so the query rounds both sides to 6 decimals — the q81 determinism
+# pattern. The eigensolve consuming these moments is driver-side numpy
+# (corpus-independent), unit-tested against an exact reference.
+
+
+@query(
+    "q83_embedding_moments",
+    oracle="""
+    WITH ex AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    agg AS (
+      SELECT dim, count(*) AS n_vectors,
+             sum(CAST(v AS DECIMAL(25,12)))::DOUBLE / count(*) AS mean,
+             sum(CAST(v * v AS DECIMAL(25,12)))::DOUBLE / count(*) AS msq
+      FROM ex GROUP BY dim
+    )
+    SELECT dim, n_vectors, round(mean, 6) AS mean_r,
+           round(msq - mean * mean, 6) AS variance_r
+    FROM agg ORDER BY dim
+    """,
+)
+def q83_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.pca import embedding_moments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = embedding_moments(emb, "embedding")
+    return m.select(
+        "dim",
+        "n_vectors",
+        F.round("mean", 6).alias("mean_r"),
+        F.round("variance", 6).alias("variance_r"),
+    ).orderBy("dim")
