@@ -395,3 +395,100 @@ def q83_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean", 6).alias("mean_r"),
         F.round("variance", 6).alias("variance_r"),
     ).orderBy("dim")
+
+
+# --- q84: quantization retrieval eval (ranking_metrics, full oracle) --------
+# Measures what int8 quantization (q64's machinery) costs retrieval:
+# truth = exact-cosine top-k per query, results = the same search over
+# the DEQUANTIZED corpus (asymmetric search — float query, int8-stored
+# corpus, the standard serving layout), scored by recall@k / MRR@k /
+# NDCG@k via operators/evalmetrics.ranking_metrics. Everything is
+# deterministic (q64-proven codes, fold-identical dots, vec_id
+# tie-breaks); the metrics are rounded to 6 dp on both engines (log2
+# is libm — the q81 pattern). The query set is a bounded modulus
+# slice: eval harnesses score a sample of queries, not the corpus.
+
+_Q84_K = 10
+_Q84_MOD = 101
+_Q84_COS = (
+    "CASE WHEN sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product(q.qv, q.qv)) > 0 "
+    "THEN list_dot_product({v}, q.qv) / (sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product(q.qv, q.qv))) END"
+)
+
+
+def _q84_topk(rel: str, vcol: str) -> str:
+    cos = _Q84_COS.format(v=f"c.{vcol}")
+    return f"""(
+      SELECT query_id, vec_id, rank FROM (
+        SELECT q.query_id, c.vec_id,
+               CAST(row_number() OVER (
+                 PARTITION BY q.query_id ORDER BY {cos} DESC, c.vec_id
+               ) AS INTEGER) AS rank
+        FROM {rel} c, q WHERE c.vec_id != q.query_id
+      ) WHERE rank <= {_Q84_K}
+    )"""
+
+
+@query(
+    "q84_quantization_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % {_Q84_MOD} = 0
+    ),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sc AS (
+      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM corpus
+    ),
+    deq AS (
+      SELECT vec_id,
+             list_transform(
+               v, x -> (CASE WHEN scale > 0 THEN round(x / scale, 0) ELSE 0.0 END)::INT::DOUBLE * scale
+             ) AS v
+      FROM sc
+    ),
+    truth AS {_q84_topk("corpus", "v")},
+    results AS {_q84_topk("deq", "v")},
+    pt AS (
+      SELECT query_id, count(*) AS n_truth,
+             sum(1.0 / log2(rank + 1.0)) AS idcg
+      FROM truth GROUP BY query_id
+    ),
+    hits AS (
+      SELECT r.query_id, count(*) AS n_hits, min(r.rank) AS first_hit,
+             sum(1.0 / log2(r.rank + 1.0)) AS dcg
+      FROM results r JOIN truth t ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+      GROUP BY r.query_id
+    )
+    SELECT pt.query_id, n_truth, coalesce(n_hits, 0)::BIGINT AS n_hits,
+           round(coalesce(n_hits, 0)::DOUBLE / n_truth, 6) AS recall_r,
+           round(coalesce(1.0 / first_hit, 0.0), 6) AS mrr_r,
+           round(coalesce(dcg, 0.0) / idcg, 6) AS ndcg_r
+    FROM pt LEFT JOIN hits ON pt.query_id = hits.query_id
+    ORDER BY pt.query_id
+    """,
+)
+def q84_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.evalmetrics import ranking_metrics
+    from terrorblade_spark.operators.vector import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") % _Q84_MOD == 0)
+    truth = knn_join(queries, emb, k=_Q84_K)
+    deq = quantize_int8(emb).select(
+        "vec_id",
+        F.transform("qvec", lambda x: x.cast("double") * F.col("scale")).alias(
+            "embedding"
+        ),
+    )
+    results = knn_join(queries, deq, k=_Q84_K)
+    m = ranking_metrics(results, truth, k=_Q84_K)
+    return m.select(
+        "query_id",
+        "n_truth",
+        "n_hits",
+        F.round("recall_at_k", 6).alias("recall_r"),
+        F.round("mrr_at_k", 6).alias("mrr_r"),
+        F.round("ndcg_at_k", 6).alias("ndcg_r"),
+    ).orderBy("query_id")
