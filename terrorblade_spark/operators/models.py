@@ -216,3 +216,46 @@ def ivf_append_txn(
     )
     assigned = new_vectors.join(best, id_col)
     t.append(assigned, applied_id=applied_id, partition_col="list_id")
+
+
+def save_pca(spark: SparkSession, model, path: str) -> None:
+    """Persist a fitted PCAModel: components as a tiny parquet relation
+    (idx, eigenvalue, component), scalars + mean in the meta sidecar.
+    The whole artifact is k x d doubles — model-sized, never
+    corpus-sized — but it rides the same filesystem layer as the big
+    indexes so one model store serves local disk or object storage."""
+    from terrorblade_spark.operators.pca import PCAModel
+
+    assert isinstance(model, PCAModel)
+    rows = [
+        (i, model.eigenvalues[i], list(model.components[i])) for i in range(model.k)
+    ]
+    spark.createDataFrame(
+        rows, "idx int, eigenvalue double, component array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/components")
+    _write_meta(
+        spark,
+        path,
+        {
+            "kind": "pca",
+            "mean": list(model.mean),
+            "n": model.n,
+            "total_variance": model.total_variance,
+        },
+    )
+
+
+def load_pca(spark: SparkSession, path: str):
+    from terrorblade_spark.operators.pca import PCAModel
+
+    meta = _read_meta(spark, path)
+    if meta.get("kind") != "pca":
+        raise ValueError(f"{path} holds {meta.get('kind')!r}, not a pca model")
+    rows = sorted(spark.read.parquet(f"{path}/components").collect(), key=lambda r: r.idx)
+    return PCAModel(
+        mean=tuple(float(v) for v in meta["mean"]),
+        components=tuple(tuple(float(v) for v in r.component) for r in rows),
+        eigenvalues=tuple(float(r.eigenvalue) for r in rows),
+        n=int(meta["n"]),
+        total_variance=float(meta["total_variance"]),
+    )

@@ -265,6 +265,25 @@ def pca_transform(
     return df.withColumn(out_col, _project_udf(proj, offset)(F.col(vec_col)))
 
 
+def pca_reconstruct(
+    df: DataFrame,
+    model: PCAModel,
+    in_col: str = "pca",
+    out_col: str = "reconstructed",
+) -> DataFrame:
+    """Map k-dim PCA coordinates back to the original space:
+    x_hat = y @ W + mean — the decompression half of PCA-as-storage
+    (keep k coords per vector, reconstruct on read; error is exactly
+    the dropped eigenvalues' variance). Only valid for NON-whitened
+    transforms. Same broadcast BLAS UDF as the forward map."""
+    import numpy as np
+
+    w = np.asarray(model.components, dtype="float64")  # (k, d)
+    return df.withColumn(
+        out_col, _project_udf(w, np.asarray(model.mean, dtype="float64"))(F.col(in_col))
+    )
+
+
 def random_projection(
     df: DataFrame,
     out_dim: int,

@@ -159,3 +159,40 @@ def test_pca_model_roundtrips_as_plain_data():
     )
     assert m.k == 1 and m.dim == 2
     assert m.explained_variance_ratio() == (2.0 / 3.0,)
+
+
+def test_pca_model_save_load_roundtrip(spark, tmp_path):
+    from terrorblade_spark.operators.models import load_pca, save_pca
+
+    x = _mat(seed=23, n=50, d=6)
+    model = pca_fit(_df(spark, x), "embedding", k=4)
+    save_pca(spark, model, str(tmp_path / "pca"))
+    back = load_pca(spark, str(tmp_path / "pca"))
+    # bit-exact roundtrip: parquet doubles + repr-exact JSON floats
+    assert back == model
+
+    with pytest.raises(ValueError):
+        from terrorblade_spark.operators.models import load_bm25
+
+        load_bm25(spark, str(tmp_path / "pca"))
+
+
+def test_pca_reconstruct_roundtrip_and_error(spark):
+    from terrorblade_spark.operators.pca import pca_reconstruct
+
+    x = _mat(seed=29, n=80, d=6)
+    # k = d: lossless roundtrip
+    full = pca_fit(_df(spark, x), "embedding", k=6)
+    y = pca_transform(_df(spark, x), full, "embedding")
+    back = pca_reconstruct(y, full, "pca")
+    got = {r.vec_id: np.asarray(r.reconstructed) for r in back.collect()}
+    for i in range(len(x)):
+        np.testing.assert_allclose(got[i], x[i], atol=1e-9)
+    # k < d: mean squared reconstruction error == sum of dropped eigenvalues
+    part = pca_fit(_df(spark, x), "embedding", k=2)
+    y2 = pca_transform(_df(spark, x), part, "embedding")
+    got2 = {r.vec_id: np.asarray(r.reconstructed)
+            for r in pca_reconstruct(y2, part, "pca").collect()}
+    mse = np.mean([np.sum((got2[i] - x[i]) ** 2) for i in range(len(x))])
+    dropped = full.total_variance - sum(part.eigenvalues)
+    np.testing.assert_allclose(mse, dropped, rtol=1e-9)
