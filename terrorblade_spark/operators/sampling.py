@@ -103,6 +103,7 @@ def temperature_mix(
     alpha: float = 0.7,
     seed: str = "mix-v1",
     source_col: str = "mix_source",
+    round_fracs: int | None = None,
 ) -> DataFrame:
     """Temperature-flattened multi-corpus mix (the standard LLM
     data-recipe shape): source i is sampled with probability
@@ -118,6 +119,10 @@ def temperature_mix(
     recipe is specified in exact rows). A source whose f_i clamps at 1
     contributes everything it has; the shortfall is NOT redistributed
     (document the mix you asked for, don't silently reshape it).
+    ``round_fracs`` optionally rounds each f_i to that many decimals —
+    the DSIR portability pattern: a rounded threshold makes the
+    selection reproducible across engines whose pow/sum differ in the
+    last ulp (q85's value oracle relies on it).
 
     Scale design: the n_i come from per-source 1-row count aggregates
     unioned into a k-row relation; the normalizer is one more 1-row
@@ -140,13 +145,13 @@ def temperature_mix(
         "__src", "n", F.pow(F.col("n").cast("double"), F.lit(float(alpha))).alias("__w")
     )
     tot = weights.agg(F.sum("__w").alias("__S"))
-    fracs = weights.crossJoin(F.broadcast(tot)).select(
-        "__src",
-        F.least(
-            F.lit(1.0),
-            F.lit(float(total_rows)) * (F.col("__w") / F.col("__S")) / F.col("n"),
-        ).alias("__f"),
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(float(total_rows)) * (F.col("__w") / F.col("__S")) / F.col("n"),
     )
+    if round_fracs is not None:
+        frac = F.round(frac, round_fracs)
+    fracs = weights.crossJoin(F.broadcast(tot)).select("__src", frac.alias("__f"))
     parts = []
     for i, df in enumerate(sources):
         fi = F.broadcast(fracs.where(F.col("__src") == i).select("__f"))

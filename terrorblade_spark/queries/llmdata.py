@@ -382,3 +382,57 @@ def q81_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_DSIR_SEED,
         salt=_DSIR_SALT,
     )
+
+
+# --- q85: temperature-flattened language mix (full value oracle) ------------
+# The multilingual balancing recipe on real uneven strata (the fixture
+# langs run 64..218 docs at sf0.01): documents split per lang become
+# the source list, q_i ∝ n_i^alpha with alpha=0.3 flattens toward the
+# small languages, and each source keeps a seeded-uniform Bernoulli
+# draw below its fraction. Portability: fractions are rounded to 6 dp
+# on BOTH engines (round_fracs — pow/sum last-ulp differences die
+# there), draws are the shared md5 hash64 / 2^60. The per-lang source
+# index is alphabetical rank, mirrored by row_number OVER (ORDER BY
+# lang) in the oracle.
+
+_Q85_TOTAL = 300
+_Q85_ALPHA = 0.3
+_Q85_SEED = "q85mix"
+
+
+@query(
+    "q85_temperature_mix",
+    oracle=f"""
+    WITH langs AS (
+      SELECT lang, count(*) AS n,
+             CAST(row_number() OVER (ORDER BY lang) - 1 AS INTEGER) AS src
+      FROM documents GROUP BY lang
+    ),
+    w AS (SELECT lang, n, src, power(n::DOUBLE, {_Q85_ALPHA}) AS wgt FROM langs),
+    f AS (
+      SELECT lang, src,
+             round(least(1.0, {_Q85_TOTAL}.0 * wgt / (SELECT sum(wgt) FROM w) / n), 6) AS frac
+      FROM w
+    )
+    SELECT d.doc_id, d.lang, f.src AS mix_source
+    FROM documents d JOIN f ON d.lang = f.lang
+    WHERE ('0x' || substring(md5('{_Q85_SEED}/src' || f.src::VARCHAR || d.doc_id::VARCHAR), 1, 15))::BIGINT
+            / 1152921504606846976.0 < f.frac
+    ORDER BY d.doc_id
+    """,
+)
+def q85_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.sampling import temperature_mix
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    langs = sorted(r.lang for r in d.select("lang").distinct().collect())
+    sources = [d.where(F.col("lang") == lg) for lg in langs]
+    mixed = temperature_mix(
+        sources,
+        "doc_id",
+        total_rows=_Q85_TOTAL,
+        alpha=_Q85_ALPHA,
+        seed=_Q85_SEED,
+        round_fracs=6,
+    )
+    return mixed.select("doc_id", "lang", "mix_source").orderBy("doc_id")
