@@ -436,3 +436,55 @@ def q85_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_fracs=6,
     )
     return mixed.select("doc_id", "lang", "mix_source").orderBy("doc_id")
+
+
+# --- q86: token-budget sequence packing (full value oracle) -----------------
+# pack_sequences' greedy next-fit is per-shard SEQUENTIAL state — the
+# exact reason the engine runs it as a sharded applyInPandas, not a
+# window — so the oracle walks the same hash-ordered chains with a
+# recursive CTE (depth = max docs per shard), the q79 pointer-chain
+# pattern. Everything is integer (n_chars as the token count) and
+# md5-hash ordered: no float portability risk anywhere.
+
+_Q86_BUDGET = 2000
+_Q86_SHARDS = 8
+_Q86_SEED = "q86"
+
+
+@query(
+    "q86_packed_sequences",
+    oracle=f"""
+    WITH RECURSIVE hashed AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substring(md5('{_Q86_SEED}' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, least(n_chars, {_Q86_BUDGET})::BIGINT AS t,
+             (h % {_Q86_SHARDS})::INT AS shard, h,
+             row_number() OVER (PARTITION BY h % {_Q86_SHARDS} ORDER BY h, doc_id) AS rn
+      FROM hashed
+    ),
+    packed(shard, rn, doc_id, t, bin, acc) AS (
+      SELECT shard, rn, doc_id, t, 0::BIGINT, t FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.t,
+             CASE WHEN p.acc + o.t > {_Q86_BUDGET} AND p.acc > 0
+                  THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.acc + o.t > {_Q86_BUDGET} AND p.acc > 0
+                  THEN o.t ELSE p.acc + o.t END
+      FROM ordered o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, bin, t AS bin_tokens
+    FROM packed ORDER BY doc_id
+    """,
+)
+def q86_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    packed = pack_sequences(
+        d, "doc_id", "n_chars", budget=_Q86_BUDGET,
+        num_shards=_Q86_SHARDS, seed=_Q86_SEED,
+    )
+    return packed.select("doc_id", "shard", "bin", "bin_tokens").orderBy("doc_id")

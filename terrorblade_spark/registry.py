@@ -86,6 +86,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q83_embedding_moments",
     "q84_quantization_recall",
     "q85_temperature_mix",
+    "q86_packed_sequences",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",
