@@ -405,3 +405,39 @@ def weighted_sample_without_replacement(
         .where(F.col("__rank") <= k)
         .drop("__wkey", "__rank")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    eval_fraction: float,
+    seed: str = "split-v1",
+    split_col: str = "split",
+    group_col: str = "group_root",
+) -> DataFrame:
+    """Train/eval split whose assignment unit is the NEAR-DUP
+    COMPONENT, not the document. An id-level hash split
+    (:func:`train_eval_split`) silently leaks near-duplicates across
+    the boundary — a doc's variant lands in eval while its twin trains,
+    the classic eval-contamination failure. Here ``pairs`` (a near-dup
+    edge list from ``minhash_lsh_candidates`` /
+    ``semantic_neardup_pairs_lsh`` / any dedup stage) is resolved to
+    connected components, every row gets its component root (singletons
+    root at their own id), and the split hashes the ROOT — all
+    variants move together, re-ingestion can't move them back.
+
+    Cost on top of the id split = the components fixpoint over the
+    edge list (edge-sized shuffles, O(log n) rounds) + one broadcast-
+    able join of the root relation; the split itself stays a narrow
+    hash filter. Value-oracled as q87_leakage_safe_split."""
+    from terrorblade_spark.operators.components import connected_components
+
+    comps = connected_components(pairs, "id_a", "id_b")
+    joined = df.join(
+        comps.select(F.col("node").alias(id_col), "component"), id_col, "left"
+    )
+    out = joined.withColumn(
+        group_col, F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+    return train_eval_split(out, group_col, eval_fraction, seed, split_col)

@@ -436,3 +436,59 @@ def q80_repeated_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "start")
     )
+
+
+# --- q87: leakage-safe train/eval split over the near-dup graph --------------
+# The split that dedup exists to protect: assignment hashes the
+# near-dup COMPONENT root (q78's fixpoint), so a doc and its variants
+# can never straddle train/eval. Oracle = q78's recursive closure +
+# the same md5 draw on the root; the only float comparison is
+# hash/2^60 < 0.2, both sides bit-identical.
+
+_Q87_EVAL = 0.2
+_Q87_SEED = "q87"
+
+
+@query(
+    "q87_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE shingled AS (SELECT doc_id, {_SH} AS sh FROM documents),
+    sigs AS (
+      SELECT doc_id, {_duck_minhash()} AS sig FROM shingled WHERE len(sh) > 0
+    ), banded AS (
+      SELECT doc_id, unnest({_duck_bands()}, recursive := true) FROM sigs
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node
+    ), comp AS (
+      SELECT node, min(r) AS component FROM reach GROUP BY node
+    ), assigned AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_root
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, group_root,
+           CASE WHEN ('0x' || substring(md5('{_Q87_SEED}' || group_root::VARCHAR), 1, 15))::BIGINT
+                     / 1152921504606846976.0 < {_Q87_EVAL}
+                THEN 'eval' ELSE 'train' END AS split
+    FROM assigned ORDER BY doc_id
+    """,
+)
+def q87_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.sampling import leakage_safe_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3
+    )
+    return leakage_safe_split(
+        d.select("doc_id"), "doc_id", pairs, eval_fraction=_Q87_EVAL, seed=_Q87_SEED
+    ).select("doc_id", "group_root", "split").orderBy("doc_id")

@@ -87,6 +87,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q84_quantization_recall",
     "q85_temperature_mix",
     "q86_packed_sequences",
+    "q87_leakage_safe_split",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

@@ -473,3 +473,33 @@ def test_temperature_mix_rejects_bad_args(spark):
     a = spark.range(10).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError):
         temperature_mix([a], "doc_id", 10, alpha=-1)
+
+
+# --- leakage-safe split -------------------------------------------------------
+
+
+def test_leakage_safe_split_keeps_components_together(spark):
+    from terrorblade_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    # components: {0,1,2}, {10,11}, rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(docs, "doc_id", pairs, eval_fraction=0.3, seed="t")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 100
+    # all members of a component share root AND side
+    for grp in ([0, 1, 2], [10, 11]):
+        roots = {rows[i].group_root for i in grp}
+        sides = {rows[i].split for i in grp}
+        assert roots == {min(grp)} and len(sides) == 1
+    # singleton roots at own id
+    assert rows[50].group_root == 50
+    # deterministic
+    again = {r.doc_id: r.split for r in
+             leakage_safe_split(docs, "doc_id", pairs, 0.3, seed="t").collect()}
+    assert again == {k: v.split for k, v in rows.items()}
+    # both sides populated at this fraction
+    sides = {v.split for v in rows.values()}
+    assert sides == {"train", "eval"}
