@@ -1,0 +1,74 @@
+"""Conversation → supervised training pairs (context, response).
+
+The bridge between the reference's domain (chat transcripts, clustered
+and ordered by TextPreprocessor/vector_store — e.g. the ordered
+cluster transcripts its summarize path formats) and an LLM data
+pipeline: every message becomes a training example whose input is the
+formatted preceding turns and whose target is the message text — the
+standard SFT / next-turn-prediction extraction.
+
+One windowed pass, all JVM: format each turn as ``author: text``,
+collect the previous ``context_size`` formatted turns with a
+ROWS-framed window (the W7 ±N-context machinery), join, filter by
+minimum context. The window sort is per conversation group — bounded
+by the longest conversation, never corpus-wide — and the same
+partition sort serves the position, context, and response columns.
+Value-oracled end to end as q88_conversation_pairs (sessionized event
+streams at gate scale; the Telegram fixture exercises the dialog
+shape in tests/test_sft.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def conversation_pairs(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    author_col: str,
+    text_col: str,
+    id_col: str,
+    context_size: int = 4,
+    min_context: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Emit one (context, response) pair per qualifying message.
+
+    Output = ``group_cols`` + ``id_col`` + ``n_context`` (how many
+    turns the context holds), ``context`` (the previous
+    min(position, context_size) turns as ``author: text`` lines joined
+    by ``sep``), ``response_author`` and ``response`` (the target
+    turn, unformatted). Messages with fewer than ``min_context``
+    preceding turns in their group produce no pair (min_context=0
+    keeps conversation openers with an empty context)."""
+    if context_size < 1:
+        raise ValueError(f"context_size must be >= 1, got {context_size}")
+    if not 0 <= min_context <= context_size:
+        raise ValueError("need 0 <= min_context <= context_size")
+    line = F.concat(
+        F.col(author_col).cast("string"), F.lit(": "), F.col(text_col).cast("string")
+    )
+    wctx = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-context_size, -1)
+    )
+    ctx = F.collect_list("__line").over(wctx)
+    out = (
+        df.withColumn("__line", line)
+        .withColumn("__ctx", ctx)
+        .select(
+            *group_cols,
+            id_col,
+            F.size("__ctx").alias("n_context"),
+            F.array_join("__ctx", sep).alias("context"),
+            F.col(author_col).alias("response_author"),
+            F.col(text_col).alias("response"),
+        )
+    )
+    return out.where(F.col("n_context") >= min_context)

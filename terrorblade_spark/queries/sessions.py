@@ -285,3 +285,59 @@ def q25_session_overlap_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# --- q88: conversation -> (context, response) training pairs -----------------
+# The SFT extraction (operators/sft.py) at gate scale: sessionized
+# per-user event streams stand in for conversations (the Telegram
+# dialog shape is unit-tested in tests/test_sft.py); each event
+# becomes a pair whose input is the previous <=3 turns formatted
+# "author: text" and whose target is the event's own payload. The
+# oracle reuses q19's sessionize SQL plus the q15 ROWS-framed
+# array_agg — pure string/window algebra, no float anywhere.
+
+_Q88_CTX = 3
+
+
+@query(
+    "q88_conversation_pairs",
+    oracle=f"""
+    WITH s AS ({_SESSIONIZE_SQL.format(gap_ms=3600000, src="events")}),
+    lined AS (
+      SELECT user_id, session_id, event_id, ts,
+             event_type || ': ' || props AS line, props
+      FROM s
+    ),
+    ctx AS (
+      SELECT user_id, session_id, event_id,
+             array_agg(line) OVER (PARTITION BY user_id, session_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN {_Q88_CTX} PRECEDING AND 1 PRECEDING) AS c,
+             props AS response
+      FROM lined
+    )
+    SELECT user_id, session_id, event_id,
+           len(c)::INT AS n_context,
+           array_to_string(c, chr(10)) AS context, response
+    FROM ctx WHERE len(c) >= 1
+    ORDER BY user_id, session_id, event_id
+    """,
+)
+def q88_conversation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.sft import conversation_pairs
+
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, "ts", ["user_id"], "event_id", gap="1 hour")
+    pairs = conversation_pairs(
+        s,
+        group_cols=["user_id", "session_id"],
+        order_cols=["ts", "event_id"],
+        author_col="event_type",
+        text_col="props",
+        id_col="event_id",
+        context_size=_Q88_CTX,
+        min_context=1,
+    )
+    return pairs.select(
+        "user_id", "session_id", "event_id", "n_context", "context", "response"
+    ).orderBy("user_id", "session_id", "event_id")

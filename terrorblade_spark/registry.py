@@ -88,6 +88,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q85_temperature_mix",
     "q86_packed_sequences",
     "q87_leakage_safe_split",
+    "q88_conversation_pairs",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

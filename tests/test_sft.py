@@ -1,0 +1,63 @@
+"""conversation_pairs (operators/sft.py) on the dialog shape.
+
+The gate-scale value oracle is q88 (sessionized events); these tests
+pin the SFT semantics on a hand-checkable two-person dialog.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from terrorblade_spark.operators.sft import conversation_pairs
+
+_DIALOG = [
+    # (chat_id, msg_id, author, text)
+    (1, 1, "alice", "hi"),
+    (1, 2, "bob", "hello"),
+    (1, 3, "alice", "how are you?"),
+    (1, 4, "bob", "fine thanks"),
+    (2, 1, "carol", "solo opener"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        _DIALOG, "chat_id long, msg_id long, author string, text string"
+    )
+
+
+def test_pairs_format_context_and_response(spark):
+    out = conversation_pairs(
+        _df(spark), ["chat_id"], ["msg_id"], "author", "text", "msg_id",
+        context_size=2, min_context=1,
+    )
+    rows = {(r.chat_id, r.msg_id): r for r in out.collect()}
+    # opener has no context -> dropped; chat 2's only message too
+    assert set(rows) == {(1, 2), (1, 3), (1, 4)}
+    assert rows[(1, 2)].context == "alice: hi"
+    assert rows[(1, 2)].response == "hello"
+    assert rows[(1, 2)].response_author == "bob"
+    assert rows[(1, 3)].context == "alice: hi\nbob: hello"
+    # context window caps at context_size=2: msg 1 falls out for msg 4
+    assert rows[(1, 4)].context == "bob: hello\nalice: how are you?"
+    assert rows[(1, 4)].n_context == 2
+
+
+def test_min_context_zero_keeps_openers(spark):
+    out = conversation_pairs(
+        _df(spark), ["chat_id"], ["msg_id"], "author", "text", "msg_id",
+        context_size=2, min_context=0,
+    )
+    rows = {(r.chat_id, r.msg_id): r for r in out.collect()}
+    assert (2, 1) in rows and rows[(2, 1)].context == ""
+    assert len(rows) == 5
+
+
+def test_rejects_bad_args(spark):
+    d = _df(spark)
+    with pytest.raises(ValueError):
+        conversation_pairs(d, ["chat_id"], ["msg_id"], "author", "text", "msg_id",
+                           context_size=0)
+    with pytest.raises(ValueError):
+        conversation_pairs(d, ["chat_id"], ["msg_id"], "author", "text", "msg_id",
+                           context_size=2, min_context=3)
