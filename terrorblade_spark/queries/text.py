@@ -283,3 +283,86 @@ def q71_bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("int").alias("rank"),
         F.col("doc").alias("doc_id"),
     ).orderBy("rank")
+
+
+# --- q89: hybrid retrieval (BM25 + cosine fused by RRF, full oracle) ---------
+# The whole hybrid stack value-checked in one query: lexical Okapi
+# top-fetch_k (q71's rank-portable formula), vector cosine top-fetch_k
+# (q36's fold-identical scoring), reciprocal-rank fusion
+# rrf(d) = sum_r 1/(c + rank_r(d)). Each doc receives at most one term
+# per retriever, so the fused sum is <= 2 commutative-exact double
+# adds — bit-identical across engines; the output is the fused rank
+# list plus the 6-dp score.
+
+_Q89_QUERY = "table hash merge"
+_Q89_K = 10
+_Q89_FETCH = 20
+_Q89_C = 60
+
+
+@query(
+    "q89_hybrid_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS doc, lower(t) AS term
+      FROM documents, unnest({_DUCK_TOKENS}) AS u(t)
+    ),
+    postings AS (SELECT term, doc, count(*) AS tf FROM tok GROUP BY 1, 2),
+    doclen AS (SELECT doc, sum(tf) AS dl FROM postings GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+    q(term) AS (VALUES {", ".join(f"('{t}')" for t in sorted(set(_Q89_QUERY.split())))}),
+    dfreq AS (
+      SELECT p.term, count(*) AS df FROM postings p JOIN q USING (term) GROUP BY 1
+    ),
+    lex_scored AS (
+      SELECT p.doc AS doc_id,
+             sum(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                 * p.tf * ({_Q71_K1} + 1)
+                 / (p.tf + {_Q71_K1} * (1 - {_Q71_B} + {_Q71_B} * d.dl / s.avgdl))) AS score
+      FROM postings p
+      JOIN q USING (term) JOIN dfreq f USING (term) JOIN doclen d USING (doc)
+      CROSS JOIN stats s GROUP BY 1
+    ),
+    lex AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM lex_scored ORDER BY rank LIMIT {_Q89_FETCH}
+    ),
+    qv AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+    sem_scored AS (
+      SELECT e.vec_id AS doc_id,
+             list_dot_product(e.embedding::DOUBLE[], qv.qvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv.qvec, qv.qvec))) AS score
+      FROM embeddings e, qv
+    ),
+    sem AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM sem_scored ORDER BY rank LIMIT {_Q89_FETCH}
+    ),
+    fused AS (
+      SELECT doc_id, sum(1.0 / ({_Q89_C} + rank)) AS rrf
+      FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem) GROUP BY doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+           doc_id, round(rrf, 6) AS rrf_r
+    FROM fused ORDER BY rank LIMIT {_Q89_K}
+    """,
+)
+def q89_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from terrorblade_spark.operators.search import hybrid_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0)
+    fused = hybrid_search(
+        docs, emb, _Q89_QUERY, qvec,
+        k=_Q89_K, fetch_k=_Q89_FETCH, rrf_c=_Q89_C,
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc"))
+    return fused.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.col("doc").alias("doc_id"),
+        F.round("rrf_score", 6).alias("rrf_r"),
+    ).orderBy("rank")

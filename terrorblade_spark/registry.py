@@ -89,6 +89,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q86_packed_sequences",
     "q87_leakage_safe_split",
     "q88_conversation_pairs",
+    "q89_hybrid_search",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",
