@@ -366,3 +366,62 @@ def q89_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc").alias("doc_id"),
         F.round("rrf_score", 6).alias("rrf_r"),
     ).orderBy("rank")
+
+
+# --- q90: corpus drift (Jensen-Shannon over fitted unigram tables) -----------
+# compare_corpora's summary row, value-oracled: split the corpus into
+# two snapshots (even/odd doc_id), fit the ML unigram tables, JS =
+# sum over the union vocabulary of p*ln(p/m)/2 + q*ln(q/m)/2. The
+# oracle mirrors the operator's exact arithmetic — exp(ln(c/t))
+# renormalized over retained mass, then the JS fold — and the ln/exp
+# last-ulp engine differences die in the 6-dp rounding (sums of ~30
+# terms drift ~1e-15). Overlap counts are exact integers.
+
+
+@query(
+    "q90_corpus_drift",
+    oracle=f"""
+    WITH tokA AS (
+      SELECT lower(t) AS tok FROM documents, unnest({_DUCK_TOKENS}) AS u(t)
+      WHERE doc_id % 2 = 0
+    ),
+    tokB AS (
+      SELECT lower(t) AS tok FROM documents, unnest({_DUCK_TOKENS}) AS u(t)
+      WHERE doc_id % 2 = 1
+    ),
+    uniA AS (SELECT tok, count(*) AS c FROM tokA GROUP BY 1),
+    uniB AS (SELECT tok, count(*) AS c FROM tokB GROUP BY 1),
+    pa AS (
+      SELECT tok, exp(ln(c::DOUBLE / (SELECT sum(c) FROM uniA))) AS praw FROM uniA
+    ),
+    pb AS (
+      SELECT tok, exp(ln(c::DOUBLE / (SELECT sum(c) FROM uniB))) AS qraw FROM uniB
+    ),
+    j AS (
+      SELECT coalesce(a.tok, b.tok) AS tok,
+             coalesce(a.praw / (SELECT sum(praw) FROM pa), 0.0) AS p,
+             coalesce(b.qraw / (SELECT sum(qraw) FROM pb), 0.0) AS q
+      FROM pa a FULL OUTER JOIN pb b ON a.tok = b.tok
+    )
+    SELECT round(sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END) / 2
+               + sum(CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0.0 END) / 2, 6)
+             AS js_r,
+           sum(CASE WHEN p > 0 THEN 1 ELSE 0 END)::BIGINT AS n_tokens_a,
+           sum(CASE WHEN q > 0 THEN 1 ELSE 0 END)::BIGINT AS n_tokens_b,
+           sum(CASE WHEN p > 0 AND q > 0 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+    FROM j
+    """,
+)
+def q90_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.lm import compare_corpora, fit_ngram_lm
+
+    d = load_table(spark, sf_dir, "documents")
+    lm_a = fit_ngram_lm(d.where(F.col("doc_id") % 2 == 0))
+    lm_b = fit_ngram_lm(d.where(F.col("doc_id") % 2 == 1))
+    summary, _ = compare_corpora(lm_a, lm_b)
+    return summary.select(
+        F.round("js_divergence", 6).alias("js_r"),
+        "n_tokens_a",
+        "n_tokens_b",
+        "n_shared",
+    )

@@ -90,6 +90,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q87_leakage_safe_split",
     "q88_conversation_pairs",
     "q89_hybrid_search",
+    "q90_corpus_drift",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",
