@@ -425,3 +425,47 @@ def q90_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens_b",
         "n_shared",
     )
+
+
+# --- q91: overlapping document chunking (full value oracle) ------------------
+# chunk_documents' narrow row-to-rows plan mirrored in SQL: the token
+# array sliced at stride (max_tokens - overlap), final chunk short,
+# single-chunk floor for short docs. All integers and string joins —
+# no float anywhere; the tokenizer is the q59-proven regex split.
+
+_Q91_MAX = 32
+_Q91_OVERLAP = 8
+
+
+@query(
+    "q91_document_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(
+               list_slice(toks, i * {_Q91_MAX - _Q91_OVERLAP} + 1,
+                          i * {_Q91_MAX - _Q91_OVERLAP} + {_Q91_MAX}), ' ') AS chunk_text,
+             least(n - i * {_Q91_MAX - _Q91_OVERLAP}, {_Q91_MAX})::BIGINT AS chunk_tokens
+      FROM sized,
+           unnest(generate_series(
+             0, greatest((n - {_Q91_OVERLAP} + {_Q91_MAX - _Q91_OVERLAP} - 1)
+                           // {_Q91_MAX - _Q91_OVERLAP}, 1) - 1)) AS g(i)
+    )
+    SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, chunk_tokens, chunk_text
+    FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+)
+def q91_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.packing import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_documents(d, "doc_id", "text", max_tokens=_Q91_MAX, overlap=_Q91_OVERLAP)
+    return out.select("doc_id", "chunk_idx", "chunk_tokens", "chunk_text").orderBy(
+        "doc_id", "chunk_idx"
+    )

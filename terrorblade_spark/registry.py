@@ -91,6 +91,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q88_conversation_pairs",
     "q89_hybrid_search",
     "q90_corpus_drift",
+    "q91_document_chunks",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",
