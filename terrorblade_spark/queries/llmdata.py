@@ -488,3 +488,59 @@ def q86_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_shards=_Q86_SHARDS, seed=_Q86_SEED,
     )
     return packed.select("doc_id", "shard", "bin", "bin_tokens").orderBy("doc_id")
+
+
+# --- q92: contrastive negative sampling (full value oracle) ------------------
+# negative_samples' whole shape mirrored: the seeded-hash candidate
+# pool (threshold = pool_size / corpus-count, one double division both
+# engines compute identically), self + positive exclusion, and the
+# per-(anchor, candidate) md5 ranking with neg_id tiebreak. Positives
+# here are (anchor, anchor+1) so the exclusion path is exercised.
+
+_Q92_POOL = 64
+_Q92_K = 5
+_Q92_SEED = "q92"
+_Q92_U = "('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+@query(
+    "q92_negative_samples",
+    oracle=f"""
+    WITH n AS (SELECT count(*)::DOUBLE AS c FROM documents),
+    pool AS (
+      SELECT doc_id AS neg_id FROM documents, n
+      WHERE {_Q92_U.format(expr=f"'{_Q92_SEED}/pool' || doc_id::VARCHAR")}
+              / 1152921504606846976.0
+            < least(1.0, {_Q92_POOL}.0 / greatest(c, 1.0))
+    ),
+    anchors AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id < 10),
+    cand AS (
+      SELECT a.anchor_id, p.neg_id FROM anchors a, pool p
+      WHERE a.anchor_id != p.neg_id AND p.neg_id != a.anchor_id + 1
+    ),
+    ranked AS (
+      SELECT anchor_id, neg_id,
+             CAST(row_number() OVER (
+               PARTITION BY anchor_id
+               ORDER BY {_Q92_U.format(expr=f"'{_Q92_SEED}' || anchor_id::VARCHAR || '|' || neg_id::VARCHAR")},
+                        neg_id
+             ) AS INT) AS neg_rank
+      FROM cand
+    )
+    SELECT anchor_id, neg_id, neg_rank FROM ranked
+    WHERE neg_rank <= {_Q92_K}
+    ORDER BY anchor_id, neg_rank
+    """,
+)
+def q92_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.sampling import negative_samples
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    anchors = d.where(F.col("doc_id") < 10).select(F.col("doc_id").alias("anchor_id"))
+    positives = anchors.select(
+        "anchor_id", (F.col("anchor_id") + 1).alias("doc_id")
+    )
+    out = negative_samples(
+        d, anchors, positives=positives, k=_Q92_K, pool_size=_Q92_POOL, seed=_Q92_SEED
+    )
+    return out.select("anchor_id", "neg_id", "neg_rank").orderBy("anchor_id", "neg_rank")

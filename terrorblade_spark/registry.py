@@ -92,6 +92,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q89_hybrid_search",
     "q90_corpus_drift",
     "q91_document_chunks",
+    "q92_negative_samples",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",
