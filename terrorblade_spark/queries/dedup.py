@@ -492,3 +492,67 @@ def q87_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(
         d.select("doc_id"), "doc_id", pairs, eval_fraction=_Q87_EVAL, seed=_Q87_SEED
     ).select("doc_id", "group_root", "split").orderBy("doc_id")
+
+
+# --- q93: quality-aware canonical selection (full value oracle) --------------
+# canonicalize_by_score over the near-dup graph: each cluster keeps
+# its LONGEST member (n_chars as the quality score, min-id among
+# ties), everything else flags duplicate — the curation-pass keep
+# rule, vs the min-id ingest rule q78 checks. All-integer max/min
+# algebra on top of q78's recursive closure.
+
+
+@query(
+    "q93_quality_canonicals",
+    oracle=f"""
+    WITH RECURSIVE shingled AS (SELECT doc_id, {_SH} AS sh FROM documents),
+    sigs AS (
+      SELECT doc_id, {_duck_minhash()} AS sig FROM shingled WHERE len(sh) > 0
+    ), banded AS (
+      SELECT doc_id, unnest({_duck_bands()}, recursive := true) FROM sigs
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node
+    ), comp AS (
+      SELECT node, min(r) AS component FROM reach GROUP BY node
+    ), labeled AS (
+      SELECT d.doc_id, d.n_chars, coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ), best AS (
+      SELECT component, max(n_chars) AS best_score FROM labeled GROUP BY component
+    ), canon AS (
+      SELECT l.component, min(l.doc_id) AS canonical_id
+      FROM labeled l JOIN best b
+        ON l.component = b.component AND l.n_chars = b.best_score
+      GROUP BY l.component
+    )
+    SELECT l.doc_id, l.component, c.canonical_id,
+           l.doc_id != c.canonical_id AS is_duplicate
+    FROM labeled l JOIN canon c ON l.component = c.component
+    ORDER BY l.doc_id
+    """,
+)
+def q93_quality_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.components import (
+        canonicalize_by_score,
+        connected_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    out = canonicalize_by_score(d, comps, "doc_id", "n_chars")
+    return out.select("doc_id", "component", "canonical_id", "is_duplicate").orderBy(
+        "doc_id"
+    )

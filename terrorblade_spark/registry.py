@@ -93,6 +93,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q90_corpus_drift",
     "q91_document_chunks",
     "q92_negative_samples",
+    "q93_quality_canonicals",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",
