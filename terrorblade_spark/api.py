@@ -462,3 +462,35 @@ class TerrorbladeSpark:
             )
             .orderBy(F.desc("cosine_sim"), "chat_id", "message_id")
         )
+
+    def get_training_pairs(
+        self,
+        chat_id: int | None = None,
+        context_size: int = 4,
+        min_context: int = 1,
+    ) -> DataFrame:
+        """SFT (context, response) pairs from the chat transcripts —
+        the bridge from the reference's domain (ordered dialog, the
+        same transcript shape summarize_cluster formats) to an LLM
+        training set: every message becomes an example whose input is
+        the previous ``context_size`` turns as ``author: text`` lines
+        and whose target is the message text. Empty/service texts are
+        excluded on both sides; a ``chat_id`` filter pushes down to the
+        scan. One windowed pass per chat (operators/sft.py)."""
+        from terrorblade_spark.operators.sft import conversation_pairs
+
+        msgs = self.messages.where(
+            F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+        )
+        if chat_id is not None:
+            msgs = msgs.where(F.col("chat_id") == chat_id)
+        return conversation_pairs(
+            msgs,
+            group_cols=["chat_id"],
+            order_cols=["date", "message_id"],
+            author_col="from_name",
+            text_col="text",
+            id_col="message_id",
+            context_size=context_size,
+            min_context=min_context,
+        )

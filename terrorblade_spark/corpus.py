@@ -299,6 +299,36 @@ class CorpusPipeline:
             return materialize_packed(packed, "chunk_id", "chunk_text")
         return packed
 
+    # -- stage 4: train/eval assignment -------------------------------------
+
+    def split(
+        self,
+        df: DataFrame,
+        eval_fraction: float = 0.05,
+        seed: str = "split-v1",
+        leakage_safe: bool = True,
+    ) -> DataFrame:
+        """Train/eval assignment as a ``split`` column. With
+        ``leakage_safe`` (the default) the assignment unit is the
+        DEDUP CLUSTER: the input must carry ``canonical_id`` (run
+        :meth:`dedup` / :meth:`dedup_semantic` first), and the hash
+        draw keys on it — a doc and its near-variants can never
+        straddle the boundary (the eval-contamination guard;
+        standalone form with an explicit edge list:
+        operators/sampling.leakage_safe_split, value-oracled as q87).
+        ``leakage_safe=False`` falls back to the plain id-hash split
+        for already-deduplicated or split-insensitive corpora."""
+        from terrorblade_spark.operators.sampling import train_eval_split
+
+        if leakage_safe:
+            if "canonical_id" not in df.columns:
+                raise ValueError(
+                    "leakage-safe split needs dedup flags (canonical_id): run "
+                    "dedup()/dedup_semantic() first, or pass leakage_safe=False"
+                )
+            return train_eval_split(df, "canonical_id", eval_fraction, seed)
+        return train_eval_split(df, self.id_col, eval_fraction, seed)
+
     # -- audit --------------------------------------------------------------
 
     def report(self, curated: DataFrame, deduped: DataFrame, packed: DataFrame) -> DataFrame:

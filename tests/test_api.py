@@ -254,3 +254,22 @@ def test_cluster_search_chat_scope_before_topk(spark):
     tb = TerrorbladeSpark(spark, msgs, embeddings=emb, clusters=clusters)
     got = tb.cluster_search("spark streaming query engine", k=3, chat_id=2).collect()
     assert [r["chat_id"] for r in got] == [2]
+
+
+def test_get_training_pairs_from_transcripts(tb):
+    pairs = tb.get_training_pairs(context_size=2, min_context=1).collect()
+    assert pairs, "fixture chats should yield at least one pair"
+    by_chat_first = {}
+    for r in pairs:
+        assert 1 <= r.n_context <= 2
+        # context lines are formatted "author: text"
+        for line in r.context.split("\n"):
+            assert ": " in line
+        assert r.response and r.response_author
+        by_chat_first.setdefault(r.chat_id, r)
+    # per-chat filter agrees with the unfiltered slice
+    cid = next(iter(by_chat_first))
+    sub = tb.get_training_pairs(chat_id=cid, context_size=2).collect()
+    assert {r.message_id for r in sub} == {
+        r.message_id for r in pairs if r.chat_id == cid
+    }

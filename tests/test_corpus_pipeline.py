@@ -224,3 +224,25 @@ def test_dedup_semantic_never_elects_out_of_df_representative(spark):
     # doc 1's only twin is outside df -> singleton, kept
     assert not out[1].is_duplicate and out[1].canonical_id == 1
     assert set(out) == {1, 9, 10}
+
+
+def test_split_stage_is_leakage_safe(spark, pipe):
+    deduped = pipe.dedup()
+    out = pipe.split(deduped, eval_fraction=0.3, seed="t").collect()
+    assert len(out) == pipe.docs.count()
+    # every member of a cluster lands on its canonical's side (the
+    # fixture corpus is doc + re-crawl twin, so real multi-member
+    # clusters exist)
+    sides = {}
+    for r in out:
+        sides.setdefault(r.canonical_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in sides.values())
+    assert any(v > 1 for v in
+               __import__("collections").Counter(r.canonical_id for r in out).values())
+    assert {r.split for r in out} == {"train", "eval"}
+    # refusing the unsafe default without flags
+    with pytest.raises(ValueError):
+        pipe.split(pipe.docs)
+    # explicit opt-out works on raw docs
+    plain = pipe.split(pipe.docs, leakage_safe=False, eval_fraction=0.3)
+    assert "split" in plain.columns
