@@ -544,3 +544,62 @@ def q92_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, anchors, positives=positives, k=_Q92_K, pool_size=_Q92_POOL, seed=_Q92_SEED
     )
     return out.select("anchor_id", "neg_id", "neg_rank").orderBy("anchor_id", "neg_rank")
+
+
+# --- q94: materialized packed training sequences (full value oracle) ---------
+# materialize_packed on top of q86's assignments: one row per
+# (shard, bin) with the member texts joined in the packer's hash
+# order (ids compared AS STRINGS — the operator's struct sort key),
+# token totals, and the member-id list. The oracle re-walks q86's
+# recursive next-fit and does the ordered concat with
+# string_agg(... ORDER BY h, doc_id::VARCHAR).
+
+
+@query(
+    "q94_materialized_packs",
+    oracle=f"""
+    WITH RECURSIVE hashed AS (
+      SELECT doc_id, n_chars, text,
+             ('0x' || substring(md5('{_Q86_SEED}' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, text, least(n_chars, {_Q86_BUDGET})::BIGINT AS t,
+             (h % {_Q86_SHARDS})::INT AS shard, h,
+             row_number() OVER (PARTITION BY h % {_Q86_SHARDS} ORDER BY h, doc_id) AS rn
+      FROM hashed
+    ),
+    packed(shard, rn, doc_id, t, bin, acc) AS (
+      SELECT shard, rn, doc_id, t, 0::BIGINT, t FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.t,
+             CASE WHEN p.acc + o.t > {_Q86_BUDGET} AND p.acc > 0
+                  THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.acc + o.t > {_Q86_BUDGET} AND p.acc > 0
+                  THEN o.t ELSE p.acc + o.t END
+      FROM ordered o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT p.shard, p.bin,
+           count(*) AS n_docs,
+           sum(p.t)::BIGINT AS n_tokens,
+           string_agg(p.doc_id::VARCHAR, ',' ORDER BY o.h, p.doc_id::VARCHAR) AS member_ids,
+           string_agg(o.text, chr(10) || chr(10) ORDER BY o.h, p.doc_id::VARCHAR) AS text
+    FROM packed p JOIN ordered o ON p.shard = o.shard AND p.doc_id = o.doc_id
+    GROUP BY p.shard, p.bin
+    ORDER BY p.shard, p.bin
+    """,
+)
+def q94_materialized_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.functions.exprs import csv_join
+    from terrorblade_spark.operators.packing import materialize_packed, pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    packed = pack_sequences(
+        d, "doc_id", "n_chars", budget=_Q86_BUDGET,
+        num_shards=_Q86_SHARDS, seed=_Q86_SEED,
+    )
+    out = materialize_packed(packed, "doc_id", "text", seed=_Q86_SEED)
+    return out.select(
+        "shard", "bin", "n_docs", "n_tokens",
+        csv_join("member_ids").alias("member_ids"), "text",
+    ).orderBy("shard", "bin")

@@ -94,6 +94,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q91_document_chunks",
     "q92_negative_samples",
     "q93_quality_canonicals",
+    "q94_materialized_packs",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",
