@@ -278,3 +278,59 @@ def test_range_join_plan_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1500]
     assert any(op in plan for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")), plan[:1500]
+
+
+def test_temperature_mix_plan_build_runs_no_job(spark, sf_dir):
+    """temperature_mix's n_i / normalizer must stay lazy 1-row
+    aggregates (no driver-side count() at plan-build time)."""
+    from terrorblade_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = [docs.where(F.col("lang") == lg) for lg in ("en", "de")]
+    sc = spark.sparkContext
+    sc.setJobGroup("mix-plan-build", "temperature mix plan construction")
+    try:
+        plan_df = temperature_mix(srcs, "doc_id", total_rows=100, alpha=0.5)
+        plan_df._jdf.queryExecution().executedPlan()
+        jobs = sc.statusTracker().getJobIdsForGroup("mix-plan-build")
+    finally:
+        sc.setJobGroup("", "")
+    assert list(jobs) == [], f"plan build ran Spark jobs: {jobs}"
+
+
+def test_chunk_documents_plan_is_narrow(spark, sf_dir):
+    """Chunking is a row-to-rows map: no Exchange anywhere — it must
+    compose with the scan at any scale."""
+    from terrorblade_spark.operators.packing import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(chunk_documents(d, "doc_id", "text", max_tokens=32, overlap=8))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_conversation_pairs_single_exchange_no_udf(spark, sf_dir):
+    """The SFT extraction is one windowed pass: a single hash
+    partitioning on the group key, everything JVM-side."""
+    from terrorblade_spark.operators.sft import conversation_pairs
+
+    e = load_table(spark, sf_dir, "events")
+    pairs = conversation_pairs(
+        e, ["user_id"], ["ts", "event_id"], "event_type", "props", "event_id",
+        context_size=3,
+    )
+    plan = _plan(pairs)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ranking_metrics_joins_stay_k_bounded_broadcastable(spark, sf_dir):
+    """ranking_metrics over two top-k relations must not invent a
+    nested loop: the (query, item) joins are equi-joins."""
+    from terrorblade_spark.operators.evalmetrics import ranking_metrics
+
+    t = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    plan = _plan(ranking_metrics(t, t, k=5))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
