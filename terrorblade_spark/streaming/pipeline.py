@@ -625,3 +625,52 @@ def txn_content_dedup_writer(
             admitted.unpersist()
 
     return stream.writeStream.foreachBatch(merge)
+
+
+def drift_monitor_writer(
+    stream: DataFrame,
+    reference_lm,
+    report_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    js_alert: float = 0.1,
+):
+    """Streaming corpus drift monitor: every micro-batch fits its own
+    ML unigram table and records the Jensen-Shannon divergence against
+    the fitted REFERENCE model (operators/lm.compare_corpora — the
+    batch form is value-oracled as q90). One summary row per batch
+    appends to ``report_path``: (batch_id, n_docs, js_divergence,
+    vocabulary overlap counts, drift_alert = js > ``js_alert``) — the
+    artifact a crawl-monitoring dashboard tails to catch "this week's
+    ingest looks nothing like the corpus" before it trains.
+
+    Scale shape: the reference unigram table is MODEL-sized (top-V)
+    and reused across batches; per-batch cost is one token aggregate
+    over the batch plus a model-sized full-outer join. The corpus is
+    never rescanned, and state (the reference model) is constant-size.
+    The per-batch LM's cached relations are unpersisted before the
+    batch commits, so a long-running monitor cannot accumulate cache.
+    """
+    from terrorblade_spark.operators.lm import compare_corpora, fit_ngram_lm
+
+    def monitor(batch_df: DataFrame, batch_id: int) -> None:
+        n_docs = batch_df.count()
+        if n_docs == 0:
+            return
+        lm_b = fit_ngram_lm(batch_df, id_col, text_col)
+        try:
+            summary, _ = compare_corpora(reference_lm, lm_b)
+            row = summary.select(
+                F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                F.lit(int(n_docs)).cast("long").alias("n_docs"),
+                "js_divergence",
+                "n_tokens_a",
+                "n_tokens_b",
+                "n_shared",
+                (F.col("js_divergence") > F.lit(float(js_alert))).alias("drift_alert"),
+            )
+            row.write.mode("append").parquet(report_path)
+        finally:
+            lm_b.unpersist()
+
+    return stream.writeStream.foreachBatch(monitor)

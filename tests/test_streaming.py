@@ -510,3 +510,47 @@ def test_stateful_update_handles_timeout_and_late_events(spark):
     list(update((7,), iter([late_only]), st3))
     assert st3.updated[0] == int(t0.value // 1_000_000)  # last_ts unchanged
     assert st3.updated[1] == 1  # no phantom session
+
+
+def test_drift_monitor_flags_shifted_batch(spark, tmp_path):
+    """Batch 1 = in-distribution docs (low JS vs the reference fit on
+    the same corpus); batch 2 = spam-vocabulary docs (high JS). The
+    monitor must append one report row per batch and alert only on the
+    second."""
+    from terrorblade_spark.operators.lm import fit_ngram_lm
+    from terrorblade_spark.streaming.pipeline import drift_monitor_writer
+
+    base = [(i, "alpha beta gamma delta epsilon zeta") for i in range(40)]
+    spam = [(1000 + i, "buy cheap now click free prize winner") for i in range(40)]
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    spark.createDataFrame(base, schema).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    spark.createDataFrame(spam, schema).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    ref = fit_ngram_lm(spark.createDataFrame(base, schema))
+    report = str(tmp_path / "report")
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(src) + "/*"
+    )
+    q = (
+        drift_monitor_writer(stream, ref, report, js_alert=0.1)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ref.unpersist()
+
+    rows = sorted(spark.read.parquet(report).collect(), key=lambda r: r.batch_id)
+    assert len(rows) == 2
+    assert [r.n_docs for r in rows] == [40, 40]
+    in_dist = [r for r in rows if not r.drift_alert]
+    drifted = [r for r in rows if r.drift_alert]
+    assert len(in_dist) == 1 and len(drifted) == 1
+    assert in_dist[0].js_divergence < 1e-9  # same distribution -> JS ~ 0
+    assert drifted[0].js_divergence > 0.5  # disjoint vocab -> near ln(2)
+    assert drifted[0].n_shared == 0
