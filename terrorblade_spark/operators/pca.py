@@ -340,3 +340,35 @@ def embedding_moments(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         "mean",
         (F.col("mean_sq") - F.col("mean") * F.col("mean")).alias("variance"),
     )
+
+
+def balanced_components(model: PCAModel, m: int) -> PCAModel:
+    """Reorder a full-rank PCA's components round-robin across ``m``
+    groups (component i -> position based on i mod m) — the cheap OPQ
+    decomposition for product quantization: subspace s of a
+    contiguous-split PQ then sees components s, s+m, s+2m, ..., a MIX
+    of high- and low-variance directions.
+
+    Why this exists as API: plain PCA rotation before PQ is a measured
+    FOOTGUN — it concentrates all variance into the first subspaces,
+    the rest quantize noise, ADC distances collapse into ties
+    (tools/opq_probe.py: recall@10 0.333 raw -> 0.000 PCA-sorted ->
+    0.478 balanced at the same code budget). Use
+    ``pca_transform(df, balanced_components(pca_fit(df, k=d), m))``
+    in front of ``pq_build(..., m=m)``; requires k % m == 0."""
+    if not 1 <= m <= model.k:
+        raise ValueError(f"m must be in [1, {model.k}], got {m}")
+    if model.k % m:
+        raise ValueError(
+            f"k={model.k} not divisible by m={m}: contiguous PQ subspaces "
+            "would be unequal — fit with a divisible k or pad the split"
+        )
+    per = model.k // m
+    perm = [s + j * m for s in range(m) for j in range(per)]
+    return PCAModel(
+        mean=model.mean,
+        components=tuple(model.components[i] for i in perm),
+        eigenvalues=tuple(model.eigenvalues[i] for i in perm),
+        n=model.n,
+        total_variance=model.total_variance,
+    )

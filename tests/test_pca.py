@@ -196,3 +196,24 @@ def test_pca_reconstruct_roundtrip_and_error(spark):
     mse = np.mean([np.sum((got2[i] - x[i]) ** 2) for i in range(len(x))])
     dropped = full.total_variance - sum(part.eigenvalues)
     np.testing.assert_allclose(mse, dropped, rtol=1e-9)
+
+
+def test_balanced_components_round_robin():
+    m = PCAModel(
+        mean=(0.0,) * 4,
+        components=tuple((float(i),) * 4 for i in range(4)),
+        eigenvalues=(4.0, 3.0, 2.0, 1.0),
+        n=10,
+        total_variance=10.0,
+    )
+    from terrorblade_spark.operators.pca import balanced_components
+
+    b = balanced_components(m, 2)
+    # subspace 0 gets components 0, 2; subspace 1 gets 1, 3
+    assert b.eigenvalues == (4.0, 2.0, 3.0, 1.0)
+    assert [row[0] for row in b.components] == [0.0, 2.0, 1.0, 3.0]
+    assert b.total_variance == m.total_variance
+    with pytest.raises(ValueError):
+        balanced_components(m, 3)  # 4 % 3 != 0
+    with pytest.raises(ValueError):
+        balanced_components(m, 5)

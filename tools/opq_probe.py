@@ -51,7 +51,7 @@ from terrorblade_spark.session import get_spark  # noqa: E402
 K = 10
 M = 8
 N_CODES = 16
-N_QUERIES = 10
+N_QUERIES = 30
 
 
 def pq_recall(corpus, queries, label):
@@ -96,7 +96,7 @@ def main(sf_dir: str) -> None:
     corpus0.unpersist()
     print(f"corpus: {n} vectors, dim {d} (decaying spectrum)")
 
-    queries = lowrank.where(F.col("vec_id") % 12203 == 0).limit(N_QUERIES).persist()
+    queries = lowrank.where(F.col("vec_id") % 4001 == 0).limit(N_QUERIES).persist()
     print(f"queries: {queries.count()}")
 
     r_raw = pq_recall(lowrank, queries, f"raw PQ (m={M}, {N_CODES} codes)")
@@ -111,13 +111,14 @@ def main(sf_dir: str) -> None:
         rotated, rqueries, f"PCA-sorted PQ, negative control (m={M}, {N_CODES} codes)"
     )
 
-    # round-robin eigenvalue allocation: subspace s gets components
-    # s, s+m, s+2m, ... — every subspace sees a mix of high- and
-    # low-variance directions (OPQ's balancing goal, without the
-    # learned rotation)
-    perm = [s + j * M for s in range(M) for j in range(d // M)]
-    balanced = rotated.select(
-        "vec_id", F.array(*[F.col("embedding")[i] for i in perm]).alias("embedding")
+    # round-robin eigenvalue allocation via the API the probe
+    # motivated: every subspace sees a mix of high- and low-variance
+    # directions (OPQ's balancing goal, without the learned rotation)
+    from terrorblade_spark.operators.pca import balanced_components
+
+    bal_model = balanced_components(rot_model, M)
+    balanced = pca_transform(lowrank, bal_model, "embedding", out_col="p").select(
+        "vec_id", F.col("p").alias("embedding")
     ).persist()
     balanced.count()
     bqueries = balanced.join(queries.select("vec_id"), "vec_id").persist()
