@@ -603,3 +603,60 @@ def q94_materialized_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard", "bin", "n_docs", "n_tokens",
         csv_join("member_ids").alias("member_ids"), "text",
     ).orderBy("shard", "bin")
+
+
+# --- q95: corpus boilerplate-line removal (full value oracle) ----------------
+# remove_boilerplate_lines end to end: every doc gets a synthetic
+# footer line injected between two copies of its text (the fixture
+# docs are single-line), so the footer's line-df is 100% of the corpus
+# (>> the 0.5% cap) while each doc's own content line stays under it.
+# The oracle mirrors the whole plan — positioned line split, md5 line
+# hash, distinct-doc df vs the greatest(2, 0.005*n) cap, and the
+# ordered NULL-skipping reassembly. All integer/string algebra.
+
+_Q95_FOOTER = "SUBSCRIBE TO OUR NEWSLETTER"
+
+
+@query(
+    "q95_boilerplate_removal",
+    oracle=f"""
+    WITH d2 AS (
+      SELECT doc_id, text || chr(10) || '{_Q95_FOOTER}' || chr(10) || text AS text
+      FROM documents
+    ),
+    cap AS (
+      SELECT greatest(2.0, count(*)::DOUBLE * 0.005) AS v FROM d2
+    ),
+    ex AS (
+      SELECT doc_id, g.i - 1 AS pos, parts[g.i] AS line,
+             length(trim(parts[g.i])) = 0 AS blank,
+             ('0x' || substring(md5(trim(parts[g.i])), 1, 15))::BIGINT AS lh
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d2),
+           unnest(generate_series(1, len(parts))) AS g(i)
+    ),
+    hot AS (
+      SELECT lh FROM ex WHERE NOT blank
+      GROUP BY lh HAVING count(DISTINCT doc_id)::DOUBLE > (SELECT v FROM cap)
+    ),
+    flagged AS (
+      SELECT e.*, (h.lh IS NOT NULL AND NOT e.blank) AS drop
+      FROM ex e LEFT JOIN hot h ON e.lh = h.lh
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN NOT drop THEN line END, chr(10) ORDER BY pos) AS text,
+           sum(drop::INT)::BIGINT AS n_removed_lines
+    FROM flagged GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q95_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.curation import remove_boilerplate_lines
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"), F.lit(_Q95_FOOTER), F.col("text")
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(d, "doc_id", "text")
+    return out.select("doc_id", "text", "n_removed_lines").orderBy("doc_id")

@@ -95,6 +95,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q92_negative_samples",
     "q93_quality_canonicals",
     "q94_materialized_packs",
+    "q95_boilerplate_removal",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",
