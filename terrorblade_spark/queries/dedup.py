@@ -556,3 +556,48 @@ def q93_quality_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "component", "canonical_id", "is_duplicate").orderBy(
         "doc_id"
     )
+
+
+# --- q96: incremental ingest dedup against a hash index ----------------------
+# The batch twin of the streaming content-dedup gate: batch 1 builds
+# the content-hash index from the corpus; batch 2 re-ingests the
+# corpus with every even doc's text modified. Only genuinely-new
+# content may be admitted — the modified half, one canonical (min-id)
+# row per content hash. Pure md5/anti-join algebra, no floats.
+
+
+@query(
+    "q96_incremental_ingest_dedup",
+    oracle="""
+    WITH idx AS (
+      SELECT DISTINCT ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+      FROM documents
+    ),
+    b2 AS (
+      SELECT doc_id + 10000000 AS doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS h FROM b2
+    ),
+    canon AS (SELECT h, min(doc_id) AS doc_id FROM hashed GROUP BY h)
+    SELECT c.doc_id, c.h AS content_hash
+    FROM canon c
+    WHERE c.h NOT IN (SELECT h FROM idx)
+    ORDER BY c.doc_id
+    """,
+)
+def q96_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.dedup import incremental_dedup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _, index = incremental_dedup(d, None)
+    batch2 = d.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    admitted, _ = incremental_dedup(batch2, index)
+    return admitted.select("doc_id", "content_hash").orderBy("doc_id")
