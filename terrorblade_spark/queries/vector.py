@@ -492,3 +492,66 @@ def q84_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mrr_at_k", 6).alias("mrr_r"),
         F.round("ndcg_at_k", 6).alias("ndcg_r"),
     ).orderBy("query_id")
+
+
+# --- q97: hard-negative mining (full value oracle) ---------------------------
+# The contrastive-data complement of q92's random negatives: each
+# anchor's most-similar non-positive corpus vectors (fetch_k
+# over-fetch -> positive exclusion -> re-rank to k). Cosines are the
+# q38 fold-identical doubles; positives are (anchor, anchor+1) so the
+# exclusion visibly reshapes the ranking.
+
+_Q97_K = 3
+_Q97_FETCH = _Q97_K + 16  # hard_negatives' default over-fetch
+
+
+@query(
+    "q97_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS qvec
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.anchor_id, e.vec_id AS neighbor_id,
+             list_dot_product(e.embedding::DOUBLE[], q.qvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine_sim
+      FROM embeddings e, q
+      WHERE e.vec_id != q.anchor_id
+    ),
+    fetched AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY anchor_id ORDER BY cosine_sim DESC, neighbor_id) AS r
+        FROM scored
+      ) WHERE r <= {_Q97_FETCH}
+    ),
+    ex AS (SELECT * FROM fetched WHERE neighbor_id != anchor_id + 1),
+    ranked AS (
+      SELECT anchor_id, neighbor_id AS neg_id,
+             CAST(row_number() OVER (
+               PARTITION BY anchor_id ORDER BY cosine_sim DESC, neighbor_id) AS INT)
+               AS neg_rank,
+             cosine_sim
+      FROM ex
+    )
+    SELECT anchor_id, neg_id, neg_rank, cosine_sim
+    FROM ranked WHERE neg_rank <= {_Q97_K}
+    ORDER BY anchor_id, neg_rank
+    """,
+)
+def q97_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.sampling import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    anchors = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"), "embedding"
+    )
+    positives = anchors.select(
+        "anchor_id", (F.col("anchor_id") + 1).alias("vec_id")
+    )
+    out = hard_negatives(anchors, emb, k=_Q97_K, positives=positives)
+    return out.select("anchor_id", "neg_id", "neg_rank", "cosine_sim").orderBy(
+        "anchor_id", "neg_rank"
+    )

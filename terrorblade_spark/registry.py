@@ -97,6 +97,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q94_materialized_packs",
     "q95_boilerplate_removal",
     "q96_incremental_ingest_dedup",
+    "q97_hard_negatives",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",
