@@ -109,7 +109,7 @@ def _moment_partials(df: DataFrame, vec_col: str) -> DataFrame:
             if d > _MAX_DIM:
                 raise ValueError(
                     f"vector dim {d} exceeds _MAX_DIM={_MAX_DIM}: the Gram "
-                    "partial would be {d}^2 doubles per partition — "
+                    f"partial would be {d}^2 doubles per partition — "
                     "random_projection first, or fit on a lower-dim view"
                 )
             if s is None:
@@ -136,6 +136,8 @@ def _merge_rows(pdf):
     import numpy as np
     import pandas as pd
 
+    # true part_ids are unique, so this sort fixes the float addition
+    # order regardless of shuffle arrival order (bit-determinism)
     pdf = pdf.sort_values("part_id")
     s = np.zeros(len(pdf["s"].iloc[0]))
     g = np.zeros(len(pdf["g"].iloc[0]))
@@ -168,10 +170,16 @@ def fit_moments(
             raise ValueError(f"no non-null vectors in {vec_col!r}")
         merged = partials
         if p > fanin:
+            # group on a DERIVED bucket and keep the true part_id:
+            # overwriting part_id would make _merge_rows' sort key
+            # constant within each group, leaving the within-group
+            # float addition order to shuffle arrival — bit-level
+            # nondeterminism across runs of the same input
             merged = (
-                partials.withColumn("part_id", F.pmod("part_id", F.lit(fanin)))
-                .groupBy("part_id")
-                .applyInPandas(_merge_rows, _MOMENT_SCHEMA)
+                partials.withColumn("__bucket", F.pmod("part_id", F.lit(fanin)))
+                .groupBy("__bucket")
+                .applyInPandas(lambda pdf: _merge_rows(pdf.drop(columns="__bucket")),
+                               _MOMENT_SCHEMA)
             )
         rows = sorted(merged.collect(), key=lambda r: r.part_id)
     finally:
@@ -352,8 +360,8 @@ def balanced_components(model: PCAModel, m: int) -> PCAModel:
     Why this exists as API: plain PCA rotation before PQ is a measured
     FOOTGUN — it concentrates all variance into the first subspaces,
     the rest quantize noise, ADC distances collapse into ties
-    (tools/opq_probe.py: recall@10 0.333 raw -> 0.000 PCA-sorted ->
-    0.478 balanced at the same code budget). Use
+    (tools/opq_probe.py: recall@10 0.34 raw -> 0.01 PCA-sorted ->
+    0.42 balanced at the same code budget). Use
     ``pca_transform(df, balanced_components(pca_fit(df, k=d), m))``
     in front of ``pq_build(..., m=m)``; requires k % m == 0."""
     if not 1 <= m <= model.k:

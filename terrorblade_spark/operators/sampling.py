@@ -145,9 +145,13 @@ def temperature_mix(
         "__src", "n", F.pow(F.col("n").cast("double"), F.lit(float(alpha))).alias("__w")
     )
     tot = weights.agg(F.sum("__w").alias("__S"))
+    # left-associated exactly as the q85 oracle SQL parses
+    # (total * wgt / S / n): a different association can differ by an
+    # ulp pre-round, and the 6-dp rounding only equalizes engines that
+    # computed the SAME op sequence
     frac = F.least(
         F.lit(1.0),
-        F.lit(float(total_rows)) * (F.col("__w") / F.col("__S")) / F.col("n"),
+        F.lit(float(total_rows)) * F.col("__w") / F.col("__S") / F.col("n"),
     )
     if round_fracs is not None:
         frac = F.round(frac, round_fracs)
@@ -433,11 +437,26 @@ def leakage_safe_split(
     hash filter. Value-oracled as q87_leakage_safe_split."""
     from terrorblade_spark.operators.components import connected_components
 
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # connected_components casts edge endpoints to long: string ids
+        # would all cast to NULL, every edge would drop, and the split
+        # would silently degrade to the plain id hash — a guard that
+        # fails OPEN. Refuse instead.
+        raise ValueError(
+            f"leakage_safe_split needs an integral {id_col!r} (got {id_type}): "
+            "map string ids to longs first (e.g. hash64), or components "
+            "would silently be empty"
+        )
     comps = connected_components(pairs, "id_a", "id_b")
+    # __-prefixed temp name: the natural input is a dedup-stage output
+    # that may already carry a 'component' column
     joined = df.join(
-        comps.select(F.col("node").alias(id_col), "component"), id_col, "left"
+        comps.select(F.col("node").alias(id_col), F.col("component").alias("__lss_comp")),
+        id_col,
+        "left",
     )
     out = joined.withColumn(
-        group_col, F.coalesce(F.col("component"), F.col(id_col))
-    ).drop("component")
+        group_col, F.coalesce(F.col("__lss_comp"), F.col(id_col))
+    ).drop("__lss_comp")
     return train_eval_split(out, group_col, eval_fraction, seed, split_col)

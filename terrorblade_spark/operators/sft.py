@@ -50,8 +50,14 @@ def conversation_pairs(
         raise ValueError(f"context_size must be >= 1, got {context_size}")
     if not 0 <= min_context <= context_size:
         raise ValueError("need 0 <= min_context <= context_size")
+    # null-safe: F.concat null-propagates and collect_list then SKIPS
+    # the null line — a NULL-author turn (deleted account, channel
+    # post) would silently vanish from every later context while still
+    # emitting its own pair. Placeholder the author, empty the text.
     line = F.concat(
-        F.col(author_col).cast("string"), F.lit(": "), F.col(text_col).cast("string")
+        F.coalesce(F.col(author_col).cast("string"), F.lit("unknown")),
+        F.lit(": "),
+        F.coalesce(F.col(text_col).cast("string"), F.lit("")),
     )
     wctx = (
         Window.partitionBy(*group_cols)

@@ -654,8 +654,12 @@ def drift_monitor_writer(
     from terrorblade_spark.operators.lm import compare_corpora, fit_ngram_lm
 
     def monitor(batch_df: DataFrame, batch_id: int) -> None:
+        # persist: the count and the LM fit would otherwise each
+        # re-read the batch source
+        batch_df = batch_df.persist()
         n_docs = batch_df.count()
         if n_docs == 0:
+            batch_df.unpersist()
             return
         lm_b = fit_ngram_lm(batch_df, id_col, text_col)
         try:
@@ -672,5 +676,6 @@ def drift_monitor_writer(
             row.write.mode("append").parquet(report_path)
         finally:
             lm_b.unpersist()
+            batch_df.unpersist()
 
     return stream.writeStream.foreachBatch(monitor)

@@ -217,3 +217,15 @@ def test_balanced_components_round_robin():
         balanced_components(m, 3)  # 4 % 3 != 0
     with pytest.raises(ValueError):
         balanced_components(m, 5)
+
+
+def test_fit_moments_merge_tree_is_bit_deterministic(spark):
+    # same data, same partitioning, merge path forced twice: the
+    # (bucket-grouped, true-part_id-sorted) reduction must be
+    # BIT-identical across runs, not just allclose
+    x = _mat(seed=31)
+    a = fit_moments(_df(spark, x, parts=40), "embedding", fanin=8)
+    b = fit_moments(_df(spark, x, parts=40), "embedding", fanin=8)
+    assert a[0] == b[0]
+    assert (a[1] == b[1]).all()
+    assert (a[2] == b[2]).all()

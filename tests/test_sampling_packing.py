@@ -503,3 +503,19 @@ def test_leakage_safe_split_keeps_components_together(spark):
     # both sides populated at this fraction
     sides = {v.split for v in rows.values()}
     assert sides == {"train", "eval"}
+
+
+def test_leakage_safe_split_refuses_string_ids_and_tolerates_component_col(spark):
+    from terrorblade_spark.operators.sampling import leakage_safe_split
+
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    strs = spark.createDataFrame([("a",), ("b",)], "doc_id string")
+    with pytest.raises(ValueError):
+        leakage_safe_split(strs, "doc_id", pairs, 0.5)
+    # an input already carrying 'component' (dedup-stage output) works
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit(99).alias("component")
+    )
+    out = leakage_safe_split(docs, "doc_id", pairs, 0.5, seed="t").collect()
+    assert len(out) == 10
+    assert {r.group_root for r in out if r.doc_id in (0, 1)} == {0}

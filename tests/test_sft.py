@@ -61,3 +61,15 @@ def test_rejects_bad_args(spark):
     with pytest.raises(ValueError):
         conversation_pairs(d, ["chat_id"], ["msg_id"], "author", "text", "msg_id",
                            context_size=2, min_context=3)
+
+
+def test_null_author_keeps_turn_in_context(spark):
+    rows = [(1, 1, None, "first"), (1, 2, "bob", "second")]
+    df = spark.createDataFrame(rows, "chat_id long, msg_id long, author string, text string")
+    out = conversation_pairs(
+        df, ["chat_id"], ["msg_id"], "author", "text", "msg_id",
+        context_size=2, min_context=1,
+    ).collect()
+    assert len(out) == 1
+    assert out[0].context == "unknown: first"
+    assert out[0].n_context == 1
