@@ -396,3 +396,48 @@ def q61_salted_returnflag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_ship",
         "last_ship",
     ).orderBy("l_returnflag")
+
+
+# --- q98: pivot (wide per-user activity matrix) ------------------------------
+# The one relational reshape the surface lacked: groupBy().pivot() —
+# Spark plans it as a single grouped aggregate with one conditional
+# branch per pivoted value (no extra shuffle vs the long form), which
+# is exactly the CASE-WHEN twin the oracle states. Values are pinned
+# (the catalog's five event types) so the plan needs no distinct-scan
+# and both engines agree on the column set; value sums are
+# decimal-exact (functions/exprs rules).
+
+_Q98_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q98_event_type_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+               f"count(CASE WHEN event_type = '{t}' THEN 1 END)::BIGINT AS n_{t}, "
+               f"coalesce(sum(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,6)) END), 0)::DOUBLE AS v_{t}"
+               for t in _Q98_TYPES
+           )}
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q98_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", _Q98_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.col("value").cast("decimal(18,6)")), F.lit(0).cast("decimal(18,6)")
+            ).cast("double").alias("v"),
+        )
+    )
+    cols = [F.col("user_id")]
+    for t in _Q98_TYPES:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}"))
+        cols.append(F.coalesce(F.col(f"{t}_v"), F.lit(0.0)).alias(f"v_{t}"))
+    return wide.select(*cols).orderBy("user_id")

@@ -98,6 +98,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q95_boilerplate_removal",
     "q96_incremental_ingest_dedup",
     "q97_hard_negatives",
+    "q98_event_type_pivot",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",
