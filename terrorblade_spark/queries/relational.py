@@ -399,13 +399,14 @@ def q61_salted_returnflag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q98: pivot (wide per-user activity matrix) ------------------------------
-# The one relational reshape the surface lacked: groupBy().pivot() —
-# Spark plans it as a single grouped aggregate with one conditional
-# branch per pivoted value (no extra shuffle vs the long form), which
-# is exactly the CASE-WHEN twin the oracle states. Values are pinned
-# (the catalog's five event types) so the plan needs no distinct-scan
-# and both engines agree on the column set; value sums are
-# decimal-exact (functions/exprs rules).
+# The one relational reshape the surface lacked. Implemented as ONE
+# grouped conditional aggregate (count/sum over when(event_type = t)),
+# NOT DataFrame.pivot(): measured on this plan, .pivot() compiles to a
+# (user, type) pre-aggregate + a pivotfirst re-aggregate = TWO hash
+# exchanges, where the conditional form is a single exchange with
+# map-side partials — at 100 TB the second corpus shuffle is the whole
+# cost. Values are pinned (the catalog's five event types) so both
+# engines agree on the column set; value sums are decimal-exact.
 
 _Q98_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -426,18 +427,14 @@ _Q98_TYPES = ["click", "error", "purchase", "signup", "view"]
 )
 def q98_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    wide = (
-        e.groupBy("user_id")
-        .pivot("event_type", _Q98_TYPES)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum(F.col("value").cast("decimal(18,6)")), F.lit(0).cast("decimal(18,6)")
-            ).cast("double").alias("v"),
-        )
-    )
-    cols = [F.col("user_id")]
+    aggs = []
     for t in _Q98_TYPES:
-        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}"))
-        cols.append(F.coalesce(F.col(f"{t}_v"), F.lit(0.0)).alias(f"v_{t}"))
-    return wide.select(*cols).orderBy("user_id")
+        hit = F.col("event_type") == t
+        aggs.append(F.count(F.when(hit, F.lit(1))).alias(f"n_{t}"))
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(hit, F.col("value").cast("decimal(18,6)"))),
+                F.lit(0).cast("decimal(18,6)"),
+            ).cast("double").alias(f"v_{t}")
+        )
+    return e.groupBy("user_id").agg(*aggs).orderBy("user_id")

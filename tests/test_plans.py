@@ -334,3 +334,14 @@ def test_ranking_metrics_joins_stay_k_bounded_broadcastable(spark, sf_dir):
     )
     plan = _plan(ranking_metrics(t, t, k=5))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pivot_query_is_single_exchange(spark, sf_dir):
+    """q98's wide reshape must stay ONE hash exchange (conditional
+    aggregate) — DataFrame.pivot() would plan a second re-aggregate
+    shuffle of the corpus."""
+    from terrorblade_spark.registry import get_queries
+
+    q = get_queries()["q98_event_type_pivot"](spark, sf_dir)
+    plan = _plan(q)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
