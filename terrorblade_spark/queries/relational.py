@@ -438,3 +438,54 @@ def q98_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias(f"v_{t}")
         )
     return e.groupBy("user_id").agg(*aggs).orderBy("user_id")
+
+
+# --- q99: unpivot / melt (the inverse reshape) -------------------------------
+# q98's wide matrix melted back to long form with DataFrame.unpivot
+# (ids=user_id, values=the five n_* columns) — the wide->long half of
+# the reshape pair. unpivot is a narrow row-to-rows expand (no
+# shuffle beyond q98's single aggregate exchange); the oracle states
+# the same thing as a UNION ALL over the conditional counts, filtered
+# to non-zero exactly as the engine filters, so both sides carry one
+# row per (user, active type).
+
+
+@query(
+    "q99_event_type_unpivot",
+    oracle=f"""
+    WITH wide AS (
+      SELECT user_id,
+             {", ".join(
+                 f"count(CASE WHEN event_type = '{t}' THEN 1 END)::BIGINT AS n_{t}"
+                 for t in _Q98_TYPES
+             )}
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, event_type, n FROM (
+      {" UNION ALL ".join(
+          f"SELECT user_id, '{t}' AS event_type, n_{t} AS n FROM wide"
+          for t in _Q98_TYPES
+      )}
+    ) WHERE n > 0
+    ORDER BY user_id, event_type
+    """,
+)
+def q99_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wide = e.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(f"n_{t}")
+            for t in _Q98_TYPES
+        ]
+    )
+    long = wide.unpivot(
+        ids=["user_id"],
+        values=[f"n_{t}" for t in _Q98_TYPES],
+        variableColumnName="event_type",
+        valueColumnName="n",
+    ).select(
+        "user_id",
+        F.expr("substring(event_type, 3)").alias("event_type"),
+        "n",
+    )
+    return long.where(F.col("n") > 0).orderBy("user_id", "event_type")
