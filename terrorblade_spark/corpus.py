@@ -3,12 +3,14 @@
 Every stage exists as a standalone operator (operators/curation, dedup,
 components, lm, sampling, packing — see COVERAGE.md); this facade wires
 them in the canonical order with one lazy DataFrame per stage, so a
-user runs the whole flow — or any prefix — with three calls:
+user runs the whole flow — or any prefix — with a handful of calls:
 
     pipe = CorpusPipeline(spark, docs)
     clean = pipe.curate()                   # rule + LM quality flags
     canon = pipe.dedup(clean)               # near-dup canonicals
-    packed = pipe.chunk_and_pack(canon)     # training sequences
+    ready = pipe.split(canon)               # leakage-safe train/eval
+    packed = pipe.chunk_and_pack(           # training sequences
+        ready.where("split = 'train'"))     # (pack each side separately)
 
 Nothing materializes until an action; each method returns a DataFrame
 the next accepts, and ``report()`` aggregates one summary row of
