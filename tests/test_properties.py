@@ -252,3 +252,66 @@ def test_quantize_int8_error_bound_property(spark, vecs):
         for x, q in zip(v, r["qvec"]):
             # dequantization error is at most half a quantization step
             assert abs(x - q * r["scale"]) <= r["scale"] / 2 + 1e-9
+
+
+@_slow
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=900), min_size=1, max_size=60),
+    n_parts=st.integers(min_value=1, max_value=6),
+)
+def test_pack_sequences_invariants_any_partitioning(spark, toks, n_parts):
+    """Next-fit packing must (a) place every doc exactly once, (b) never
+    overfill a bin except a single oversized doc, (c) number bins
+    contiguously from 0 per shard — for ANY input partitioning."""
+    from terrorblade_spark.operators.packing import pack_sequences
+
+    budget = 1000
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n long"
+    ).repartition(n_parts)
+    out = pack_sequences(df, "doc_id", "n", budget=budget, num_shards=4).collect()
+    assert sorted(r.doc_id for r in out) == list(range(len(toks)))
+    fills: dict = {}
+    for r in out:
+        assert r.bin_tokens == min(toks[r.doc_id], budget)
+        fills.setdefault((r.shard, r.bin), []).append(r.bin_tokens)
+    for members in fills.values():
+        assert sum(members) <= budget or len(members) == 1
+    shard_bins: dict = {}
+    for shard, b in fills:
+        shard_bins.setdefault(shard, set()).add(b)
+    for bins in shard_bins.values():
+        assert bins == set(range(len(bins)))
+
+
+@_slow
+@given(
+    perm_seed=st.integers(min_value=0, max_value=1_000_000),
+    overlap=st.integers(min_value=0, max_value=10),
+)
+def test_ranking_metrics_bounds_property(spark, perm_seed, overlap):
+    """For any results list sharing `overlap` of 10 truth items, all
+    metrics live in [0, 1], recall is exactly overlap/10, and a full
+    match in truth order scores 1.0 everywhere."""
+    import random
+
+    from terrorblade_spark.operators.evalmetrics import ranking_metrics
+
+    rng = random.Random(perm_seed)
+    truth_items = list(range(10))
+    res_items = truth_items[:overlap] + [100 + i for i in range(10 - overlap)]
+    rng.shuffle(res_items)
+    truth = spark.createDataFrame(
+        [(1, it, r + 1) for r, it in enumerate(truth_items)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    res = spark.createDataFrame(
+        [(1, it, r + 1) for r, it in enumerate(res_items)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    m = ranking_metrics(res, truth, k=10).collect()[0]
+    assert m.recall_at_k == overlap / 10
+    for v in (m.recall_at_k, m.mrr_at_k, m.ndcg_at_k):
+        assert 0.0 <= v <= 1.0 + 1e-12
+    perfect = ranking_metrics(truth, truth, k=10).collect()[0]
+    assert perfect.recall_at_k == 1.0 and abs(perfect.ndcg_at_k - 1.0) < 1e-12
