@@ -345,3 +345,7 @@ def test_pivot_query_is_single_exchange(spark, sf_dir):
     q = get_queries()["q98_event_type_pivot"](spark, sf_dir)
     plan = _plan(q)
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    # the melt stays a narrow expand over that same single exchange
+    q2 = get_queries()["q99_event_type_unpivot"](spark, sf_dir)
+    plan2 = _plan(q2)
+    assert plan2.count("Exchange hashpartitioning") == 1, plan2[:2000]
