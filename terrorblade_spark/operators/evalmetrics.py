@@ -1,7 +1,7 @@
 """Distributed retrieval-quality metrics (recall@k, MRR@k, NDCG@k).
 
-The reference ships retrieval features (vector_store.py search /
-group_search) but no way to MEASURE them; every index knob in this
+The reference ships retrieval features (vector_store.py:224
+similarity_search / :254 distance_search) but no way to MEASURE them; every index knob in this
 repo (IVF nprobe, PQ shortlist, LSH planes, int8 quantization) trades
 recall for cost, and tuning that trade on a corpus that doesn't fit
 one machine needs the scoring itself to be a distributed join, not a

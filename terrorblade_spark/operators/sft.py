@@ -1,9 +1,9 @@
 """Conversation → supervised training pairs (context, response).
 
-The bridge between the reference's domain (chat transcripts, clustered
-and ordered by TextPreprocessor/vector_store — e.g. the ordered
-cluster transcripts its summarize path formats) and an LLM data
-pipeline: every message becomes a training example whose input is the
+The bridge between the reference's domain (chat transcripts — the
+ordered "author: text" cluster snippets its summarize path formats,
+mcp/server.py:104-114 cluster_summary_template over get_cluster rows,
+server.py:280) and an LLM data pipeline: every message becomes a training example whose input is the
 formatted preceding turns and whose target is the message text — the
 standard SFT / next-turn-prediction extraction.
 
