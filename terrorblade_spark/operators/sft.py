@@ -78,3 +78,72 @@ def conversation_pairs(
         )
     )
     return out.where(F.col("n_context") >= min_context)
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    id_col: str,
+    payload_cols: Sequence[str] = (),
+    margin: float = 0.0,
+    min_candidates: int = 2,
+) -> DataFrame:
+    """Extract (chosen, rejected) preference pairs per prompt group —
+    the DPO/RLHF training-data shape: among each group's scored
+    candidates, chosen = the highest-scored, rejected = the
+    lowest-scored, emitted only when the group has at least
+    ``min_candidates`` scored rows and the score gap clears ``margin``.
+
+    Output = ``group_cols`` + ``n_candidates`` + ``chosen_id`` /
+    ``chosen_score`` (+ ``chosen_<payload>``), ``rejected_id`` /
+    ``rejected_score`` (+ ``rejected_<payload>``), ``score_gap``.
+
+    Ties break on ``id_col`` (chosen takes the larger id, rejected the
+    smaller), so the pair is deterministic under shuffle reordering.
+    NULL scores are dropped up front — they are unjudged candidates,
+    not worst ones — and ``n_candidates`` counts only scored rows.
+
+    Scale design: ONE aggregation — ``max_by``/``min_by`` over a
+    (score, id) struct ordering key. Constant state per group with
+    map-side partial combine, so a prompt with a million candidates
+    costs the same aggregate state as one with two, and only per-group
+    extremes cross the shuffle; no window (which would carry every
+    candidate row through the exchange), no second shuffle. The struct
+    ordering key does force SortAggregate over HashAggregate (struct
+    buffers aren't UnsafeRow-mutable), a per-partition group-key sort
+    the plan gate documents. The reference has no preference
+    surface; this extends its cluster->summary training path
+    (mcp/server.py:104-114) the way conversation_pairs extends its
+    context formatting."""
+    if min_candidates < 2:
+        raise ValueError(f"min_candidates must be >= 2, got {min_candidates}")
+    scored = df.where(F.col(score_col).isNotNull())
+    row = F.struct(
+        F.col(id_col).alias("id"),
+        F.col(score_col).alias("score"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    # composite ordering key: score first, id as the deterministic
+    # tie-break (struct comparison is lexicographic on both ends)
+    ordkey = F.struct(F.col(score_col), F.col(id_col))
+    agg = scored.groupBy(*group_cols).agg(
+        F.max_by(row, ordkey).alias("__c"),
+        F.min_by(row, ordkey).alias("__r"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    side = lambda s, tag: [  # noqa: E731
+        F.col(f"__{s}.id").alias(f"{tag}_id"),
+        F.col(f"__{s}.score").alias(f"{tag}_score"),
+        *[F.col(f"__{s}.{c}").alias(f"{tag}_{c}") for c in payload_cols],
+    ]
+    out = agg.select(
+        *group_cols,
+        "n_candidates",
+        *side("c", "chosen"),
+        *side("r", "rejected"),
+        (F.col("__c.score") - F.col("__r.score")).alias("score_gap"),
+    )
+    return out.where(
+        (F.col("n_candidates") >= min_candidates) & (F.col("score_gap") >= margin)
+    )

@@ -660,3 +660,57 @@ def q95_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = remove_boilerplate_lines(d, "doc_id", "text")
     return out.select("doc_id", "text", "n_removed_lines").orderBy("doc_id")
+
+
+# --- q100: DPO preference-pair extraction (full value oracle) ----------------
+# Prompt group = (user_id, event_type); candidates = that group's
+# events scored by `value`, payload = props. chosen/rejected are the
+# (score, id)-extremes — deterministic tie-break, margin-gated gap.
+# Everything is passthrough doubles plus ONE subtraction (bit-portable
+# IEEE on both engines); no float sums, no rounding needed.
+
+_Q100_MARGIN = 0.5
+
+
+@query(
+    "q100_preference_pairs",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_type, event_id, value, props
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY value DESC, event_id DESC) AS rb,
+        row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY value ASC, event_id ASC) AS rw,
+        count(*) OVER (PARTITION BY user_id, event_type) AS n
+      FROM c
+    )
+    SELECT b.user_id, b.event_type, b.n AS n_candidates,
+           b.event_id AS chosen_id, b.value AS chosen_score,
+           b.props AS chosen_props,
+           w.event_id AS rejected_id, w.value AS rejected_score,
+           w.props AS rejected_props,
+           b.value - w.value AS score_gap
+    FROM (SELECT * FROM ranked WHERE rb = 1) b
+    JOIN (SELECT * FROM ranked WHERE rw = 1) w
+      USING (user_id, event_type)
+    WHERE b.n >= 2 AND b.value - w.value >= {_Q100_MARGIN}
+    ORDER BY user_id, event_type
+    """,
+)
+def q100_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.sft import preference_pairs
+
+    e = load_table(spark, sf_dir, "events")
+    pairs = preference_pairs(
+        e,
+        group_cols=["user_id", "event_type"],
+        score_col="value",
+        id_col="event_id",
+        payload_cols=["props"],
+        margin=_Q100_MARGIN,
+    )
+    return pairs.orderBy("user_id", "event_type")

@@ -349,3 +349,25 @@ def test_pivot_query_is_single_exchange(spark, sf_dir):
     q2 = get_queries()["q99_event_type_unpivot"](spark, sf_dir)
     plan2 = _plan(q2)
     assert plan2.count("Exchange hashpartitioning") == 1, plan2[:2000]
+
+
+def test_preference_pairs_single_agg_no_window(spark, sf_dir):
+    """DPO extraction is ONE hash aggregation (max_by/min_by extremes
+    with map-side partials): a single group-key Exchange, partial
+    aggregate present, and no Window/sort anywhere in the plan."""
+    from terrorblade_spark.operators.sft import preference_pairs
+
+    e = load_table(spark, sf_dir, "events")
+    pairs = preference_pairs(
+        e, ["user_id", "event_type"], "value", "event_id",
+        payload_cols=["props"], margin=0.5,
+    )
+    plan = _plan(pairs)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    # struct ordering keys make this a SortAggregate (per-partition
+    # sort on the group key), but the partial/final split must hold —
+    # only per-group extremes may cross the shuffle — and no Window
+    # may smuggle every candidate row through it.
+    assert "Window" not in plan, plan[:2000]
+    assert "partial_max_by" in plan and "partial_min_by" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

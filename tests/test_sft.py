@@ -73,3 +73,61 @@ def test_null_author_keeps_turn_in_context(spark):
     assert len(out) == 1
     assert out[0].context == "unknown: first"
     assert out[0].n_context == 1
+
+
+# --- preference_pairs (DPO chosen/rejected extraction) -----------------------
+
+from terrorblade_spark.operators.sft import preference_pairs  # noqa: E402
+
+_CANDS = [
+    # (prompt, cand_id, score, text)
+    ("p1", 1, 0.2, "weak"),
+    ("p1", 2, 0.9, "strong"),
+    ("p1", 3, 0.5, "mid"),
+    ("p2", 1, 0.4, "only"),          # singleton -> no pair
+    ("p3", 1, 0.7, "tie-a"),
+    ("p3", 2, 0.7, "tie-b"),         # exact tie -> id breaks it
+    ("p4", 1, None, "unjudged"),     # null score drops the candidate
+    ("p4", 2, 0.3, "judged"),
+]
+
+
+def _cands(spark):
+    return spark.createDataFrame(
+        _CANDS, "prompt string, cand_id long, score double, text string"
+    )
+
+
+def test_preference_extremes_and_payload(spark):
+    out = preference_pairs(
+        _cands(spark), ["prompt"], "score", "cand_id", payload_cols=["text"]
+    )
+    rows = {r.prompt: r for r in out.collect()}
+    # p2 is a singleton; p4 has one scored candidate after the null drop
+    assert set(rows) == {"p1", "p3"}
+    p1 = rows["p1"]
+    assert (p1.chosen_id, p1.chosen_text) == (2, "strong")
+    assert (p1.rejected_id, p1.rejected_text) == (1, "weak")
+    assert p1.n_candidates == 3
+    assert p1.score_gap == pytest.approx(0.7)
+
+
+def test_preference_tie_breaks_on_id(spark):
+    out = preference_pairs(_cands(spark), ["prompt"], "score", "cand_id")
+    p3 = {r.prompt: r for r in out.collect()}["p3"]
+    # equal scores: chosen takes the larger id, rejected the smaller
+    assert (p3.chosen_id, p3.rejected_id) == (2, 1)
+    assert p3.score_gap == 0.0
+
+
+def test_preference_margin_gates_pairs(spark):
+    out = preference_pairs(
+        _cands(spark), ["prompt"], "score", "cand_id", margin=0.5
+    )
+    assert [r.prompt for r in out.collect()] == ["p1"]  # gap 0.7 clears 0.5
+
+
+def test_preference_rejects_bad_min_candidates(spark):
+    with pytest.raises(ValueError):
+        preference_pairs(_cands(spark), ["prompt"], "score", "cand_id",
+                         min_candidates=1)
