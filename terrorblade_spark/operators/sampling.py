@@ -460,3 +460,50 @@ def leakage_safe_split(
         group_col, F.coalesce(F.col("__lss_comp"), F.col(id_col))
     ).drop("__lss_comp")
     return train_eval_split(out, group_col, eval_fraction, seed, split_col)
+
+
+def repeat_to_balance(
+    df: DataFrame,
+    group_col: str,
+    max_epochs: int = 4,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Integer-epoch upsampling to balance group sizes — the
+    data-constrained training recipe (repeat under-represented
+    domains/languages whole rather than re-draw them, capped at a few
+    epochs past which repetition stops helping). Each row of group g
+    is emitted ``n_epochs(g) = min(max_epochs, ceil(max_n / n_g))``
+    times with an ``epoch`` counter (1-based), so the largest group
+    runs one epoch and a group 10x smaller runs ``max_epochs``.
+
+    Output = input columns + ``n_epochs`` + ``epoch_col``. The epoch
+    counter lets downstream stages keep epochs apart (e.g. shuffle
+    each epoch with a different seed, or drop epoch>1 rows from eval
+    pools). Deterministic — no sampling at all, so unlike fractional
+    upsampling the output is exactly reproducible and value-oracle-able
+    (q101).
+
+    Scale design: the group-size relation is one groupBy aggregate
+    (k rows for k groups), the global max joins in as a 1-row broadcast
+    scalar, and the epoch plan broadcast-joins back onto the corpus —
+    the corpus itself never shuffles; the repetition is a row-local
+    ``explode(sequence(...))``. All integer arithmetic (`div`), no
+    floats anywhere."""
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    mx = counts.agg(F.max("__n").alias("__m"))
+    plan = counts.crossJoin(F.broadcast(mx)).select(
+        group_col,
+        F.least(
+            F.lit(max_epochs).cast("long"),
+            F.expr("(__m + __n - 1) div __n"),
+        ).alias("n_epochs"),
+    )
+    return (
+        df.join(F.broadcast(plan), on=group_col)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_epochs"))),
+        )
+    )

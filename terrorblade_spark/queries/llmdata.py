@@ -714,3 +714,39 @@ def q100_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin=_Q100_MARGIN,
     )
     return pairs.orderBy("user_id", "event_type")
+
+
+# --- q101: epoch-repetition balancing (full value oracle) --------------------
+# Data-constrained upsampling: repeat each language's documents
+# ceil(max_n / n) times (capped at 4 epochs) so en no longer drowns
+# fr/de/es/zh. Pure integer arithmetic end to end — count, max, DIV,
+# least, and a 1..n_epochs series — so the oracle is exact.
+
+
+@query(
+    "q101_epoch_balance",
+    oracle="""
+    WITH cnt AS (
+      SELECT lang, count(*) AS __n FROM documents GROUP BY lang
+    ),
+    mx AS (SELECT max(__n) AS __m FROM cnt),
+    plan AS (
+      SELECT lang, least(4, (__m + __n - 1) // __n) AS n_epochs
+      FROM cnt CROSS JOIN mx
+    )
+    SELECT d.doc_id, d.lang, p.n_epochs, t.epoch
+    FROM documents d
+    JOIN plan p USING (lang)
+    JOIN (SELECT range AS epoch FROM range(1, 5)) t
+      ON t.epoch <= p.n_epochs
+    ORDER BY d.doc_id, t.epoch
+    """,
+)
+def q101_epoch_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.sampling import repeat_to_balance
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = repeat_to_balance(d, "lang", max_epochs=4)
+    return out.select("doc_id", "lang", "n_epochs", "epoch").orderBy(
+        "doc_id", "epoch"
+    )

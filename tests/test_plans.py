@@ -371,3 +371,16 @@ def test_preference_pairs_single_agg_no_window(spark, sf_dir):
     assert "Window" not in plan, plan[:2000]
     assert "partial_max_by" in plan and "partial_min_by" in plan, plan[:2000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repeat_to_balance_corpus_never_shuffles(spark, sf_dir):
+    """The epoch plan (k rows) broadcast-joins onto the corpus; the
+    only Exchanges live in the tiny count branch. No sort-merge join,
+    and the repetition is a row-local Generate."""
+    from terrorblade_spark.operators.sampling import repeat_to_balance
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = _plan(repeat_to_balance(d, "lang"))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Generate explode" in plan, plan[:2000]

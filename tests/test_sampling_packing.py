@@ -519,3 +519,33 @@ def test_leakage_safe_split_refuses_string_ids_and_tolerates_component_col(spark
     out = leakage_safe_split(docs, "doc_id", pairs, 0.5, seed="t").collect()
     assert len(out) == 10
     assert {r.group_root for r in out if r.doc_id in (0, 1)} == {0}
+
+
+# --- repeat_to_balance (epoch-repetition upsampling) -------------------------
+
+
+def test_repeat_to_balance_epochs_and_cap(spark):
+    from terrorblade_spark.operators.sampling import repeat_to_balance
+
+    rows = [("big", i) for i in range(10)] + [("mid", 100), ("mid", 101),
+                                              ("mid", 102), ("tiny", 200)]
+    df = spark.createDataFrame(rows, "grp string, id long")
+    out = repeat_to_balance(df, "grp", max_epochs=4).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r)
+    # big: 10 rows, 1 epoch; mid: ceil(10/3)=4 epochs; tiny: capped at 4
+    assert len(by_grp["big"]) == 10
+    assert all(r.n_epochs == 1 for r in by_grp["big"])
+    assert len(by_grp["mid"]) == 3 * 4
+    assert len(by_grp["tiny"]) == 4
+    # 1-based contiguous epoch counter per row
+    assert sorted(r.epoch for r in by_grp["tiny"]) == [1, 2, 3, 4]
+
+
+def test_repeat_to_balance_rejects_bad_cap(spark):
+    from terrorblade_spark.operators.sampling import repeat_to_balance
+
+    df = spark.createDataFrame([("a", 1)], "grp string, id long")
+    with pytest.raises(ValueError):
+        repeat_to_balance(df, "grp", max_epochs=0)
