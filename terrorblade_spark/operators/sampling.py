@@ -483,25 +483,36 @@ def repeat_to_balance(
     upsampling the output is exactly reproducible and value-oracle-able
     (q101).
 
-    Scale design: the group-size relation is one groupBy aggregate
-    (k rows for k groups), the global max joins in as a 1-row broadcast
-    scalar, and the epoch plan broadcast-joins back onto the corpus —
-    the corpus itself never shuffles; the repetition is a row-local
-    ``explode(sequence(...))``. All integer arithmetic (`div`), no
-    floats anywhere."""
+    A NULL ``group_col`` is a group like any other (Spark groupBy
+    keeps it; the join back is null-safe), so untagged rows are
+    balanced rather than silently dropped.
+
+    Scale design: the corpus is aggregated ONCE into the k-row
+    group-size relation; the global max is an empty-frame window over
+    those k rows (never a second corpus scan), and the epoch plan
+    broadcast-joins back onto the corpus — the corpus itself never
+    shuffles; the repetition is a row-local ``explode(sequence(...))``.
+    All integer arithmetic (`div`), no floats anywhere."""
     if max_epochs < 1:
         raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
-    mx = counts.agg(F.max("__n").alias("__m"))
-    plan = counts.crossJoin(F.broadcast(mx)).select(
-        group_col,
+    # max over the k-row counts relation itself — a crossJoin with a
+    # counts.agg(max) subtree would re-scan and re-aggregate the whole
+    # corpus (Spark plans shared subtrees per consumer)
+    plan = counts.withColumn(
+        "__m", F.max("__n").over(Window.partitionBy())
+    ).select(
+        F.col(group_col).alias("__grp"),
         F.least(
             F.lit(max_epochs).cast("long"),
             F.expr("(__m + __n - 1) div __n"),
         ).alias("n_epochs"),
     )
     return (
-        df.join(F.broadcast(plan), on=group_col)
+        df.join(
+            F.broadcast(plan), on=df[group_col].eqNullSafe(F.col("__grp"))
+        )
+        .drop("__grp")
         .withColumn(
             epoch_col,
             F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_epochs"))),

@@ -696,9 +696,10 @@ _Q100_MARGIN = 0.5
            b.value - w.value AS score_gap
     FROM (SELECT * FROM ranked WHERE rb = 1) b
     JOIN (SELECT * FROM ranked WHERE rw = 1) w
-      USING (user_id, event_type)
+      ON b.user_id IS NOT DISTINCT FROM w.user_id
+     AND b.event_type IS NOT DISTINCT FROM w.event_type
     WHERE b.n >= 2 AND b.value - w.value >= {_Q100_MARGIN}
-    ORDER BY user_id, event_type
+    ORDER BY b.user_id, b.event_type
     """,
 )
 def q100_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -384,3 +384,6 @@ def test_repeat_to_balance_corpus_never_shuffles(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "Generate explode" in plan, plan[:2000]
+    # the corpus is aggregated ONCE: main scan + counts scan, never a
+    # third scan for the global max (it rides a k-row window instead)
+    assert plan.count("Scan parquet") == 2, plan[:2000]

@@ -256,7 +256,7 @@ def test_quantize_int8_error_bound_property(spark, vecs):
 
 @_slow
 @given(
-    toks=st.lists(st.integers(min_value=1, max_value=900), min_size=1, max_size=60),
+    toks=st.lists(st.integers(min_value=1, max_value=1500), min_size=1, max_size=60),
     n_parts=st.integers(min_value=1, max_value=6),
 )
 def test_pack_sequences_invariants_any_partitioning(spark, toks, n_parts):

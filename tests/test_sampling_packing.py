@@ -549,3 +549,15 @@ def test_repeat_to_balance_rejects_bad_cap(spark):
     df = spark.createDataFrame([("a", 1)], "grp string, id long")
     with pytest.raises(ValueError):
         repeat_to_balance(df, "grp", max_epochs=0)
+
+
+def test_repeat_to_balance_null_group_is_balanced_not_dropped(spark):
+    from terrorblade_spark.operators.sampling import repeat_to_balance
+
+    rows = [("a", i) for i in range(4)] + [(None, 100)]
+    df = spark.createDataFrame(rows, "grp string, id long")
+    out = repeat_to_balance(df, "grp", max_epochs=4).collect()
+    nulls = [r for r in out if r.grp is None]
+    # the untagged row is a group of one: ceil(4/1)=4 epochs, kept
+    assert len(nulls) == 4 and all(r.n_epochs == 4 for r in nulls)
+    assert len([r for r in out if r.grp == "a"]) == 4

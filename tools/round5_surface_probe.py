@@ -10,6 +10,7 @@ from __future__ import annotations
 import sys
 import time
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, ".")
@@ -90,8 +91,7 @@ def main(sf_dir: str) -> None:
     res = truth.withColumn(
         "rank",
         F.row_number().over(
-            __import__("pyspark.sql.window", fromlist=["Window"]).Window
-            .partitionBy("query_id")
+            Window.partitionBy("query_id")
             .orderBy(hash64(F.col("neighbor_id").cast("string"), salt="perm"))
         ).cast("int"),
     )
