@@ -263,6 +263,25 @@ class CorpusPipeline:
         )
         return src.join(sel.select(self.id_col, "dsir_weight"), self.id_col)
 
+    def balance(
+        self,
+        df: DataFrame | None = None,
+        group_col: str = "lang",
+        max_epochs: int = 4,
+    ) -> DataFrame:
+        """Epoch-repetition balancing stage (operators/sampling.
+        repeat_to_balance, value-oracled as q101): repeat each
+        under-represented ``group_col`` group ``ceil(max_n / n)`` times
+        (capped) with a 1-based ``epoch`` counter, so a dominant
+        language/domain no longer drowns the rest. Run after dedup and
+        BEFORE chunk_and_pack (the epoch column keeps repeated copies
+        distinguishable so per-epoch shuffles stay decorrelated) and
+        never feed epoch>1 rows to eval pools."""
+        src = df if df is not None else self.docs
+        from terrorblade_spark.operators.sampling import repeat_to_balance
+
+        return repeat_to_balance(src, group_col, max_epochs=max_epochs)
+
     # -- stage 3: sequences -------------------------------------------------
 
     def chunk_and_pack(

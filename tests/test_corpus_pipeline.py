@@ -246,3 +246,21 @@ def test_split_stage_is_leakage_safe(spark, pipe):
     # explicit opt-out works on raw docs
     plain = pipe.split(pipe.docs, leakage_safe=False, eval_fraction=0.3)
     assert "split" in plain.columns
+
+
+def test_balance_stage_repeats_minority_groups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pipe = CorpusPipeline(spark, docs)
+    out = pipe.balance(group_col="lang")
+    per_lang = {r.lang: r for r in
+                out.groupBy("lang").agg(F.max("n_epochs").alias("e"),
+                                        F.count(F.lit(1)).alias("n")).collect()}
+    raw = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    biggest = max(raw, key=raw.get)
+    assert per_lang[biggest].e == 1 and per_lang[biggest].n == raw[biggest]
+    # every other group is repeated: strictly more rows out than in
+    for lang, n in raw.items():
+        if lang != biggest:
+            assert per_lang[lang].n > n
+            assert per_lang[lang].n == n * per_lang[lang].e
