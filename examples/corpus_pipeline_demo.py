@@ -40,6 +40,17 @@ def main() -> None:
     curated = pipe.curate(redact=True, quality_model=model, min_words=5)
     kept = curated.where("keep")
     deduped = pipe.dedup(kept)
+
+    # rebalance languages by whole-epoch repetition (q101 recipe)
+    # before sequence packing, so the dominant language doesn't drown
+    # the rest of the mix
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    balanced = pipe.balance(
+        deduped.where(~F.col("is_duplicate")).join(lang, "doc_id"),
+        group_col="lang",
+    )
+    balanced.groupBy("lang", "n_epochs").count().orderBy("lang").show()
+
     packed = pipe.chunk_and_pack(deduped, budget=512)
 
     # the audit row is the artifact a curation run ships
