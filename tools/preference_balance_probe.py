@@ -61,6 +61,27 @@ def main(sf_dir: str) -> None:
           f"({n_docs / dt:,.0f} docs/s)")
     big_d.unpersist()
 
+    # --- hot-prompt skew probe: one prompt with 1M candidates among
+    # 10k normal groups. A window-based extraction would sort and carry
+    # all 1M rows of the hot group through the shuffle; the aggregate
+    # keeps constant state per group, so the hot key costs ~nothing. ---
+    n_hot, n_groups = 1_000_000, 10_000
+    cand = spark.range(n_hot + n_groups * 10).select(
+        F.col("id").alias("cand_id"),
+        F.when(F.col("id") < n_hot, F.lit(0))
+        .otherwise((F.col("id") % n_groups) + 1)
+        .alias("prompt"),
+        (F.pmod(F.hash(F.col("id")), 1000) / 1000.0).alias("score"),
+    ).persist()
+    cand.count()
+    t0 = time.time()
+    out = preference_pairs(cand, ["prompt"], "score", "cand_id")
+    n = out.count()
+    dt = time.time() - t0
+    print(f"skew: 1 hot prompt x {n_hot:,} cands + {n_groups:,} groups "
+          f"-> {n:,} pairs in {dt:.1f}s")
+    cand.unpersist()
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
