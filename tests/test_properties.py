@@ -315,3 +315,73 @@ def test_ranking_metrics_bounds_property(spark, perm_seed, overlap):
         assert 0.0 <= v <= 1.0 + 1e-12
     perfect = ranking_metrics(truth, truth, k=10).collect()[0]
     assert perfect.recall_at_k == 1.0 and abs(perfect.ndcg_at_k - 1.0) < 1e-12
+
+
+@_slow
+@given(
+    cands=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),                 # prompt
+            st.floats(min_value=-5, max_value=5, allow_nan=False), # score
+        ),
+        min_size=1, max_size=40,
+    ),
+    n_parts=st.integers(min_value=1, max_value=6),
+    margin=st.floats(min_value=0, max_value=2, allow_nan=False),
+)
+def test_preference_pairs_matches_python_reference(spark, cands, n_parts, margin):
+    """For ANY candidate multiset and partitioning: chosen/rejected are
+    the (score, id)-lexicographic extremes, the margin gate is exact,
+    and groups below two scored candidates emit nothing."""
+    from terrorblade_spark.operators.sft import preference_pairs
+
+    rows = [(p, i, s) for i, (p, s) in enumerate(cands)]
+    df = spark.createDataFrame(
+        rows, "prompt long, cand_id long, score double"
+    ).repartition(n_parts)
+    got = {
+        r.prompt: (r.chosen_id, r.rejected_id, r.n_candidates)
+        for r in preference_pairs(df, ["prompt"], "score", "cand_id",
+                                  margin=margin).collect()
+    }
+    want = {}
+    by_prompt: dict[int, list[tuple[float, int]]] = {}
+    for p, i, s in rows:
+        by_prompt.setdefault(p, []).append((s, i))
+    for p, lst in by_prompt.items():
+        if len(lst) < 2:
+            continue
+        hi, lo = max(lst), min(lst)
+        if hi[0] - lo[0] >= margin:
+            want[p] = (hi[1], lo[1], len(lst))
+    assert got == want
+
+
+@_slow
+@given(
+    groups=st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=40),
+    n_parts=st.integers(min_value=1, max_value=6),
+    cap=st.integers(min_value=1, max_value=6),
+)
+def test_repeat_to_balance_counts_and_epochs(spark, groups, n_parts, cap):
+    """For ANY group multiset and partitioning: every row of group g
+    appears exactly min(cap, ceil(max_n / n_g)) times with a contiguous
+    1-based epoch counter."""
+    from collections import Counter
+
+    from terrorblade_spark.operators.sampling import repeat_to_balance
+
+    df = spark.createDataFrame(
+        [(g, i) for i, g in enumerate(groups)], "grp long, id long"
+    ).repartition(n_parts)
+    out = repeat_to_balance(df, "grp", max_epochs=cap).collect()
+    sizes = Counter(groups)
+    mx = max(sizes.values())
+    expect = {g: min(cap, -(-mx // n)) for g, n in sizes.items()}
+    per_row: dict[int, list[int]] = {}
+    for r in out:
+        assert r.n_epochs == expect[r.grp]
+        per_row.setdefault(r.id, []).append(r.epoch)
+    assert set(per_row) == set(range(len(groups)))
+    for i, epochs in per_row.items():
+        assert sorted(epochs) == list(range(1, expect[groups[i]] + 1))
