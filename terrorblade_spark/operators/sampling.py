@@ -518,3 +518,48 @@ def repeat_to_balance(
             F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_epochs"))),
         )
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_buckets: int = 4,
+    seed: str = "cur-v1",
+    bucket_col: str = "bucket",
+    draw_col: str = "draw",
+) -> DataFrame:
+    """Curriculum ordering: assign each row an easy->hard difficulty
+    ``bucket`` (equal-population quantiles of ``score_col``) and a
+    seeded intra-bucket shuffle ``draw``, so consuming rows by
+    ``(bucket, draw, id)`` streams the corpus easiest-first while
+    keeping each difficulty stage internally shuffled (the curriculum-
+    learning data-order recipe; ascending score = ascending
+    difficulty — pass a negated score column to invert).
+
+    bucket = floor(rank * n_buckets / N) over the (score, id) total
+    order: exact ntile-style equal population without percentile
+    estimation, reproducible across engines (value-oracled as q102).
+
+    Scale design: the global rank comes from
+    :func:`~terrorblade_spark.operators.windows.distributed_rank`
+    (range partition + k-row broadcast offsets — no single-partition
+    window), N rides the same k-row relation (no second corpus scan),
+    the bucket is integer arithmetic, and the draw is the seeded-md5
+    hash (engine-portable)."""
+    from terrorblade_spark.operators.windows import distributed_rank
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    ranked = distributed_rank(
+        df, [score_col, id_col], out_col="__gr", total_col="__N"
+    )
+    return (
+        ranked.withColumn(
+            bucket_col, F.expr(f"(__gr * {int(n_buckets)}) div __N")
+        )
+        .withColumn(
+            draw_col, hash64(F.col(id_col).cast("string"), salt=f"{seed}/")
+        )
+        .drop("__gr", "__N")
+    )

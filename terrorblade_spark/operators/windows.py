@@ -142,6 +142,64 @@ def context_collect(
 
 def global_renumber(df: DataFrame, order_cols: Sequence[str], out_col: str = "group_number") -> DataFrame:
     """W5: 0-based global numbering by start time. Single-partition
-    window — only ever applied to small post-aggregation results."""
+    window — only ever applied to small post-aggregation results.
+    For corpus-sized relations use :func:`distributed_rank`."""
     w = Window.orderBy(*order_cols)
     return df.withColumn(out_col, (F.row_number().over(w) - 1).cast("long"))
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "rank",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """0-based global row number by a TOTAL order, at corpus scale —
+    the distributed replacement for the single-partition
+    :func:`global_renumber` window: range-partition on the order key,
+    number rows within each partition, and add each partition's
+    exclusive prefix count from a tiny k-row offset relation
+    (broadcast back). No row ever passes through a single partition.
+
+    ``order_cols`` must form a total order (include a unique id last),
+    or ranks of tied rows are partition-order dependent. The rank is
+    independent of where the range boundaries fall, so the sampled
+    boundaries of ``repartitionByRange`` don't affect determinism.
+    ``total_col`` optionally attaches the global row count (computed
+    from the same k-row relation, not another aggregate).
+
+    Cost shape: TWO passes over the input — the RDD ``zipWithIndex``
+    shape — because the counts pass and the numbering pass consume the
+    same range exchange but (post relation-dedup) don't share it.
+    Column pruning cuts the counts pass to the order columns only
+    (plan-gated), so the extra pass is a narrow scan+shuffle; persist
+    the input first if it is an expensive derived relation."""
+    spark = df.sparkSession
+    k = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = df.repartitionByRange(k, *[F.col(c) for c in order_cols]).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # k-row relation: per-partition counts -> exclusive prefix offsets.
+    # (internal count column named __cnt: analyzer resolution is
+    # case-INsensitive by default, so e.g. total_col="__N" must not
+    # collide with an internal "__n")
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        parted.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__off", F.coalesce(F.sum("__cnt").over(woff), F.lit(0)))
+    )
+    if total_col is not None:
+        wall = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offs = offs.withColumn(total_col, F.sum("__cnt").over(wall))
+    offs = offs.drop("__cnt")
+    win = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        parted.withColumn("__rn", F.row_number().over(win) - 1)
+        .join(F.broadcast(offs), "__pid")
+        .withColumn(out_col, (F.col("__rn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )

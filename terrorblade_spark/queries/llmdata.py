@@ -751,3 +751,37 @@ def q101_epoch_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_epochs", "epoch").orderBy(
         "doc_id", "epoch"
     )
+
+
+# --- q102: curriculum ordering (full value oracle) ---------------------------
+# Easy->hard difficulty buckets by exact rank arithmetic over the
+# (n_chars, doc_id) total order — bucket = (rank * k) div N, no
+# percentile estimation — plus a seeded-md5 intra-bucket shuffle. The
+# distributed rank (range partition + k-row broadcast offsets) is
+# boundary-independent, so it equals the oracle's single row_number.
+
+
+@query(
+    "q102_curriculum_order",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS gr,
+             count(*) OVER () AS n
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           (gr * 4) // n AS bucket,
+           ('0x' || substring(md5('cur-v1/' || doc_id::VARCHAR), 1, 15))::BIGINT AS draw
+    FROM r
+    ORDER BY bucket, draw, doc_id
+    """,
+)
+def q102_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.sampling import curriculum_order
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = curriculum_order(d, "doc_id", "n_chars", n_buckets=4, seed="cur-v1")
+    return out.select("doc_id", "n_chars", "bucket", "draw").orderBy(
+        "bucket", "draw", "doc_id"
+    )

@@ -387,3 +387,18 @@ def test_repeat_to_balance_corpus_never_shuffles(spark, sf_dir):
     # the corpus is aggregated ONCE: main scan + counts scan, never a
     # third scan for the global max (it rides a k-row window instead)
     assert plan.count("Scan parquet") == 2, plan[:2000]
+
+
+def test_distributed_rank_counts_pass_is_narrow(spark, sf_dir):
+    """The rank's two passes (zipWithIndex shape): the counts pass must
+    be pruned to the order columns, and the only single-partition
+    exchange is the k-row offset window — never the corpus."""
+    from terrorblade_spark.operators.sampling import curriculum_order
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    plan = _plan(curriculum_order(d, "doc_id", "n_chars"))
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert len(reads) == 2, plan[:2000]
+    assert any("text" not in ln.split("ReadSchema")[1] for ln in reads), reads
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:2000]
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

@@ -561,3 +561,63 @@ def test_repeat_to_balance_null_group_is_balanced_not_dropped(spark):
     # the untagged row is a group of one: ceil(4/1)=4 epochs, kept
     assert len(nulls) == 4 and all(r.n_epochs == 4 for r in nulls)
     assert len([r for r in out if r.grp == "a"]) == 4
+
+
+# --- distributed_rank / curriculum_order -------------------------------------
+
+
+def test_distributed_rank_matches_single_partition_renumber(spark):
+    from terrorblade_spark.operators.windows import (
+        distributed_rank,
+        global_renumber,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11) for i in range(200)], "id long, score long"
+    )
+    for n_parts in (1, 4, 9):
+        got = {
+            r.id: r.rank
+            for r in distributed_rank(
+                df.repartition(n_parts), ["score", "id"], num_partitions=5
+            ).collect()
+        }
+        want = {
+            r.id: r.group_number
+            for r in global_renumber(df, ["score", "id"]).collect()
+        }
+        assert got == want
+
+
+def test_distributed_rank_total_col(spark):
+    from terrorblade_spark.operators.windows import distributed_rank
+
+    df = spark.createDataFrame([(i,) for i in range(57)], "id long")
+    out = distributed_rank(df, ["id"], total_col="__N", num_partitions=4)
+    rows = out.collect()
+    assert all(r["__N"] == 57 for r in rows)
+    assert sorted(r["rank"] for r in rows) == list(range(57))
+
+
+def test_curriculum_buckets_equal_population_and_monotone(spark):
+    from terrorblade_spark.operators.sampling import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, float((i * 13) % 101)) for i in range(120)], "id long, score double"
+    )
+    out = curriculum_order(df, "id", "score", n_buckets=4).collect()
+    by_bucket: dict[int, list[float]] = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r.score)
+    assert {len(v) for v in by_bucket.values()} == {30}  # equal population
+    # difficulty is monotone across buckets: max(b) <= min(b+1)
+    for b in range(3):
+        assert max(by_bucket[b]) <= min(by_bucket[b + 1])
+
+
+def test_curriculum_rejects_bad_buckets(spark):
+    from terrorblade_spark.operators.sampling import curriculum_order
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, score double")
+    with pytest.raises(ValueError):
+        curriculum_order(df, "id", "score", n_buckets=0)
