@@ -282,6 +282,27 @@ class CorpusPipeline:
 
         return repeat_to_balance(src, group_col, max_epochs=max_epochs)
 
+    def order_curriculum(
+        self,
+        df: DataFrame | None = None,
+        score_col: str = "mean_nll",
+        n_buckets: int = 4,
+        seed: str = "cur-v1",
+    ) -> DataFrame:
+        """Curriculum-ordering stage (operators/sampling.
+        curriculum_order, value-oracled as q102): attach an easy->hard
+        ``bucket`` (equal-population quantiles of ``score_col`` — by
+        default the curate(lm_buckets=...) mean-NLL fluency score,
+        ascending: most fluent first) and a seeded intra-bucket shuffle
+        ``draw``; consume ordered by (bucket, draw, id) to stream
+        training data easiest-first with each stage still shuffled."""
+        src = df if df is not None else self.docs
+        from terrorblade_spark.operators.sampling import curriculum_order
+
+        return curriculum_order(
+            src, self.id_col, score_col, n_buckets=n_buckets, seed=seed
+        )
+
     # -- stage 3: sequences -------------------------------------------------
 
     def chunk_and_pack(

@@ -264,3 +264,16 @@ def test_balance_stage_repeats_minority_groups(spark, sf_dir):
         if lang != biggest:
             assert per_lang[lang].n > n
             assert per_lang[lang].n == n * per_lang[lang].e
+
+
+def test_curriculum_stage_orders_by_fluency(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pipe = CorpusPipeline(spark, docs)
+    curated = pipe.curate(lm_buckets=3).where("mean_nll IS NOT NULL")
+    out = pipe.order_curriculum(curated, n_buckets=3)
+    rows = out.select("bucket", "mean_nll").collect()
+    by_b = {}
+    for r in rows:
+        by_b.setdefault(r.bucket, []).append(r.mean_nll)
+    assert set(by_b) == {0, 1, 2}
+    assert max(by_b[0]) <= min(by_b[2])  # fluency monotone end to end
