@@ -84,6 +84,19 @@ def main() -> None:
         print(f"  example context:\n    " + ex.context.replace("\n", "\n    "))
         print(f"  response: {ex.response}")
 
+    # DPO preference pairs: per (user, event_type) prompt group, the
+    # value-scored extremes become (chosen, rejected) — one aggregate,
+    # no window (q100)
+    from terrorblade_spark.operators.sft import preference_pairs
+
+    dpo = preference_pairs(
+        events, ["user_id", "event_type"], "value", "event_id",
+        payload_cols=["props"], margin=0.5,
+    )
+    p = dpo.first()
+    print(f"DPO preference pairs: {dpo.count()} "
+          f"(e.g. chosen {p.chosen_score:.2f} vs rejected {p.rejected_score:.2f})")
+
 
 if __name__ == "__main__":
     main()
