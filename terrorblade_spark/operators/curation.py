@@ -346,3 +346,75 @@ def remove_boilerplate_lines(
         )
         .drop("__new_text")
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact line dedup, keep-FIRST: every non-blank line
+    keeps only its globally first occurrence (ordered by
+    ``(id_col, position)``) and every later copy — in other documents
+    or later in the same one — is removed. The CCNet/Dolma paragraph
+    dedup step, complementary to :func:`remove_boilerplate_lines`:
+    the df-cap drops only lines hot enough to clear a corpus
+    threshold, while this removes EVERY repeat but preserves one
+    canonical copy, so no content is lost outright.
+
+    Plan: posexplode lines with position -> hash each trimmed line
+    ONCE -> per-hash winner = ``min(struct(doc, pos))`` (a map-side
+    combined aggregate: only one extreme per distinct line crosses the
+    shuffle, so a line repeated in half the corpus costs its combiner
+    nothing — the skew-safe alternative to a row_number window over
+    the hash, which would sort the full hot group in one task) ->
+    join winners back (AQE handles residual join skew) -> ordered
+    NULL-skipping reassembly in ONE aggregate. Blank lines are
+    structure, not content: never candidates, always preserved.
+
+    Returns all input rows with ``text`` rewritten and
+    ``n_removed_lines``. Determinism: the keeper is a total-order
+    minimum, independent of partitioning.
+
+    Reference parity: the reference dedups whole messages via DuckDB
+    PK inserts (telegram_database.py:925-928); sub-document dedup has
+    no reference twin — it exists for the LLM-corpus surface.
+    """
+    from terrorblade_spark.functions.exprs import hash64
+
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    ).withColumn("blank", F.length(F.trim(F.col("line"))) == 0).withColumn(
+        "lh", hash64(F.trim(F.col("line")))
+    )
+    winners = (
+        ex.where(~F.col("blank"))
+        .groupBy("lh")
+        .agg(F.min(F.struct(id_col, "pos")).alias("__w"))
+    )
+    flagged = ex.join(winners, "lh", "left").withColumn(
+        "drop",
+        ~F.col("blank") & (F.struct(id_col, "pos") != F.col("__w")),
+    )
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(~F.col("drop"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("__new_text"),
+        F.sum(F.col("drop").cast("long")).alias("n_removed_lines"),
+    )
+    return (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col("__new_text"), F.col(text_col)))
+        .withColumn(
+            "n_removed_lines", F.coalesce(F.col("n_removed_lines"), F.lit(0).cast("long"))
+        )
+        .drop("__new_text")
+    )

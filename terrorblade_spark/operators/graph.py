@@ -1,0 +1,168 @@
+"""Link-graph analysis: PageRank over an edge relation.
+
+Why it's here: large-scale corpus curation weights web documents by
+the link graph (the CommonCrawl/RefinedWeb quality signal) — a core
+LLM-data-pipeline capability with no reference twin (the reference's
+graph surface stops at pairwise near-dup clusters; see
+operators/components.py for that half).
+
+Execution shape (the Pregel superstep recipe expressed as DataFrames):
+
+* The EDGE relation — the 100 TB side — is prepared ONCE: distinct,
+  joined with out-degrees, hash-repartitioned on ``src`` and persisted.
+  Every iteration's contribution join keys on ``src``, and the cached
+  relation's output partitioning satisfies it, so edges never pass
+  through another Exchange; only the NODE-sized rank relation shuffles
+  per superstep.
+* Dangling nodes (no out-edges) are precomputed once; their mass is
+  folded back each iteration through a 1-row broadcast scalar — never
+  a driver-side ``collect`` of ranks.
+* Each superstep ends in an eager ``localCheckpoint``: ranks are
+  node-sized, and truncating lineage every iteration is what keeps the
+  plan from growing O(iterations) deep (the connected-components
+  lesson, operators/components.py:83).
+
+Determinism: with a fixed ``n_iter`` the result is a pure function of
+the graph up to float summation order (~1e-16 per superstep); gate
+queries round to 6 dp on both engines (the q81 rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+    node_col: str = "node",
+    rank_col: str = "pagerank",
+    tol: float | None = None,
+) -> DataFrame:
+    """PageRank over the directed graph ``edges`` (multi-edges are
+    collapsed: the walk follows DISTINCT (src, dst) links uniformly;
+    self-loops are kept as given). Returns ``(node_col, rank_col)``
+    for every node appearing as a source or destination, summing to
+    1.0 up to float error.
+
+    Fixed ``n_iter`` supersteps of the standard damped update
+    ``r' = (1-d)/n + d * (sum_{u->v} r_u / deg_u + dangling_mass / n)``
+    — dangling mass is redistributed uniformly, so total mass is
+    conserved. ``tol`` optionally early-stops when the L1 delta
+    between supersteps falls below it (early stop trades the fixed
+    iteration count for a data-dependent one — leave it None when a
+    bit-stable result matters more than saved supersteps).
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    e = (
+        edges.select(F.col(src).cast("long").alias("__src"), F.col(dst).cast("long").alias("__dst"))
+        .where(F.col("__src").isNotNull() & F.col("__dst").isNotNull())
+        .distinct()
+    )
+    deg = e.groupBy("__src").agg(F.count(F.lit(1)).cast("double").alias("__deg"))
+    spark = edges.sparkSession
+    k = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # the heavy relation, prepared once: inverse degree baked in so the
+    # per-superstep join emits rank * __w directly
+    links = (
+        e.join(deg, "__src")
+        .withColumn("__w", F.lit(1.0) / F.col("__deg"))
+        .drop("__deg")
+        .repartition(k, "__src")
+        .persist()
+    )
+    links.count()  # materialize: iterations must hit the cache, not the lineage
+
+    nodes = (
+        e.select(F.col("__src").alias(node_col))
+        .unionByName(e.select(F.col("__dst").alias(node_col)))
+        .distinct()
+        .persist()
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    dangling = nodes.join(
+        deg, nodes[node_col] == deg["__src"], "left_anti"
+    ).persist()
+
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select(node_col, (F.lit(1.0) / F.col("__n")).alias(rank_col))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        contrib = (
+            links.join(
+                ranks.select(F.col(node_col).alias("__src"), F.col(rank_col)), "__src"
+            )
+            .groupBy("__dst")
+            .agg(F.sum(F.col(rank_col) * F.col("__w")).alias("__contrib"))
+        )
+        dm = dangling.join(ranks, node_col).agg(
+            F.coalesce(F.sum(rank_col), F.lit(0.0)).alias("__dm")
+        )
+        new_ranks = (
+            nodes.join(contrib, nodes[node_col] == contrib["__dst"], "left")
+            .crossJoin(F.broadcast(n_df))
+            .crossJoin(F.broadcast(dm))
+            .select(
+                node_col,
+                (
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__contrib"), F.lit(0.0))
+                        + F.col("__dm") / F.col("__n")
+                    )
+                ).alias(rank_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if tol is not None:
+            delta = (
+                new_ranks.withColumnRenamed(rank_col, "__new")
+                .join(ranks, node_col)
+                .agg(F.sum(F.abs(F.col("__new") - F.col(rank_col))).alias("d"))
+                .first()["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    links.unpersist()
+    nodes.unpersist()
+    dangling.unpersist()
+    return ranks
+
+
+def indegree_profile(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree profile of the directed graph: per node, distinct
+    in/out-degree and a log2 in-degree bucket — the cheap first look
+    at link-graph shape (hub detection, skew diagnosis before a
+    pagerank / components run). One exploded union, one aggregate."""
+    e = edges.select(
+        F.col(src).cast("long").alias("__src"), F.col(dst).cast("long").alias("__dst")
+    ).distinct()
+    both = e.select(
+        F.col("__src").alias("node"), F.lit(1).alias("out_e"), F.lit(0).alias("in_e")
+    ).unionByName(
+        e.select(F.col("__dst").alias("node"), F.lit(0).alias("out_e"), F.lit(1).alias("in_e"))
+    )
+    return both.groupBy("node").agg(
+        F.sum("out_e").cast("long").alias("out_degree"),
+        F.sum("in_e").cast("long").alias("in_degree"),
+    ).withColumn(
+        "in_bucket",
+        F.when(F.col("in_degree") == 0, F.lit(-1)).otherwise(
+            F.floor(F.log2(F.col("in_degree").cast("double"))).cast("int")
+        ),
+    )

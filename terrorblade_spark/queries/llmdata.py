@@ -785,3 +785,66 @@ def q102_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars", "bucket", "draw").orderBy(
         "bucket", "draw", "doc_id"
     )
+
+
+# --- q103: corpus-wide keep-first line dedup (full value oracle) --------------
+# dedup_lines end to end. The fixture docs are single-line, so the
+# query synthesizes a 4-line doc: own text / a corpus-wide shared line
+# / a blank / (even docs: a cohort line, odd docs: the own text
+# AGAIN). Expected: the shared line survives only in the min doc_id,
+# the cohort line only in the first even doc, each odd doc loses its
+# within-doc repeat, and every blank survives. The oracle mirrors the
+# semantics with a row_number-over-line-hash window (the Spark side
+# uses the skew-safe min-struct aggregate — same keeper by
+# construction: both are the (doc_id, pos) minimum).
+
+_Q103_SHARED = "SHARED LINE ALPHA"
+_Q103_COHORT = "EVEN COHORT LINE"
+
+
+@query(
+    "q103_line_dedup",
+    oracle=f"""
+    WITH d2 AS (
+      SELECT doc_id,
+             text || chr(10) || '{_Q103_SHARED}' || chr(10) || chr(10) ||
+             CASE WHEN doc_id % 2 = 0 THEN '{_Q103_COHORT}' ELSE text END AS text
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, g.i - 1 AS pos, parts[g.i] AS line,
+             length(trim(parts[g.i])) = 0 AS blank,
+             ('0x' || substring(md5(trim(parts[g.i])), 1, 15))::BIGINT AS lh
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d2),
+           unnest(generate_series(1, len(parts))) AS g(i)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, line,
+             (NOT blank) AND
+             row_number() OVER (PARTITION BY lh ORDER BY doc_id, pos) > 1 AS drop
+      FROM ex
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN NOT drop THEN line END, chr(10) ORDER BY pos) AS text,
+           sum(drop::INT)::BIGINT AS n_removed_lines
+    FROM flagged GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q103_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.curation import dedup_lines
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit(_Q103_SHARED),
+            F.lit(""),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_Q103_COHORT)).otherwise(
+                F.col("text")
+            ),
+        ).alias("text"),
+    )
+    out = dedup_lines(d, "doc_id", "text")
+    return out.select("doc_id", "text", "n_removed_lines").orderBy("doc_id")

@@ -103,6 +103,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q100_preference_pairs",
     "q101_epoch_balance",
     "q102_curriculum_order",
+    "q103_line_dedup",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

@@ -236,3 +236,62 @@ def test_gopher_filter_rejects_null_text(spark):
     assert got[1][0] is False and "too_few_words" in got[1][1]
     assert got[2][0] is False
     assert got[3][0] is True
+
+
+def test_dedup_lines_keep_first(spark):
+    """Corpus-wide keep-first: the shared line survives only at its
+    (doc_id, pos) minimum; within-doc repeats drop too."""
+    from terrorblade_spark.operators.curation import dedup_lines
+
+    docs = [
+        (1, "alpha\nSHARED\nomega"),
+        (2, "SHARED\nbeta\nSHARED"),   # cross-doc dup + within-doc dup
+        (3, "gamma\ngamma\nSHARED"),   # within-doc dup of its own line
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert out[1]["text"] == "alpha\nSHARED\nomega"
+    assert out[1]["n_removed_lines"] == 0
+    assert out[2]["text"] == "beta"
+    assert out[2]["n_removed_lines"] == 2
+    assert out[3]["text"] == "gamma"
+    assert out[3]["n_removed_lines"] == 2
+
+
+def test_dedup_lines_blanks_and_nulls(spark):
+    """Blank lines are structure: always preserved, never keepers or
+    duplicates. NULL-text rows come back untouched."""
+    from terrorblade_spark.operators.curation import dedup_lines
+
+    docs = [
+        (1, "a\n\nb"),
+        (2, "\n\nc"),     # leading blanks preserved verbatim
+        (3, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert out[1]["text"] == "a\n\nb"
+    assert out[2]["text"] == "\n\nc"
+    assert out[3]["text"] is None
+    assert out[3]["n_removed_lines"] == 0
+    assert all(out[i]["n_removed_lines"] == 0 for i in (1, 2))
+
+
+def test_dedup_lines_hot_line_skew(spark):
+    """One line in EVERY doc (the skew case): exactly one copy
+    survives — in the minimum (doc_id, pos) — and the plan's keeper
+    aggregate is map-side combinable (HashAggregate/SortAggregate over
+    the hash, not a window sort of the full hot group)."""
+    from terrorblade_spark.operators.curation import dedup_lines
+
+    n = 200
+    docs = [(i, f"unique {i}\nHOT LINE") for i in range(n)]
+    docs[0] = (0, "HOT LINE\nunique 0")  # keeper: doc 0, pos 0
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert out[0]["text"] == "HOT LINE\nunique 0"
+    kept = [i for i, r in out.items() if "HOT LINE" in (r["text"] or "")]
+    assert kept == [0]
+    assert sum(r["n_removed_lines"] for r in out.values()) == n - 1
+    plan = dedup_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
