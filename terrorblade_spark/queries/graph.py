@@ -1,0 +1,103 @@
+"""Link-graph queries: PageRank centrality over a trade graph derived
+from the relational fixtures (customer nation -> supplier nation per
+qualifying lineitem). The oracle unrolls the FIXED iteration count
+into chained CTEs — recursive-CTE aggregation over the working table
+is non-portable, and a static unroll is bit-deterministic up to float
+summation order, handled by the standard 6-dp rounding on both sides
+(the q81 rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terrorblade_spark.registry import query
+from terrorblade_spark.tables import load_table
+
+_Q104_ITER = 10
+_Q104_DAMP = 0.85
+# sparsify the 25-node nation graph so ranks are non-trivial: only
+# high-quantity lineitems carry a trade edge
+_Q104_MIN_QTY = 45
+
+_Q104_EDGES_SQL = f"""
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE l.l_quantity > {_Q104_MIN_QTY}
+"""
+
+
+def _q104_oracle() -> str:
+    """Unroll pr0..pr{n} CTEs of the damped update — same recipe as
+    operators/graph.py pagerank: contribution sum over distinct edges,
+    dangling mass redistributed uniformly. Every chained CTE is
+    MATERIALIZED: each step references its predecessor twice (dangling
+    mass + contributions), and inlining would expand the chain
+    exponentially (2^iters copies of the base scan — observed as a
+    file-handle blowup before the fix)."""
+    steps = []
+    for i in range(1, _Q104_ITER + 1):
+        steps.append(f"""
+    pr{i} AS MATERIALIZED (
+      SELECT n.node,
+             (1.0 - {_Q104_DAMP}) / cnt.nn + {_Q104_DAMP} * (
+               COALESCE(c.contrib, 0.0) + dm.m / cnt.nn
+             ) AS rank
+      FROM nodes n
+      CROSS JOIN cnt
+      CROSS JOIN (
+        SELECT COALESCE(sum(rank), 0.0) AS m FROM pr{i - 1}
+        WHERE node NOT IN (SELECT src FROM deg)
+      ) dm
+      LEFT JOIN (
+        SELECT e.dst, sum(p.rank / d.deg) AS contrib
+        FROM e
+        JOIN pr{i - 1} p ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) c ON c.dst = n.node
+    )""")
+    return f"""
+    WITH e AS MATERIALIZED ({_Q104_EDGES_SQL}),
+    nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ),
+    deg AS (
+      SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src
+    ),
+    cnt AS (
+      SELECT count(*)::DOUBLE AS nn FROM nodes
+    ),
+    pr0 AS (
+      SELECT node, 1.0 / cnt.nn AS rank FROM nodes CROSS JOIN cnt
+    ),{",".join(steps)}
+    SELECT node, round(rank, 6) AS pagerank
+    FROM pr{_Q104_ITER}
+    ORDER BY node
+    """
+
+
+@query("q104_nation_trade_pagerank", oracle=_q104_oracle())
+def q104_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    ).where(F.col("l_quantity") > _Q104_MIN_QTY)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+    )
+    pr = pagerank(edges, n_iter=_Q104_ITER, damping=_Q104_DAMP)
+    return pr.select(
+        "node", F.round("pagerank", 6).alias("pagerank")
+    ).orderBy("node")

@@ -43,6 +43,7 @@ def _load_all() -> None:
     from terrorblade_spark.queries import (  # noqa: F401
         dedup,
         eventops,
+        graph,
         llmdata,
         multimodal,
         relational,
@@ -104,6 +105,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q101_epoch_balance",
     "q102_curriculum_order",
     "q103_line_dedup",
+    "q104_nation_trade_pagerank",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

@@ -1,0 +1,106 @@
+"""PageRank + degree profile (operators/graph.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from terrorblade_spark.operators.graph import indegree_profile, pagerank
+
+
+def _np_pagerank(edges, n_iter=10, d=0.85):
+    """Dense power-iteration reference with the identical update."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for u, v in set(edges):
+        out.setdefault(u, []).append(v)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        nxt = np.full(n, (1.0 - d) / n)
+        dangling = sum(r[idx[u]] for u in nodes if u not in out)
+        nxt += d * dangling / n
+        for u, vs in out.items():
+            share = d * r[idx[u]] / len(vs)
+            for v in vs:
+                nxt[idx[v]] += share
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+def _ranks(df, node="node", rank="pagerank"):
+    return {r[node]: r[rank] for r in df.collect()}
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    """A 4-cycle is perfectly symmetric: every node gets 1/4 exactly
+    (the update maps the uniform vector to itself, no float drift)."""
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long")
+    got = _ranks(pagerank(e, n_iter=7))
+    assert got == pytest.approx({1: 0.25, 2: 0.25, 3: 0.25, 4: 0.25}, abs=1e-12)
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    """Seeded sparse digraph with a dangling node and a hub — ranks
+    match a dense numpy power iteration to float-sum precision."""
+    rng = np.random.RandomState(7)
+    edges = {(int(rng.randint(0, 30)), int(rng.randint(0, 30))) for _ in range(120)}
+    edges |= {(i, 5) for i in range(10)}          # hub
+    edges = {(u, v) for (u, v) in edges if u != 29}  # 29 dangling (if present)
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = _ranks(pagerank(e, n_iter=10))
+    want = _np_pagerank(sorted(edges), n_iter=10)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    """All mass flows into a sink with no out-edges; total stays 1.0
+    and the sink outranks its feeders."""
+    e = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    got = _ranks(pagerank(e, n_iter=12))
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got[3] > got[1] and got[3] > got[2]
+    assert got[1] == pytest.approx(got[2], abs=1e-12)
+
+
+def test_pagerank_multi_edges_collapse_and_tol_stops(spark):
+    """Duplicate (src,dst) rows don't double an edge's weight, and the
+    tol early stop returns the converged fixed point."""
+    dup = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 2), (1, 3), (2, 1), (3, 1)], "src long, dst long"
+    )
+    simple = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (3, 1)], "src long, dst long"
+    )
+    r_dup = _ranks(pagerank(dup, n_iter=8))
+    r_simple = _ranks(pagerank(simple, n_iter=8))
+    for v in r_simple:
+        assert r_dup[v] == pytest.approx(r_simple[v], abs=1e-12)
+    # tol early-stop lands on the true fixed point (deep numpy power
+    # iteration), far past what a fixed short run reaches (0.85^k rate)
+    r_tol = _ranks(pagerank(simple, n_iter=500, tol=1e-12))
+    want = _np_pagerank([(1, 2), (1, 3), (2, 1), (3, 1)], n_iter=400)
+    for v in want:
+        assert r_tol[v] == pytest.approx(want[v], abs=1e-9)
+
+
+def test_pagerank_rejects_bad_damping(spark):
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(e, damping=1.0)
+
+
+def test_indegree_profile(spark):
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 3)], "src long, dst long"
+    )
+    got = {r["node"]: r for r in indegree_profile(e).collect()}
+    assert got[3]["in_degree"] == 3 and got[3]["out_degree"] == 1
+    assert got[4]["out_degree"] == 1 and got[4]["in_degree"] == 0
+    assert got[4]["in_bucket"] == -1          # no in-edges
+    assert got[3]["in_bucket"] == 1           # floor(log2(3))
+    assert got[1]["in_bucket"] == 0
