@@ -402,3 +402,44 @@ def test_distributed_rank_counts_pass_is_narrow(spark, sf_dir):
     assert any("text" not in ln.split("ReadSchema")[1] for ln in reads), reads
     assert plan.count("Exchange SinglePartition") <= 1, plan[:2000]
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_pagerank_superstep_reads_edges_from_cache_unshuffled(spark):
+    """The pagerank scale claim: the edge relation shuffles ONCE at
+    build (repartition on src, persisted); every superstep's
+    contribution join must read it as an InMemoryTableScan with no
+    Exchange above it — only the node-sized rank relation moves."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(5000).select(
+        (F.col("id") % 500).alias("__src"), ((F.col("id") * 7) % 500).alias("__dst")
+    )
+    deg = edges.groupBy("__src").agg(F.count(F.lit(1)).cast("double").alias("__deg"))
+    k = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    links = (
+        edges.join(deg, "__src")
+        .withColumn("__w", F.lit(1.0) / F.col("__deg"))
+        .drop("__deg")
+        .repartition(k, "__src")
+        .persist()
+    )
+    try:
+        links.count()
+        ranks = spark.range(500).select(
+            F.col("id").alias("__src"), F.lit(1.0 / 500).alias("r")
+        )
+        contrib = links.join(ranks, "__src").groupBy("__dst").agg(
+            F.sum(F.col("r") * F.col("__w")).alias("c")
+        )
+        contrib.collect()
+        plan = _plan(contrib)
+        assert "InMemoryTableScan" in plan, plan
+        # no Exchange between the cache scan and the join: the cached
+        # side's lines from the join down to the scan contain none
+        lines = plan.splitlines()
+        scan_i = next(i for i, ln in enumerate(lines) if "InMemoryTableScan" in ln)
+        join_i = max(i for i, ln in enumerate(lines) if "Join" in ln and i < scan_i)
+        between = "\n".join(lines[join_i:scan_i])
+        assert "Exchange" not in between, plan
+    finally:
+        links.unpersist()
