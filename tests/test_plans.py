@@ -389,19 +389,46 @@ def test_repeat_to_balance_corpus_never_shuffles(spark, sf_dir):
     assert plan.count("Scan parquet") == 2, plan[:2000]
 
 
-def test_distributed_rank_counts_pass_is_narrow(spark, sf_dir):
-    """The rank's two passes (zipWithIndex shape): the counts pass must
-    be pruned to the order columns, and the only single-partition
-    exchange is the k-row offset window — never the corpus."""
-    from terrorblade_spark.operators.sampling import curriculum_order
+def test_distributed_rank_survives_boundary_resampling(spark):
+    """repartitionByRange samples its boundaries with a FRESH random
+    seed on every execution, so the rank's two passes (counts,
+    numbering) must consume one MATERIALIZED partitioning — unpersisted,
+    the offsets disagree with the numbering and ranks collide (measured:
+    ~240k duplicates at 10M rows; invisible at gate scale because the
+    sample covers the whole input there). This test forces aggressive
+    subsampling (2 rows/partition) so any regression to per-pass
+    re-evaluation collides at unit scale; the gate is the exact
+    permutation invariant."""
+    from pyspark.sql import functions as F
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    plan = _plan(curriculum_order(d, "doc_id", "n_chars"))
-    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
-    assert len(reads) == 2, plan[:2000]
-    assert any("text" not in ln.split("ReadSchema")[1] for ln in reads), reads
-    assert plan.count("Exchange SinglePartition") <= 1, plan[:2000]
-    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    from terrorblade_spark.operators.windows import distributed_rank
+
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    try:
+        n = 200_000
+        df = spark.range(n).select(
+            F.col("id"),
+            F.expr("conv(substring(md5(cast(id as string)),1,15),16,10)")
+            .cast("long")
+            .alias("k"),
+        )
+        out = distributed_rank(df, ["k", "id"], out_col="rank", total_col="n_total")
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("rank").alias("nd"),
+            F.min("rank").alias("mn"),
+            F.max("rank").alias("mx"),
+            F.min("n_total").alias("t"),
+        ).collect()[0]
+        assert (agg["n"], agg["nd"], agg["mn"], agg["mx"]) == (n, n, 0, n - 1), agg
+        assert agg["t"] == n
+        # and the materialized partitioning is really a cache read
+        plan = _plan(out)
+        assert "InMemoryTableScan" in plan, plan[:2000]
+    finally:
+        spark.conf.set(key, old)
 
 
 def test_pagerank_superstep_reads_edges_from_cache_unshuffled(spark):

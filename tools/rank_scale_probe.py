@@ -40,7 +40,8 @@ def main(n: int) -> None:
         F.count(F.lit(1)).alias("n"),
         F.min("rank").alias("mn"),
         F.max("rank").alias("mx"),
-        F.sum(F.col("rank") * F.col("key")).alias("chk"),
+        # decimal accumulator: rank*key products overflow long under ANSI
+        F.sum((F.col("rank") * (F.col("key") % 1_000_003)).cast("decimal(38,0)")).alias("chk"),
     ).collect()[0]
     t_dist = time.time() - t0
     assert agg_d["n"] == n and agg_d["mn"] == 0 and agg_d["mx"] == n - 1
@@ -52,7 +53,8 @@ def main(n: int) -> None:
         F.count(F.lit(1)).alias("n"),
         F.min("rank").alias("mn"),
         F.max("rank").alias("mx"),
-        F.sum(F.col("rank") * F.col("key")).alias("chk"),
+        # decimal accumulator: rank*key products overflow long under ANSI
+        F.sum((F.col("rank") * (F.col("key") % 1_000_003)).cast("decimal(38,0)")).alias("chk"),
     ).collect()[0]
     t_single = time.time() - t0
     print(f"single-partition window: {n:,} rows in {t_single:.1f}s ({n / t_single:,.0f} rows/s)")
