@@ -147,6 +147,20 @@ class CorpusPipeline:
             spans.select(self.id_col, "repeated_frac"), self.id_col, "left"
         )
 
+    # -- stage 1c: line-level dedup ------------------------------------------
+
+    def dedup_lines(self, df: DataFrame) -> DataFrame:
+        """Corpus-wide keep-first line dedup between curation and
+        document dedup (operators/curation.dedup_lines): every repeated
+        non-blank line keeps exactly its first (id, position) copy —
+        the CCNet/Dolma paragraph step. Runs best AFTER
+        ``cut_repeats`` (which removes long intra-line runs) and
+        BEFORE document dedup (cleaned text raises MinHash precision).
+        Attaches ``n_removed_lines`` for auditing."""
+        from terrorblade_spark.operators.curation import dedup_lines
+
+        return dedup_lines(df, self.id_col, self.text_col)
+
     # -- stage 2: dedup -----------------------------------------------------
 
     def dedup(

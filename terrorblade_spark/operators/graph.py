@@ -42,57 +42,112 @@ def pagerank(
     node_col: str = "node",
     rank_col: str = "pagerank",
     tol: float | None = None,
+    weight_col: str | None = None,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
-    """PageRank over the directed graph ``edges`` (multi-edges are
-    collapsed: the walk follows DISTINCT (src, dst) links uniformly;
-    self-loops are kept as given). Returns ``(node_col, rank_col)``
-    for every node appearing as a source or destination, summing to
-    1.0 up to float error.
+    """PageRank over the directed graph ``edges``. Returns
+    ``(node_col, rank_col)`` for every node appearing as a source or
+    destination, summing to 1.0 up to float error.
 
-    Fixed ``n_iter`` supersteps of the standard damped update
-    ``r' = (1-d)/n + d * (sum_{u->v} r_u / deg_u + dangling_mass / n)``
-    — dangling mass is redistributed uniformly, so total mass is
-    conserved. ``tol`` optionally early-stops when the L1 delta
-    between supersteps falls below it (early stop trades the fixed
-    iteration count for a data-dependent one — leave it None when a
-    bit-stable result matters more than saved supersteps).
+    Unweighted (``weight_col=None``): multi-edges are collapsed and
+    the walk follows DISTINCT (src, dst) links uniformly. Weighted:
+    duplicate (src, dst) weights are summed and the walk follows
+    out-edges proportionally to weight (non-positive/NULL weights
+    dropped). Self-loops are kept as given.
+
+    ``reset`` personalizes the teleport: a small (``node_col``,
+    ``weight``) seed relation (normalized internally over the nodes
+    actually in the graph; off-graph seeds are ignored) — the random
+    surfer restarts at seeds instead of uniformly, biasing rank mass
+    toward the seeds' neighborhoods (crawl-frontier prioritization,
+    topic-conditioned quality). Default is uniform 1/n.
+
+    Fixed ``n_iter`` supersteps of the damped update
+    ``r' = (1-d)*t + d * (sum_{u->v} r_u * w_uv / W_u + dangling_mass * t)``
+    with teleport vector ``t`` — dangling mass is redistributed by
+    ``t``, so total mass is conserved. ``tol`` optionally early-stops
+    when the L1 delta between supersteps falls below it (early stop
+    trades the fixed iteration count for a data-dependent one — leave
+    it None when a bit-stable result matters more than saved
+    supersteps).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
-    e = (
-        edges.select(F.col(src).cast("long").alias("__src"), F.col(dst).cast("long").alias("__dst"))
-        .where(F.col("__src").isNotNull() & F.col("__dst").isNotNull())
-        .distinct()
-    )
-    deg = e.groupBy("__src").agg(F.count(F.lit(1)).cast("double").alias("__deg"))
+    if weight_col is None:
+        e = (
+            edges.select(
+                F.col(src).cast("long").alias("__src"), F.col(dst).cast("long").alias("__dst")
+            )
+            .where(F.col("__src").isNotNull() & F.col("__dst").isNotNull())
+            .distinct()
+            .withColumn("__ew", F.lit(1.0))
+        )
+    else:
+        e = (
+            edges.select(
+                F.col(src).cast("long").alias("__src"),
+                F.col(dst).cast("long").alias("__dst"),
+                F.col(weight_col).cast("double").alias("__ew"),
+            )
+            .where(
+                F.col("__src").isNotNull()
+                & F.col("__dst").isNotNull()
+                & (F.col("__ew") > 0)
+            )
+            .groupBy("__src", "__dst")
+            .agg(F.sum("__ew").alias("__ew"))
+        )
+    deg = e.groupBy("__src").agg(F.sum("__ew").alias("__deg"))
     spark = edges.sparkSession
     k = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # the heavy relation, prepared once: inverse degree baked in so the
-    # per-superstep join emits rank * __w directly
+    # the heavy relation, prepared once: normalized edge weight baked in
+    # so the per-superstep join emits rank * __w directly
     links = (
         e.join(deg, "__src")
-        .withColumn("__w", F.lit(1.0) / F.col("__deg"))
-        .drop("__deg")
+        .withColumn("__w", F.col("__ew") / F.col("__deg"))
+        .drop("__deg", "__ew")
         .repartition(k, "__src")
         .persist()
     )
     links.count()  # materialize: iterations must hit the cache, not the lineage
 
-    nodes = (
+    bare_nodes = (
         e.select(F.col("__src").alias(node_col))
         .unionByName(e.select(F.col("__dst").alias(node_col)))
         .distinct()
-        .persist()
     )
-    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    # teleport vector as a node column: uniform 1/n, or the normalized
+    # seed weights (computed over in-graph seeds so mass still sums to 1)
+    if reset is None:
+        n_df = bare_nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+        nodes = (
+            bare_nodes.crossJoin(F.broadcast(n_df))
+            .select(node_col, (F.lit(1.0) / F.col("__n")).alias("__t"))
+            .persist()
+        )
+    else:
+        seeded = bare_nodes.join(
+            F.broadcast(
+                reset.select(
+                    F.col(node_col).cast("long").alias(node_col),
+                    F.col("weight").cast("double").alias("__rw"),
+                )
+            ),
+            node_col,
+            "left",
+        ).withColumn("__rw", F.coalesce(F.col("__rw"), F.lit(0.0)))
+        tot = seeded.agg(F.sum("__rw").alias("__tot"))
+        nodes = (
+            seeded.crossJoin(F.broadcast(tot))
+            .select(node_col, (F.col("__rw") / F.col("__tot")).alias("__t"))
+            .persist()
+        )
     dangling = nodes.join(
         deg, nodes[node_col] == deg["__src"], "left_anti"
     ).persist()
 
-    ranks = (
-        nodes.crossJoin(F.broadcast(n_df))
-        .select(node_col, (F.lit(1.0) / F.col("__n")).alias(rank_col))
-        .localCheckpoint(eager=True)
+    ranks = nodes.select(node_col, F.col("__t").alias(rank_col)).localCheckpoint(
+        eager=True
     )
     for _ in range(n_iter):
         contrib = (
@@ -102,21 +157,20 @@ def pagerank(
             .groupBy("__dst")
             .agg(F.sum(F.col(rank_col) * F.col("__w")).alias("__contrib"))
         )
-        dm = dangling.join(ranks, node_col).agg(
+        dm = dangling.select(node_col, "__t").join(ranks, node_col).agg(
             F.coalesce(F.sum(rank_col), F.lit(0.0)).alias("__dm")
         )
         new_ranks = (
             nodes.join(contrib, nodes[node_col] == contrib["__dst"], "left")
-            .crossJoin(F.broadcast(n_df))
             .crossJoin(F.broadcast(dm))
             .select(
                 node_col,
                 (
-                    F.lit(1.0 - damping) / F.col("__n")
+                    F.lit(1.0 - damping) * F.col("__t")
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("__contrib"), F.lit(0.0))
-                        + F.col("__dm") / F.col("__n")
+                        + F.col("__dm") * F.col("__t")
                     )
                 ).alias(rank_col),
             )

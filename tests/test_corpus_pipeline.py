@@ -277,3 +277,29 @@ def test_curriculum_stage_orders_by_fluency(spark, sf_dir):
         by_b.setdefault(r.bucket, []).append(r.mean_nll)
     assert set(by_b) == {0, 1, 2}
     assert max(by_b[0]) <= min(by_b[2])  # fluency monotone end to end
+
+
+def test_dedup_lines_stage_chains_into_document_dedup(spark):
+    """The 1c stage removes cross-doc repeated lines keep-first and
+    its output feeds the document-dedup stage unchanged."""
+    from terrorblade_spark.corpus import CorpusPipeline
+
+    footer = "follow us on social media"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma\n{footer}"),
+            (2, f"delta epsilon zeta\n{footer}"),
+            (3, f"{footer}\neta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    pipe = CorpusPipeline(spark, docs)
+    out = {r["doc_id"]: r for r in pipe.dedup_lines(docs).collect()}
+    assert out[1]["text"] == f"alpha beta gamma\n{footer}"  # first copy kept
+    assert out[2]["text"] == "delta epsilon zeta"
+    assert out[3]["text"] == "eta theta iota"
+    assert out[2]["n_removed_lines"] == 1 and out[3]["n_removed_lines"] == 1
+    # chains: the cleaned text is what document dedup sees
+    cleaned = pipe.dedup_lines(docs).select("doc_id", "text")
+    deduped = pipe.dedup(cleaned)
+    assert deduped.count() == 3

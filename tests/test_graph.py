@@ -104,3 +104,64 @@ def test_indegree_profile(spark):
     assert got[4]["in_bucket"] == -1          # no in-edges
     assert got[3]["in_bucket"] == 1           # floor(log2(3))
     assert got[1]["in_bucket"] == 0
+
+
+def _np_pagerank_general(wedges, n_iter=10, d=0.85, reset=None):
+    """Weighted/personalized dense reference: wedges = {(u,v): w}."""
+    nodes = sorted({u for u, _ in wedges} | {v for _, v in wedges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_w = {}
+    for (u, v), w in wedges.items():
+        out_w.setdefault(u, {})[v] = out_w.get(u, {}).get(v, 0.0) + w
+    if reset is None:
+        t = np.full(n, 1.0 / n)
+    else:
+        t = np.zeros(n)
+        for v, w in reset.items():
+            if v in idx:
+                t[idx[v]] = w
+        t = t / t.sum()
+    r = t.copy()
+    for _ in range(n_iter):
+        dangling = sum(r[idx[u]] for u in nodes if u not in out_w)
+        nxt = (1.0 - d) * t + d * dangling * t
+        for u, vs in out_w.items():
+            tot = sum(vs.values())
+            for v, w in vs.items():
+                nxt[idx[v]] += d * r[idx[u]] * w / tot
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_weighted_follows_weights(spark):
+    """A 9:1 weighted split sends ~9x the mass along the heavy edge;
+    duplicate weighted rows sum. Matches the dense reference."""
+    wedges = {(1, 2): 9.0, (1, 3): 1.0, (2, 1): 1.0, (3, 1): 1.0}
+    rows = [(u, v, w / 2) for (u, v), w in wedges.items()] * 2  # dup rows sum
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = _ranks(pagerank(e, n_iter=10, weight_col="w"))
+    want = _np_pagerank_general(wedges, n_iter=10)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert got[2] > got[3] * 2  # heavy edge dominates
+
+
+def test_pagerank_personalized_biases_to_seed(spark):
+    """Teleport to node 1 only: mass concentrates in 1's neighborhood;
+    off-graph seeds are ignored in normalization; mass sums to 1."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1, 1.0), (999, 5.0)], "node long, weight double")
+    got = _ranks(pagerank(e, n_iter=20, reset=seeds))
+    want = _np_pagerank_general(
+        {(1, 2): 1, (2, 3): 1, (3, 1): 1, (4, 5): 1, (5, 4): 1},
+        n_iter=20,
+        reset={1: 1.0},
+    )
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # the disconnected 4<->5 cycle gets no teleport and decays to ~0
+    assert got[4] < 1e-6 and got[1] > 0.3
