@@ -23,6 +23,7 @@ TOUR = [
     "q79_event_thread_roots",     # pointer-doubling threading
     "q36_cosine_topk",            # vector search
     "q71_bm25_persisted_topk",    # lexical search (persisted index)
+    "q104_nation_trade_pagerank",  # link-graph centrality (Pregel supersteps)
 ]
 
 

@@ -39,7 +39,11 @@ def main() -> None:
     pipe = CorpusPipeline(spark, docs)
     curated = pipe.curate(redact=True, quality_model=model, min_words=5)
     kept = curated.where("keep")
-    deduped = pipe.dedup(kept)
+    # line-level keep-first dedup (q103 recipe) before document dedup:
+    # repeated boilerplate lines vanish, raising MinHash precision
+    line_clean = pipe.dedup_lines(kept.select("doc_id", "text"))
+    line_clean.agg(F.sum("n_removed_lines").alias("dup_lines_removed")).show()
+    deduped = pipe.dedup(line_clean.select("doc_id", "text"))
 
     # rebalance languages by whole-epoch repetition (q101 recipe)
     # before sequence packing, so the dominant language doesn't drown

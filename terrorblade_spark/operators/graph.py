@@ -139,7 +139,24 @@ def pagerank(
         tot = seeded.agg(F.sum("__rw").alias("__tot"))
         nodes = (
             seeded.crossJoin(F.broadcast(tot))
-            .select(node_col, (F.col("__rw") / F.col("__tot")).alias("__t"))
+            .select(
+                node_col,
+                # fail fast instead of 0/0 -> all-NaN ranks: no in-graph
+                # seed means the teleport vector doesn't exist. The
+                # raise fires at the eager init checkpoint below, not
+                # mid-iteration.
+                F.when(
+                    F.col("__tot") > 0, F.col("__rw") / F.col("__tot")
+                )
+                .otherwise(
+                    F.raise_error(
+                        F.lit(
+                            "pagerank reset has no in-graph seed with positive weight"
+                        )
+                    ).cast("double")
+                )
+                .alias("__t"),
+            )
             .persist()
         )
     dangling = nodes.join(

@@ -165,3 +165,15 @@ def test_pagerank_personalized_biases_to_seed(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     # the disconnected 4<->5 cycle gets no teleport and decays to ~0
     assert got[4] < 1e-6 and got[1] > 0.3
+
+
+def test_pagerank_rejects_off_graph_only_seeds(spark):
+    """A reset with zero in-graph positive weight must raise at build,
+    not silently return all-NaN ranks (0/0 teleport)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(999, 1.0)], "node long, weight double")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="in-graph seed"):
+        pagerank(e, n_iter=3, reset=seeds)
