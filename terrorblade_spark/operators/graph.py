@@ -237,3 +237,99 @@ def indegree_profile(
             F.floor(F.log2(F.col("in_degree").cast("double"))).cast("int")
         ),
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    walk_length: int = 5,
+    walks_per_node: int = 1,
+    seed: str = "walk",
+    node_col: str = "node",
+) -> DataFrame:
+    """Seeded DETERMINISTIC random walks over the directed graph — the
+    node2vec/DeepWalk context sampler: every node starts
+    ``walks_per_node`` walks, each step follows the out-edge whose
+    rank (row_number over dst within src) equals
+    ``hash64(seed/walk_id/step) % out_degree`` — pure md5 arithmetic,
+    so the same walk is reproduced on any partitioning, any cluster
+    size, and by the SQL oracle twin. A walk that reaches a dangling
+    node simply stops.
+
+    Returns the exploded relation ``(walk_id, step, node_col)`` with
+    step 0 = the start node — the shape skip-gram pair extraction
+    consumes directly (self-join on walk_id with a step-window
+    predicate).
+
+    Execution shape (same recipe as :func:`pagerank`): the indexed
+    edge relation (src, dst, rank-within-src, out-degree) is built
+    ONCE, src-partitioned and persisted; each step is one equi-join of
+    the walk frontier (|nodes| x walks_per_node rows) against the
+    cache plus an eager localCheckpoint — the corpus-sized edge
+    relation never re-shuffles, lineage stays flat.
+    """
+    from terrorblade_spark.functions.exprs import hash64
+
+    if walk_length < 1:
+        raise ValueError(f"walk_length must be >= 1, got {walk_length}")
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("__src"), F.col(dst).cast("long").alias("__dst")
+        )
+        .where(F.col("__src").isNotNull() & F.col("__dst").isNotNull())
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__src").orderBy("__dst")
+    deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    spark = edges.sparkSession
+    k = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    links = (
+        e.withColumn("__idx", F.row_number().over(w))
+        .join(deg, "__src")
+        .repartition(k, "__src")
+        .persist()
+    )
+    links.count()
+
+    nodes = (
+        e.select(F.col("__src").alias("__cur"))
+        .unionByName(e.select(F.col("__dst").alias("__cur")))
+        .distinct()
+    )
+    reps = spark.range(walks_per_node).withColumnRenamed("id", "__r")
+    frontier = (
+        nodes.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("__cur") * walks_per_node + F.col("__r")).alias("walk_id"), "__cur"
+        )
+        .localCheckpoint(eager=True)
+    )
+    steps = [
+        frontier.select(
+            "walk_id", F.lit(0).alias("step"), F.col("__cur").alias(node_col)
+        )
+    ]
+    for t in range(1, walk_length + 1):
+        draw = hash64(
+            F.concat(
+                F.lit(f"{seed}/"), F.col("walk_id").cast("string"), F.lit(f"/{t}")
+            )
+        )
+        nxt = (
+            frontier.join(links, frontier["__cur"] == links["__src"])
+            .where(F.col("__idx") == draw % F.col("__deg") + 1)
+            .select("walk_id", F.col("__dst").alias("__cur"))
+            .localCheckpoint(eager=True)
+        )
+        steps.append(
+            nxt.select("walk_id", F.lit(t).alias("step"), F.col("__cur").alias(node_col))
+        )
+        frontier = nxt
+    links.unpersist()
+    out = steps[0]
+    for s_df in steps[1:]:
+        out = out.unionByName(s_df)
+    return out

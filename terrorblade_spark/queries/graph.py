@@ -101,3 +101,76 @@ def q104_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         "node", F.round("pagerank", 6).alias("pagerank")
     ).orderBy("node")
+
+
+# --- q105: deterministic random walks (full value oracle) ---------------------
+# node2vec-style context sampling over the same trade graph: every
+# step's out-edge choice is md5 arithmetic over (seed, walk_id, step),
+# so the full (walk_id, step, node) relation is bit-reproducible and
+# the oracle mirrors it with the identical unrolled joins. All-integer
+# algebra — no rounding needed.
+
+_Q105_LEN = 4
+_Q105_WPN = 2
+_Q105_SEED = "nw-v1"
+
+
+def _q105_oracle() -> str:
+    steps = []
+    for t in range(1, _Q105_LEN + 1):
+        draw = (
+            f"('0x' || substring(md5('{_Q105_SEED}/' || w.walk_id::VARCHAR || '/{t}'), 1, 15))::BIGINT"
+        )
+        steps.append(f"""
+    w{t} AS MATERIALIZED (
+      SELECT w.walk_id, x.dst AS cur
+      FROM w{t - 1} w
+      JOIN idx x ON x.src = w.cur AND x.i = {draw} % x.deg + 1
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT walk_id, {t}::INTEGER AS step, cur AS node FROM w{t}"
+        for t in range(_Q105_LEN + 1)
+    )
+    return f"""
+    WITH e AS MATERIALIZED ({_Q104_EDGES_SQL}),
+    idx AS MATERIALIZED (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) AS i,
+             count(*) OVER (PARTITION BY src) AS deg
+      FROM e
+    ),
+    nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ),
+    w0 AS MATERIALIZED (
+      SELECT node * {_Q105_WPN} + g.r AS walk_id, node AS cur
+      FROM nodes, unnest(generate_series(0, {_Q105_WPN - 1})) AS g(r)
+    ),{",".join(steps)}
+    SELECT * FROM ({unions})
+    ORDER BY walk_id, step
+    """
+
+
+@query("q105_trade_graph_walks", oracle=_q105_oracle())
+def q105_trade_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.graph import random_walks
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    ).where(F.col("l_quantity") > _Q104_MIN_QTY)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+    )
+    walks = random_walks(
+        edges,
+        walk_length=_Q105_LEN,
+        walks_per_node=_Q105_WPN,
+        seed=_Q105_SEED,
+    )
+    return walks.orderBy("walk_id", "step")

@@ -106,6 +106,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q102_curriculum_order",
     "q103_line_dedup",
     "q104_nation_trade_pagerank",
+    "q105_trade_graph_walks",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

@@ -177,3 +177,69 @@ def test_pagerank_rejects_off_graph_only_seeds(spark):
     seeds = spark.createDataFrame([(999, 1.0)], "node long, weight double")
     with pytest.raises((SparkRuntimeException, Py4JJavaError), match="in-graph seed"):
         pagerank(e, n_iter=3, reset=seeds)
+
+
+def _py_walks(edges, walk_length, walks_per_node, seed):
+    """Exact Python mirror of random_walks' md5 step arithmetic."""
+    import hashlib
+
+    out = {}
+    for u, v in sorted(set(edges)):
+        out.setdefault(u, []).append(v)
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    rows = []
+    for node in nodes:
+        for r in range(walks_per_node):
+            wid = node * walks_per_node + r
+            cur = node
+            rows.append((wid, 0, cur))
+            for t in range(1, walk_length + 1):
+                if cur not in out:
+                    break
+                h = int(hashlib.md5(f"{seed}/{wid}/{t}".encode()).hexdigest()[:15], 16)
+                cur = out[cur][h % len(out[cur])]
+                rows.append((wid, t, cur))
+    return sorted(rows)
+
+
+def test_random_walks_match_python_mirror(spark):
+    """Every (walk_id, step, node) row equals the hashlib mirror —
+    the determinism contract that makes the walks oracle-able."""
+    from terrorblade_spark.operators.graph import random_walks
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (4, 1), (2, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(e, walk_length=6, walks_per_node=2, seed="w1").collect()
+    )
+    assert got == _py_walks(edges, 6, 2, "w1")
+
+
+def test_random_walks_stop_at_dangling(spark):
+    """Node 3 has no out-edges: every walk reaching it emits no
+    further steps; start rows exist for ALL nodes including 3."""
+    from terrorblade_spark.operators.graph import random_walks
+
+    e = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    rows = random_walks(e, walk_length=4, seed="w2").collect()
+    by_wid = {}
+    for r in rows:
+        by_wid.setdefault(r["walk_id"], []).append((r["step"], r["node"]))
+    assert sorted(by_wid[3]) == [(0, 3)]                      # dangling start
+    assert sorted(by_wid[1]) == [(0, 1), (1, 3)]              # one hop, then stop
+    assert sorted(by_wid[2]) == [(0, 2), (1, 3)]
+
+
+def test_random_walks_reproducible_and_seed_sensitive(spark):
+    from terrorblade_spark.operators.graph import random_walks
+
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 20) for i in range(20)] + [(i, (i + 7) % 20) for i in range(20)],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, random_walks(e, walk_length=5, seed="s").collect()))
+    b = sorted(map(tuple, random_walks(e, walk_length=5, seed="s").collect()))
+    c = sorted(map(tuple, random_walks(e, walk_length=5, seed="OTHER").collect()))
+    assert a == b
+    assert a != c
