@@ -333,3 +333,110 @@ def random_walks(
     for s_df in steps[1:]:
         out = out.unionByName(s_df)
     return out
+
+
+def walk_context_pairs(
+    walks: DataFrame,
+    window: int = 2,
+    node_col: str = "node",
+) -> DataFrame:
+    """Skip-gram (center, context) pairs from a :func:`random_walks`
+    relation: within each walk, every ordered pair of nodes at step
+    distance 1..window, symmetric (both directions emitted), weighted
+    by corpus multiplicity. Returns ``(center, context, n_pairs)`` —
+    the co-occurrence relation a graph-embedding trainer consumes.
+
+    Plan: ONE self-equi-join on walk_id (walk relations are
+    |nodes| x walks_per_node x length — node-sized, not corpus-sized)
+    with the step-distance band as a residual predicate, then a
+    map-side-combined count aggregate.
+    """
+    a = walks.select(
+        "walk_id", F.col("step").alias("__sa"), F.col(node_col).alias("center")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("__sb"), F.col(node_col).alias("context")
+    )
+    band = F.abs(F.col("__sa") - F.col("__sb"))
+    return (
+        a.join(b, "walk_id")
+        .where((band >= 1) & (band <= window))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Per-node triangle counts of the UNDIRECTED simple graph induced
+    by ``edges`` (direction and self-loops dropped). Returns
+    ``(node_col, n_triangles)`` for every node of the graph (0 for
+    triangle-free nodes).
+
+    Plan — the degree-ordered edge-iterator recipe (the public
+    MapReduce triangle-counting design): orient each undirected edge
+    from its lower-(degree, id) endpoint to the higher one. Every
+    vertex's oriented out-degree is then bounded by O(sqrt(|E|))
+    regardless of raw degree, so the wedge join under a web-scale hub
+    stays bounded — the naive neighbor join on a 10M-degree hub would
+    build 10^14 wedges; oriented, the hub is almost always the wedge
+    TIP, never the pivot. Wedges (u->v, u->w) close into triangles via
+    one semi-ish join against the oriented edges themselves; each
+    triangle materializes exactly once (u < v < w in degree order) and
+    is exploded to its three corners for the per-node counts.
+    """
+    und = (
+        edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    nodes = (
+        und.select(F.col("u").alias(node_col))
+        .unionByName(und.select(F.col("v").alias(node_col)))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias(node_col))
+        .unionByName(und.select(F.col("v").alias(node_col)))
+        .groupBy(node_col)
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    du = deg.select(F.col(node_col).alias("u"), F.col("__deg").alias("__du"))
+    dv = deg.select(F.col(node_col).alias("v"), F.col("__deg").alias("__dv"))
+    lower_first = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .persist()
+    )
+    w1 = oriented.select(F.col("s"), F.col("t").alias("x"))
+    w2 = oriented.select(F.col("s"), F.col("t").alias("y"))
+    wedges = w1.join(w2, "s").where(F.col("x") < F.col("y"))
+    closing = oriented.select(F.col("s").alias("x"), F.col("t").alias("y")).unionByName(
+        oriented.select(F.col("t").alias("x"), F.col("s").alias("y"))
+    )
+    tris = wedges.join(closing, ["x", "y"])
+    corners = (
+        tris.select(F.col("s").alias(node_col))
+        .unionByName(tris.select(F.col("x").alias(node_col)))
+        .unionByName(tris.select(F.col("y").alias(node_col)))
+        .groupBy(node_col)
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = nodes.join(corners, node_col, "left").select(
+        node_col, F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles")
+    )
+    return out

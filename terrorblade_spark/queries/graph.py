@@ -174,3 +174,89 @@ def q105_trade_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_Q105_SEED,
     )
     return walks.orderBy("walk_id", "step")
+
+
+# --- q106: skip-gram context pairs from the walks (full value oracle) ---------
+# walk_context_pairs over the exact q105 walk relation: the oracle
+# reuses the unrolled walk CTEs and mirrors the banded self-join +
+# count. All-integer algebra.
+
+_Q106_WINDOW = 2
+
+
+def _q106_oracle() -> str:
+    walks = _q105_oracle()
+    # swap q105's final SELECT for the pair extraction over the same CTEs
+    head, _, tail = walks.rpartition("SELECT * FROM (")
+    unions = tail[: tail.rindex(")")]
+    return f"""{head}SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+    FROM ({unions}) a
+    JOIN ({unions}) b
+      ON a.walk_id = b.walk_id
+     AND abs(a.step - b.step) BETWEEN 1 AND {_Q106_WINDOW}
+    GROUP BY a.node, b.node
+    ORDER BY center, context
+    """
+
+
+@query("q106_walk_context_pairs", oracle=_q106_oracle())
+def q106_walk_context_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.graph import walk_context_pairs
+
+    walks = q105_trade_graph_walks(spark, sf_dir)
+    out = walk_context_pairs(walks, window=_Q106_WINDOW)
+    return out.orderBy("center", "context")
+
+
+# --- q107: per-node triangle counts (full value oracle) -----------------------
+# triangle_count over the undirected trade graph. The engine uses the
+# degree-ordered edge-iterator (hub-safe wedge bound); the oracle uses
+# the id-ordered 3-way join — different plans, identical integer
+# counts by construction.
+
+
+@query(
+    "q107_trade_graph_triangles",
+    oracle=f"""
+    WITH e AS MATERIALIZED ({_Q104_EDGES_SQL}),
+    und AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM e WHERE src <> dst
+    ),
+    nodes AS (
+      SELECT u AS node FROM und UNION SELECT v FROM und
+    ),
+    tri AS (
+      SELECT x.u AS a, x.v AS b, y.v AS c
+      FROM und x
+      JOIN und y ON y.u = x.v
+      JOIN und z ON z.u = x.u AND z.v = y.v
+    ),
+    corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT n.node, coalesce(cnt.n, 0)::BIGINT AS n_triangles
+    FROM nodes n
+    LEFT JOIN (SELECT node, count(*) AS n FROM corners GROUP BY node) cnt
+      ON cnt.node = n.node
+    ORDER BY n.node
+    """,
+)
+def q107_trade_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.graph import triangle_count
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    ).where(F.col("l_quantity") > _Q104_MIN_QTY)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+    )
+    return triangle_count(edges).orderBy("node")

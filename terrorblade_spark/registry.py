@@ -107,6 +107,8 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q103_line_dedup",
     "q104_nation_trade_pagerank",
     "q105_trade_graph_walks",
+    "q106_walk_context_pairs",
+    "q107_trade_graph_triangles",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

@@ -243,3 +243,72 @@ def test_random_walks_reproducible_and_seed_sensitive(spark):
     c = sorted(map(tuple, random_walks(e, walk_length=5, seed="OTHER").collect()))
     assert a == b
     assert a != c
+
+
+def test_triangle_count_known_graphs(spark):
+    from terrorblade_spark.operators.graph import triangle_count
+
+    # K4: every node is in C(3,2)=3 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = {r["node"]: r["n_triangles"] for r in
+           triangle_count(spark.createDataFrame(k4, "src long, dst long")).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # triangle + pendant; direction/self-loops/multi-edges ignored
+    e2 = [(1, 2), (2, 1), (2, 3), (3, 1), (3, 4), (4, 4)]
+    got2 = {r["node"]: r["n_triangles"] for r in
+            triangle_count(spark.createDataFrame(e2, "src long, dst long")).collect()}
+    assert got2 == {1: 1, 2: 1, 3: 1, 4: 0}
+    # star: no triangles anywhere
+    star = [(0, i) for i in range(1, 6)]
+    got3 = {r["node"]: r["n_triangles"] for r in
+            triangle_count(spark.createDataFrame(star, "src long, dst long")).collect()}
+    assert set(got3.values()) == {0}
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from terrorblade_spark.operators.graph import triangle_count
+
+    rng = np.random.RandomState(11)
+    und = {tuple(sorted((int(rng.randint(0, 25)), int(rng.randint(0, 25)))))
+           for _ in range(140)}
+    und = {(u, v) for u, v in und if u != v}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = dict.fromkeys(adj, 0)
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+    e = spark.createDataFrame(sorted(und), "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(e).collect()}
+    assert got == want
+
+
+def test_walk_context_pairs_mirror(spark):
+    """Pairs match a Python skip-gram window over the mirrored walks,
+    symmetric and multiplicity-weighted."""
+    from terrorblade_spark.operators.graph import random_walks, walk_context_pairs
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    walks = random_walks(e, walk_length=5, walks_per_node=2, seed="cp")
+    got = {(r["center"], r["context"]): r["n_pairs"]
+           for r in walk_context_pairs(walks, window=2).collect()}
+    rows = _py_walks(edges, 5, 2, "cp")
+    by_wid = {}
+    for wid, step, node in rows:
+        by_wid.setdefault(wid, []).append((step, node))
+    want = {}
+    for seq in by_wid.values():
+        for (sa, na) in seq:
+            for (sb, nb) in seq:
+                if 1 <= abs(sa - sb) <= 2:
+                    want[(na, nb)] = want.get((na, nb), 0) + 1
+    assert got == want
+    # symmetric by construction
+    assert all(got[(b, a)] == n for (a, b), n in got.items())
