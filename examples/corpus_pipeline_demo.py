@@ -41,7 +41,7 @@ def main() -> None:
     kept = curated.where("keep")
     # line-level keep-first dedup (q103 recipe) before document dedup:
     # repeated boilerplate lines vanish, raising MinHash precision
-    line_clean = pipe.dedup_lines(kept.select("doc_id", "text"))
+    line_clean = pipe.dedup_lines(kept.select("doc_id", "text")).persist()
     line_clean.agg(F.sum("n_removed_lines").alias("dup_lines_removed")).show()
     deduped = pipe.dedup(line_clean.select("doc_id", "text"))
 

@@ -73,6 +73,54 @@ def pagerank(
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
+    return _pagerank_impl(
+        edges, src, dst, n_iter, damping, node_col, rank_col, tol, weight_col, reset
+    )
+
+
+def _prepare_links(e: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """The one-time edge materialization every superstep reuses: the
+    normalized-weight link relation, hash-repartitioned on ``__src``
+    and persisted so the iteration joins read its cached partitioning
+    with no further Exchange (plan-gated in tests/test_plans.py against
+    THIS function). Returns (links, out-degree relation)."""
+    deg = e.groupBy("__src").agg(F.sum("__ew").alias("__deg"))
+    links = (
+        e.join(deg, "__src")
+        .withColumn("__w", F.col("__ew") / F.col("__deg"))
+        .drop("__deg", "__ew")
+        .repartition(k, "__src")
+        .persist()
+    )
+    return links, deg
+
+
+def _superstep_contrib(
+    links: DataFrame, ranks: DataFrame, node_col: str, rank_col: str
+) -> DataFrame:
+    """One superstep's contribution sum — the join the plan gate
+    checks: cached links on ``__src``, node-sized ranks shuffled in."""
+    return (
+        links.join(
+            ranks.select(F.col(node_col).alias("__src"), F.col(rank_col)), "__src"
+        )
+        .groupBy("__dst")
+        .agg(F.sum(F.col(rank_col) * F.col("__w")).alias("__contrib"))
+    )
+
+
+def _pagerank_impl(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    n_iter: int,
+    damping: float,
+    node_col: str,
+    rank_col: str,
+    tol: float | None,
+    weight_col: str | None,
+    reset: DataFrame | None,
+) -> DataFrame:
     if weight_col is None:
         e = (
             edges.select(
@@ -97,117 +145,110 @@ def pagerank(
             .groupBy("__src", "__dst")
             .agg(F.sum("__ew").alias("__ew"))
         )
-    deg = e.groupBy("__src").agg(F.sum("__ew").alias("__deg"))
     spark = edges.sparkSession
     k = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # the heavy relation, prepared once: normalized edge weight baked in
-    # so the per-superstep join emits rank * __w directly
-    links = (
-        e.join(deg, "__src")
-        .withColumn("__w", F.col("__ew") / F.col("__deg"))
-        .drop("__deg", "__ew")
-        .repartition(k, "__src")
-        .persist()
-    )
-    links.count()  # materialize: iterations must hit the cache, not the lineage
+    links, deg = _prepare_links(e, k)
+    nodes = dangling = None
+    try:
+        links.count()  # materialize: iterations must hit the cache, not the lineage
 
-    bare_nodes = (
-        e.select(F.col("__src").alias(node_col))
-        .unionByName(e.select(F.col("__dst").alias(node_col)))
-        .distinct()
-    )
-    # teleport vector as a node column: uniform 1/n, or the normalized
-    # seed weights (computed over in-graph seeds so mass still sums to 1)
-    if reset is None:
-        n_df = bare_nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-        nodes = (
-            bare_nodes.crossJoin(F.broadcast(n_df))
-            .select(node_col, (F.lit(1.0) / F.col("__n")).alias("__t"))
-            .persist()
+        bare_nodes = (
+            e.select(F.col("__src").alias(node_col))
+            .unionByName(e.select(F.col("__dst").alias(node_col)))
+            .distinct()
         )
-    else:
-        seeded = bare_nodes.join(
-            F.broadcast(
-                reset.select(
-                    F.col(node_col).cast("long").alias(node_col),
-                    F.col("weight").cast("double").alias("__rw"),
-                )
-            ),
-            node_col,
-            "left",
-        ).withColumn("__rw", F.coalesce(F.col("__rw"), F.lit(0.0)))
-        tot = seeded.agg(F.sum("__rw").alias("__tot"))
-        nodes = (
-            seeded.crossJoin(F.broadcast(tot))
-            .select(
-                node_col,
-                # fail fast instead of 0/0 -> all-NaN ranks: no in-graph
-                # seed means the teleport vector doesn't exist. The
-                # raise fires at the eager init checkpoint below, not
-                # mid-iteration.
-                F.when(
-                    F.col("__tot") > 0, F.col("__rw") / F.col("__tot")
-                )
-                .otherwise(
-                    F.raise_error(
-                        F.lit(
-                            "pagerank reset has no in-graph seed with positive weight"
-                        )
-                    ).cast("double")
-                )
-                .alias("__t"),
+        # teleport vector as a node column: uniform 1/n, or the normalized
+        # seed weights (computed over in-graph seeds so mass still sums to 1)
+        if reset is None:
+            n_df = bare_nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+            nodes = (
+                bare_nodes.crossJoin(F.broadcast(n_df))
+                .select(node_col, (F.lit(1.0) / F.col("__n")).alias("__t"))
+                .persist()
             )
-            .persist()
-        )
-    dangling = nodes.join(
-        deg, nodes[node_col] == deg["__src"], "left_anti"
-    ).persist()
-
-    ranks = nodes.select(node_col, F.col("__t").alias(rank_col)).localCheckpoint(
-        eager=True
-    )
-    for _ in range(n_iter):
-        contrib = (
-            links.join(
-                ranks.select(F.col(node_col).alias("__src"), F.col(rank_col)), "__src"
-            )
-            .groupBy("__dst")
-            .agg(F.sum(F.col(rank_col) * F.col("__w")).alias("__contrib"))
-        )
-        dm = dangling.select(node_col, "__t").join(ranks, node_col).agg(
-            F.coalesce(F.sum(rank_col), F.lit(0.0)).alias("__dm")
-        )
-        new_ranks = (
-            nodes.join(contrib, nodes[node_col] == contrib["__dst"], "left")
-            .crossJoin(F.broadcast(dm))
-            .select(
-                node_col,
-                (
-                    F.lit(1.0 - damping) * F.col("__t")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("__contrib"), F.lit(0.0))
-                        + F.col("__dm") * F.col("__t")
-                    )
-                ).alias(rank_col),
-            )
-            .localCheckpoint(eager=True)
-        )
-        if tol is not None:
-            delta = (
-                new_ranks.withColumnRenamed(rank_col, "__new")
-                .join(ranks, node_col)
-                .agg(F.sum(F.abs(F.col("__new") - F.col(rank_col))).alias("d"))
-                .first()["d"]
-            )
-            ranks = new_ranks
-            if delta is not None and delta < tol:
-                break
         else:
-            ranks = new_ranks
-    links.unpersist()
-    nodes.unpersist()
-    dangling.unpersist()
+            seeded = bare_nodes.join(
+                F.broadcast(
+                    reset.select(
+                        F.col(node_col).cast("long").alias(node_col),
+                        F.col("weight").cast("double").alias("__rw"),
+                    )
+                ),
+                node_col,
+                "left",
+            ).withColumn("__rw", F.coalesce(F.col("__rw"), F.lit(0.0)))
+            tot = seeded.agg(F.sum("__rw").alias("__tot"))
+            nodes = (
+                seeded.crossJoin(F.broadcast(tot))
+                .select(
+                    node_col,
+                    # fail fast instead of 0/0 -> all-NaN ranks: no in-graph
+                    # seed means the teleport vector doesn't exist. The
+                    # raise fires at the eager init checkpoint below, not
+                    # mid-iteration.
+                    F.when(
+                        F.col("__tot") > 0, F.col("__rw") / F.col("__tot")
+                    )
+                    .otherwise(
+                        F.raise_error(
+                            F.lit(
+                                "pagerank reset has no in-graph seed with positive weight"
+                            )
+                        ).cast("double")
+                    )
+                    .alias("__t"),
+                )
+                .persist()
+            )
+        dangling = nodes.join(
+            deg, nodes[node_col] == deg["__src"], "left_anti"
+        ).persist()
+
+        ranks = nodes.select(node_col, F.col("__t").alias(rank_col)).localCheckpoint(
+            eager=True
+        )
+        for _ in range(n_iter):
+            contrib = _superstep_contrib(links, ranks, node_col, rank_col)
+            dm = dangling.select(node_col, "__t").join(ranks, node_col).agg(
+                F.coalesce(F.sum(rank_col), F.lit(0.0)).alias("__dm")
+            )
+            new_ranks = (
+                nodes.join(contrib, nodes[node_col] == contrib["__dst"], "left")
+                .crossJoin(F.broadcast(dm))
+                .select(
+                    node_col,
+                    (
+                        F.lit(1.0 - damping) * F.col("__t")
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("__contrib"), F.lit(0.0))
+                            + F.col("__dm") * F.col("__t")
+                        )
+                    ).alias(rank_col),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if tol is not None:
+                delta = (
+                    new_ranks.withColumnRenamed(rank_col, "__new")
+                    .join(ranks, node_col)
+                    .agg(F.sum(F.abs(F.col("__new") - F.col(rank_col))).alias("d"))
+                    .first()["d"]
+                )
+                ranks = new_ranks
+                if delta is not None and delta < tol:
+                    break
+            else:
+                ranks = new_ranks
+    finally:
+        # release caches on EVERY path — including the designed
+        # raise_error for an all-off-graph reset and tol-loop errors;
+        # a retry loop must not accumulate pinned edge-sized caches
+        links.unpersist()
+        if nodes is not None:
+            nodes.unpersist()
+        if dangling is not None:
+            dangling.unpersist()
     return ranks
 
 
@@ -273,6 +314,8 @@ def random_walks(
 
     if walk_length < 1:
         raise ValueError(f"walk_length must be >= 1, got {walk_length}")
+    if walks_per_node < 1:
+        raise ValueError(f"walks_per_node must be >= 1, got {walks_per_node}")
     e = (
         edges.select(
             F.col(src).cast("long").alias("__src"), F.col(dst).cast("long").alias("__dst")
@@ -292,11 +335,23 @@ def random_walks(
         .repartition(k, "__src")
         .persist()
     )
+    try:
+        return _walk_steps(
+            links, walks_per_node, walk_length, seed, node_col, spark
+        )
+    finally:
+        links.unpersist()
+
+
+def _walk_steps(links, walks_per_node, walk_length, seed, node_col, spark):
+    from terrorblade_spark.functions.exprs import hash64
+
     links.count()
 
+    # node set read from the already-materialized cache, not the lineage
     nodes = (
-        e.select(F.col("__src").alias("__cur"))
-        .unionByName(e.select(F.col("__dst").alias("__cur")))
+        links.select(F.col("__src").alias("__cur"))
+        .unionByName(links.select(F.col("__dst").alias("__cur")))
         .distinct()
     )
     reps = spark.range(walks_per_node).withColumnRenamed("id", "__r")
@@ -328,7 +383,6 @@ def random_walks(
             nxt.select("walk_id", F.lit(t).alias("step"), F.col("__cur").alias(node_col))
         )
         frontier = nxt
-    links.unpersist()
     out = steps[0]
     for s_df in steps[1:]:
         out = out.unionByName(s_df)
@@ -397,22 +451,24 @@ def triangle_count(
         )
         .distinct()
     )
-    nodes = (
-        und.select(F.col("u").alias(node_col))
-        .unionByName(und.select(F.col("v").alias(node_col)))
-        .distinct()
-    )
     deg = (
         und.select(F.col("u").alias(node_col))
         .unionByName(und.select(F.col("v").alias(node_col)))
         .groupBy(node_col)
         .agg(F.count(F.lit(1)).alias("__deg"))
     )
+    # every graph node has degree >= 1, so the degree relation IS the
+    # node set — no second union+distinct scan of the edges
+    nodes = deg.select(node_col)
     du = deg.select(F.col(node_col).alias("u"), F.col("__deg").alias("__du"))
     dv = deg.select(F.col(node_col).alias("v"), F.col("__deg").alias("__dv"))
     lower_first = (F.col("__du") < F.col("__dv")) | (
         (F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))
     )
+    # eager localCheckpoint, not persist: three consumers (two wedge
+    # sides + closure) read one materialization, and the blocks are
+    # ContextCleaner-reclaimed when the result is dropped — an internal
+    # persist here would pin an edge-sized cache per call forever
     oriented = (
         und.join(du, "u")
         .join(dv, "v")
@@ -420,7 +476,7 @@ def triangle_count(
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     w1 = oriented.select(F.col("s"), F.col("t").alias("x"))
     w2 = oriented.select(F.col("s"), F.col("t").alias("y"))

@@ -177,16 +177,19 @@ def distributed_rank(
     rows in different partitions and the offsets no longer match the
     numbering (measured at 10M rows: ~240k duplicate ranks; invisible
     at small scale only because the boundary sample covers the whole
-    input there). MEMORY_AND_DISK-backed cache never recomputes a
-    partition, so both consumers read one frozen assignment. Pass a
-    pruned ``df`` (the order columns + what you need back) — the cache
-    holds every input column."""
+    input there). An eager ``localCheckpoint`` freezes one assignment
+    for both consumers; unlike ``persist`` (whose CacheManager entry
+    an internal relation can never release) its blocks are reclaimed
+    by the ContextCleaner once the result is dropped, so repeated
+    calls don't pin corpus-sized caches for the session lifetime. Pass
+    a pruned ``df`` (the order columns + what you need back) — the
+    materialization holds every input column."""
     spark = df.sparkSession
     k = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     parted = (
         df.repartitionByRange(k, *[F.col(c) for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # k-row relation: per-partition counts -> exclusive prefix offsets.
     # (internal count column named __cnt: analyzer resolution is

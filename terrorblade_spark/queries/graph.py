@@ -31,6 +31,24 @@ _Q104_EDGES_SQL = f"""
 """
 
 
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared Spark twin of _Q104_EDGES_SQL — ONE definition for
+    q104/q105/q107 so the engine can never silently diverge from the
+    oracle CTE."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    ).where(F.col("l_quantity") > _Q104_MIN_QTY)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+    )
+
+
 def _q104_oracle() -> str:
     """Unroll pr0..pr{n} CTEs of the damped update — same recipe as
     operators/graph.py pagerank: contribution sum over distinct edges,
@@ -85,18 +103,7 @@ def _q104_oracle() -> str:
 def q104_nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from terrorblade_spark.operators.graph import pagerank
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_quantity"
-    ).where(F.col("l_quantity") > _Q104_MIN_QTY)
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    edges = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .join(li, o["o_orderkey"] == li["l_orderkey"])
-        .join(s, li["l_suppkey"] == s["s_suppkey"])
-        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
-    )
+    edges = _trade_edges(spark, sf_dir)
     pr = pagerank(edges, n_iter=_Q104_ITER, damping=_Q104_DAMP)
     return pr.select(
         "node", F.round("pagerank", 6).alias("pagerank")
@@ -155,18 +162,7 @@ def _q105_oracle() -> str:
 def q105_trade_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from terrorblade_spark.operators.graph import random_walks
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_quantity"
-    ).where(F.col("l_quantity") > _Q104_MIN_QTY)
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    edges = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .join(li, o["o_orderkey"] == li["l_orderkey"])
-        .join(s, li["l_suppkey"] == s["s_suppkey"])
-        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
-    )
+    edges = _trade_edges(spark, sf_dir)
     walks = random_walks(
         edges,
         walk_length=_Q105_LEN,
@@ -247,16 +243,5 @@ def q106_walk_context_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q107_trade_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from terrorblade_spark.operators.graph import triangle_count
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_quantity"
-    ).where(F.col("l_quantity") > _Q104_MIN_QTY)
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    edges = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .join(li, o["o_orderkey"] == li["l_orderkey"])
-        .join(s, li["l_suppkey"] == s["s_suppkey"])
-        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
-    )
+    edges = _trade_edges(spark, sf_dir)
     return triangle_count(edges).orderBy("node")

@@ -312,3 +312,11 @@ def test_walk_context_pairs_mirror(spark):
     assert got == want
     # symmetric by construction
     assert all(got[(b, a)] == n for (a, b), n in got.items())
+
+
+def test_random_walks_rejects_bad_walks_per_node(spark):
+    from terrorblade_spark.operators.graph import random_walks
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="walks_per_node"):
+        random_walks(e, walks_per_node=0)

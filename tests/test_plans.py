@@ -424,9 +424,94 @@ def test_distributed_rank_survives_boundary_resampling(spark):
         ).collect()[0]
         assert (agg["n"], agg["nd"], agg["mn"], agg["mx"]) == (n, n, 0, n - 1), agg
         assert agg["t"] == n
-        # and the materialized partitioning is really a cache read
+        # and the partitioning is really a frozen materialization (a
+        # checkpointed RDD scan), not a re-evaluated range exchange
         plan = _plan(out)
-        assert "InMemoryTableScan" in plan, plan[:2000]
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan[:2000]
+        assert "rangepartitioning" not in plan, plan[:2000]
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_pagerank_superstep_reads_edges_from_cache_unshuffled(spark):
+    """The pagerank scale claim, gated on the PRODUCTION helpers
+    (operators/graph._prepare_links / _superstep_contrib): the edge
+    relation shuffles ONCE (src-partitioned persist) and every
+    superstep's contribution join must read it as an InMemoryTableScan
+    with no Exchange above it — only the node-sized rank relation
+    moves. Removing the repartition or the persist from _prepare_links
+    fails this test."""
+    from pyspark.sql import functions as F
+
+    from terrorblade_spark.operators.graph import _prepare_links, _superstep_contrib
+
+    e = spark.range(5000).select(
+        (F.col("id") % 500).alias("__src"),
+        ((F.col("id") * 7) % 500).alias("__dst"),
+        F.lit(1.0).alias("__ew"),
+    )
+    k = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    links, _ = _prepare_links(e, k)
+    try:
+        links.count()
+        ranks = spark.range(500).select(
+            F.col("id").alias("node"), F.lit(1.0 / 500).alias("r")
+        )
+        contrib = _superstep_contrib(links, ranks, "node", "r")
+        contrib.collect()
+        plan = _plan(contrib)
+        assert "InMemoryTableScan" in plan, plan
+        # no Exchange between the cache scan and the join: the cached
+        # side's lines from the join down to the scan contain none
+        lines = plan.splitlines()
+        scan_i = next(i for i, ln in enumerate(lines) if "InMemoryTableScan" in ln)
+        join_i = max(i for i, ln in enumerate(lines) if "Join" in ln and i < scan_i)
+        between = "\n".join(lines[join_i:scan_i])
+        assert "Exchange" not in between, plan
+    finally:
+        links.unpersist()
+
+
+def test_distributed_rank_survives_boundary_resampling(spark):
+    """repartitionByRange samples its boundaries with a FRESH random
+    seed on every execution, so the rank's two passes (counts,
+    numbering) must consume one MATERIALIZED partitioning — unpersisted,
+    the offsets disagree with the numbering and ranks collide (measured:
+    ~240k duplicates at 10M rows; invisible at gate scale because the
+    sample covers the whole input there). This test forces aggressive
+    subsampling (2 rows/partition) so any regression to per-pass
+    re-evaluation collides at unit scale; the gate is the exact
+    permutation invariant."""
+    from pyspark.sql import functions as F
+
+    from terrorblade_spark.operators.windows import distributed_rank
+
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    try:
+        n = 200_000
+        df = spark.range(n).select(
+            F.col("id"),
+            F.expr("conv(substring(md5(cast(id as string)),1,15),16,10)")
+            .cast("long")
+            .alias("k"),
+        )
+        out = distributed_rank(df, ["k", "id"], out_col="rank", total_col="n_total")
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("rank").alias("nd"),
+            F.min("rank").alias("mn"),
+            F.max("rank").alias("mx"),
+            F.min("n_total").alias("t"),
+        ).collect()[0]
+        assert (agg["n"], agg["nd"], agg["mn"], agg["mx"]) == (n, n, 0, n - 1), agg
+        assert agg["t"] == n
+        # and the partitioning is really a frozen materialization (a
+        # checkpointed RDD scan), not a re-evaluated range exchange
+        plan = _plan(out)
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan[:2000]
+        assert "rangepartitioning" not in plan, plan[:2000]
     finally:
         spark.conf.set(key, old)
 
