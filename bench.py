@@ -39,6 +39,9 @@ HEADLINE = [
     # the sequence()-grid resample — no join in the asof plan at all
     "q72_asof_view_before_purchase",
     "q76_hourly_resample",
+    # iterative graph class (round-5 close): 10 Pregel-style supersteps
+    # over the persisted src-partitioned edge relation
+    "q104_nation_trade_pagerank",
 ]
 
 
