@@ -489,3 +489,78 @@ def q99_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
     )
     return long.where(F.col("n") > 0).orderBy("user_id", "event_type")
+
+
+# --- q108: fuzzy record linkage (full value oracle) ---------------------------
+# Entity resolution over the customer dimension: a perturbed twin
+# relation (char 10 of every name replaced with 'x' — one edit) is
+# matched back to the originals, best match per perturbed row by
+# (distance, custkey). Blocking is the scale lever and this query
+# demonstrates a COMPOSITE block: nation alone leaves 6k-row blocks at
+# sf1 (~900M candidate pairs — measured, the oracle ran minutes);
+# adding three suffix chars untouched by the perturbation (positions
+# 16-18 of the fixed-format name) cuts blocks ~1000x while provably
+# keeping every true match. The engine's banded levenshtein(threshold)
+# kernel returns exact distances for every kept pair, so DuckDB's full
+# levenshtein + a row_number keeper mirrors it — all-integer algebra.
+
+
+@query(
+    "q108_fuzzy_customer_match",
+    oracle="""
+    WITH pert AS (
+      SELECT c_custkey AS p_id, c_nationkey AS p_nation,
+             substr(c_name, 1, 9) || 'x' || substr(c_name, 11) AS p_name
+      FROM customer
+    ),
+    cand AS (
+      SELECT p.p_id, p.p_name, c.c_custkey, c.c_name,
+             levenshtein(p.p_name, c.c_name) AS edit_distance
+      FROM pert p
+      JOIN customer c
+        ON c.c_nationkey = p.p_nation
+       AND substr(c.c_name, 16, 3) = substr(p.p_name, 16, 3)
+      WHERE abs(length(p.p_name) - length(c.c_name)) <= 2
+        AND levenshtein(p.p_name, c.c_name) <= 2
+    ),
+    best AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY p_id ORDER BY edit_distance, c_custkey
+      ) AS rn
+      FROM cand
+    )
+    SELECT p_id, p_name, c_custkey, c_name, edit_distance
+    FROM best WHERE rn = 1
+    ORDER BY p_id
+    """,
+)
+def q108_fuzzy_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.linkage import best_fuzzy_match
+
+    cust = load_table(spark, sf_dir, "customer")
+    # a second independent read: pert/orig derived from ONE relation
+    # trip Spark's ambiguous-self-join analyzer inside the match join
+    cust2 = load_table(spark, sf_dir, "customer")
+    pert = cust.select(
+        F.col("c_custkey").alias("p_id"),
+        F.col("c_nationkey").alias("p_nation"),
+        F.concat(
+            F.substring("c_name", 1, 9), F.lit("x"), F.expr("substring(c_name, 11)")
+        ).alias("p_name"),
+    ).withColumn("p_sfx", F.substring("p_name", 16, 3))
+    orig = cust2.select(
+        "c_custkey", "c_nationkey", "c_name", F.substring("c_name", 16, 3).alias("c_sfx")
+    )
+    out = best_fuzzy_match(
+        pert,
+        orig,
+        "p_name",
+        "c_name",
+        [("p_nation", "c_nationkey"), ("p_sfx", "c_sfx")],
+        id_l="p_id",
+        tiebreak_r="c_custkey",
+        max_edit=2,
+    )
+    return out.select("p_id", "p_name", "c_custkey", "c_name", "edit_distance").orderBy(
+        "p_id"
+    )

@@ -109,6 +109,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q105_trade_graph_walks",
     "q106_walk_context_pairs",
     "q107_trade_graph_triangles",
+    "q108_fuzzy_customer_match",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",
