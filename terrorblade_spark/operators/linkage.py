@@ -109,3 +109,35 @@ def best_fuzzy_match(
         )
         .select(*keep, out_col)
     )
+
+
+def blocking_key(
+    col: str | F.Column,
+    kind: str = "prefix",
+    n: int = 3,
+) -> F.Column:
+    """Standard linkage blocking keys, all row-local JVM expressions:
+
+    * ``prefix`` — first ``n`` lowercased characters (cheap, high
+      recall for typo-at-the-end data; misses leading-char typos).
+    * ``soundex`` — phonetic bucket (names transcribed by ear).
+    * ``token_sort`` — lowercased alphanumeric tokens, sorted and
+      rejoined: word-order-insensitive ("smith, john" blocks with
+      "John Smith"), the fuzzywuzzy token_sort signature.
+
+    Blocking keys trade recall for candidate-count: a true match with
+    different keys is never compared. Production linkage typically
+    UNIONS candidates from 2-3 complementary keys — cheap, because
+    each block join is bounded.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if kind == "prefix":
+        return F.substring(F.lower(c), 1, n)
+    if kind == "soundex":
+        return F.soundex(c)
+    if kind == "token_sort":
+        toks = F.split(F.lower(F.trim(c)), r"[^a-z0-9]+")
+        return F.array_join(
+            F.sort_array(F.filter(toks, lambda t: F.length(t) > 0)), " "
+        )
+    raise ValueError(f"unknown blocking kind {kind!r}")

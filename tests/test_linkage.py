@@ -81,3 +81,44 @@ def test_fuzzy_match_agrees_with_duckdb_levenshtein(spark, duck):
         if d <= 2:
             want[(i, 100 + j)] = d
     assert got == want
+
+
+def test_blocking_keys(spark):
+    from pyspark.sql import functions as F
+
+    from terrorblade_spark.operators.linkage import blocking_key
+
+    df = spark.createDataFrame(
+        [("Smith, John",), ("john SMITH",), ("Smyth John",), ("Jon Smith",)],
+        "name string",
+    )
+    got = df.select(
+        blocking_key("name", "prefix", 3).alias("p"),
+        blocking_key("name", "soundex").alias("s"),
+        blocking_key("name", "token_sort").alias("t"),
+    ).collect()
+    # token_sort: word order and punctuation collapse
+    assert got[0]["t"] == got[1]["t"] == "john smith"
+    assert got[2]["t"] == "john smyth"
+    # soundex buckets the phonetic twins ("Smith," and "Smyth ..." share S530)
+    assert got[0]["s"] == got[2]["s"]
+    assert got[0]["p"] == "smi"
+    with pytest.raises(ValueError, match="unknown blocking kind"):
+        df.select(blocking_key("name", "metaphone"))
+
+
+def test_blocking_key_feeds_fuzzy_match(spark):
+    from pyspark.sql import functions as F
+
+    from terrorblade_spark.operators.linkage import blocking_key, fuzzy_match
+
+    left = spark.createDataFrame([(1, "Smith, John")], "lid long, lname string")
+    right = spark.createDataFrame([(2, "john smith"), (3, "jane smith")],
+                                  "rid long, rname string")
+    lb = left.withColumn("lk", blocking_key("lname", "token_sort"))
+    rb = right.withColumn("rk", blocking_key("rname", "token_sort"))
+    # match on the NORMALIZED key strings within token_sort blocks
+    m = fuzzy_match(lb.withColumn("lnorm", F.col("lk")),
+                    rb.withColumn("rnorm", F.col("rk")),
+                    "lnorm", "rnorm", [("lk", "rk")], max_edit=0).collect()
+    assert [(r["lid"], r["rid"]) for r in m] == [(1, 2)]
