@@ -496,3 +496,60 @@ def triangle_count(
         node_col, F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles")
     )
     return out
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Members of the k-core of the UNDIRECTED simple graph induced by
+    ``edges`` (direction/self-loops dropped): the maximal subgraph in
+    which every node has degree >= k — the classic link-graph quality
+    filter (spam farms and orphan pages peel away; densely embedded
+    pages survive). Returns ``(node_col, core_degree)`` where
+    core_degree is the node's degree WITHIN the core.
+
+    Iterative peel: drop all nodes with current degree < k, repeat
+    until a fixpoint (converges in <= rounds-to-empty; each round is
+    one degree aggregate + one anti-join, with the edge relation
+    eagerly localCheckpointed so lineage stays flat and the surviving
+    relation shrinks monotonically). The per-round driver action is a
+    single count of the PEELED node set — never a collect of nodes.
+    Raises after ``max_rounds`` (a pathological chain can need many
+    rounds; partial results would silently include non-core nodes).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cur = (
+        edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("u").alias(node_col))
+            .unionByName(cur.select(F.col("v").alias(node_col)))
+            .groupBy(node_col)
+            .agg(F.count(F.lit(1)).alias("__deg"))
+        )
+        peel = deg.where(F.col("__deg") < k).persist()
+        try:
+            n_peel = peel.count()
+            if n_peel == 0:
+                return deg.withColumnRenamed("__deg", "core_degree")
+            cur = (
+                cur.join(peel, cur["u"] == peel[node_col], "left_anti")
+                .join(peel, cur["v"] == peel[node_col], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            peel.unpersist()
+    raise ValueError(
+        f"kcore did not converge in {max_rounds} rounds; raise max_rounds"
+    )

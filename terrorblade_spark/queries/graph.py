@@ -245,3 +245,70 @@ def q107_trade_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _trade_edges(spark, sf_dir)
     return triangle_count(edges).orderBy("node")
+
+
+# --- q109: k-core of the customer-supplier graph (full value oracle) ----------
+# kcore over the bipartite trade graph (customer and supplier node ids
+# disjoint by a +10M offset). The engine peels to a true fixpoint; the
+# oracle unrolls 12 peel rounds — rounds past convergence are no-ops
+# (the peel set is empty and the edge relation passes through), so the
+# unroll is exact for any convergence depth <= 12, with multi-round
+# cascades covered by the unit tests. All-integer algebra.
+
+_Q109_K = 3
+_Q109_ROUNDS = 12
+
+_Q109_EDGES_SQL = """
+      SELECT DISTINCT c.c_custkey AS u, s.s_suppkey + 10000000 AS v
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE l.l_quantity > 45
+"""
+
+
+def _q109_oracle() -> str:
+    steps = []
+    for i in range(1, _Q109_ROUNDS + 1):
+        steps.append(f"""
+    keep{i} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT u AS node FROM er{i - 1} UNION ALL SELECT v FROM er{i - 1}
+      ) GROUP BY node HAVING count(*) >= {_Q109_K}
+    ),
+    er{i} AS MATERIALIZED (
+      SELECT e.u, e.v FROM er{i - 1} e
+      WHERE e.u IN (SELECT node FROM keep{i})
+        AND e.v IN (SELECT node FROM keep{i})
+    )""")
+    return f"""
+    WITH er0 AS MATERIALIZED ({_Q109_EDGES_SQL}),{",".join(steps)}
+    SELECT node, count(*) AS core_degree FROM (
+      SELECT u AS node FROM er{_Q109_ROUNDS}
+      UNION ALL SELECT v FROM er{_Q109_ROUNDS}
+    ) GROUP BY node
+    ORDER BY node
+    """
+
+
+@query("q109_trade_kcore", oracle=_q109_oracle())
+def q109_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.graph import kcore
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    ).where(F.col("l_quantity") > _Q104_MIN_QTY)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    edges = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("c_custkey").alias("src"),
+            (F.col("s_suppkey") + 10_000_000).alias("dst"),
+        )
+    )
+    return kcore(edges, k=_Q109_K).orderBy("node")

@@ -110,6 +110,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q106_walk_context_pairs",
     "q107_trade_graph_triangles",
     "q108_fuzzy_customer_match",
+    "q109_trade_kcore",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

@@ -320,3 +320,61 @@ def test_random_walks_rejects_bad_walks_per_node(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="walks_per_node"):
         random_walks(e, walks_per_node=0)
+
+
+def _py_kcore(und, k):
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(vs) for n, vs in adj.items()}
+
+
+def test_kcore_known_graphs(spark):
+    from terrorblade_spark.operators.graph import kcore
+
+    # triangle + pendant chain: 2-core = the triangle only
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r["node"]: r["core_degree"] for r in kcore(e, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # K4: the 3-core is everything; the 4-core is empty
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], "src long, dst long"
+    )
+    assert {r["node"] for r in kcore(k4, 3).collect()} == {0, 1, 2, 3}
+    assert kcore(k4, 4).count() == 0
+    # a pure path has no 2-core (cascading peel, multiple rounds)
+    path = spark.createDataFrame([(i, i + 1) for i in range(8)], "src long, dst long")
+    assert kcore(path, 2).count() == 0
+
+
+def test_kcore_matches_bruteforce(spark):
+    from terrorblade_spark.operators.graph import kcore
+
+    rng = np.random.RandomState(13)
+    und = {tuple(sorted((int(rng.randint(0, 30)), int(rng.randint(0, 30)))))
+           for _ in range(120)}
+    und = {(u, v) for u, v in und if u != v}
+    e = spark.createDataFrame(sorted(und), "src long, dst long")
+    for k in (2, 3, 4):
+        got = {r["node"]: r["core_degree"] for r in kcore(e, k).collect()}
+        assert got == _py_kcore(und, k), k
+
+
+def test_kcore_rejects_bad_k(spark):
+    from terrorblade_spark.operators.graph import kcore
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="k must be"):
+        kcore(e, 0)
