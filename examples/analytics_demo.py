@@ -24,6 +24,7 @@ TOUR = [
     "q36_cosine_topk",            # vector search
     "q71_bm25_persisted_topk",    # lexical search (persisted index)
     "q104_nation_trade_pagerank",  # link-graph centrality (Pregel supersteps)
+    "q108_fuzzy_customer_match",   # entity resolution (blocked levenshtein)
 ]
 
 
