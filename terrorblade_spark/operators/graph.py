@@ -1,10 +1,14 @@
-"""Link-graph analysis: PageRank over an edge relation.
+"""Link-graph analysis: PageRank (uniform / weighted / personalized),
+seeded deterministic random walks + skip-gram context pairs, hub-safe
+triangle counting, k-core decomposition, degree profiles.
 
 Why it's here: large-scale corpus curation weights web documents by
-the link graph (the CommonCrawl/RefinedWeb quality signal) — a core
-LLM-data-pipeline capability with no reference twin (the reference's
-graph surface stops at pairwise near-dup clusters; see
-operators/components.py for that half).
+the link graph (the CommonCrawl/RefinedWeb quality signal — PageRank
+for authority, k-core for embeddedness, triangles for community
+density, walks for graph embeddings) — a core LLM-data-pipeline
+capability with no reference twin (the reference's graph surface
+stops at pairwise near-dup clusters; see operators/components.py for
+that half).
 
 Execution shape (the Pregel superstep recipe expressed as DataFrames):
 

@@ -25,12 +25,11 @@ from terrorblade_spark.operators.graph import pagerank  # noqa: E402
 from terrorblade_spark.session import get_spark  # noqa: E402
 
 
-def main(n_nodes: int, avg_deg: int) -> None:
-    spark = get_spark("pagerank-probe")
-    n_edges = n_nodes * avg_deg
+def build_edges(spark, n_nodes: int, avg_deg: int):
     # power-law-ish destination choice: dst = n * u^3 piles mass onto
     # low ids (top 1% of nodes get ~21% of in-edges); src uniform
-    edges = (
+    n_edges = n_nodes * avg_deg
+    return (
         spark.range(n_edges)
         .withColumn(
             "u",
@@ -49,6 +48,12 @@ def main(n_nodes: int, avg_deg: int) -> None:
             (F.pow(F.col("v"), F.lit(3.0)) * n_nodes).cast("long").alias("dst"),
         )
     )
+
+
+def main(n_nodes: int, avg_deg: int) -> None:
+    spark = get_spark("pagerank-probe")
+    n_edges = n_nodes * avg_deg
+    edges = build_edges(spark, n_nodes, avg_deg)
 
     t0 = time.time()
     pr = pagerank(edges, n_iter=10)
@@ -69,6 +74,25 @@ def main(n_nodes: int, avg_deg: int) -> None:
     print(f"hub lift vs tail avg: {top[0]['pagerank'] / tail_avg:,.0f}x")
     assert abs(agg["mass"] - 1.0) < 1e-6
     assert all(r["node"] < n_nodes * 0.05 for r in top), "hubs must be low ids"
+
+    from terrorblade_spark.operators.graph import kcore, random_walks
+
+    t0 = time.time()
+    walks = random_walks(edges, walk_length=5, walks_per_node=1, seed="probe")
+    n_rows = walks.count()
+    dt = time.time() - t0
+    print(f"random_walks: {n_rows:,} (walk,step) rows over {n_edges:,} edges "
+          f"in {dt:.1f}s ({n_rows / dt:,.0f} rows/s)")
+
+    t0 = time.time()
+    core = kcore(edges, k=avg_deg)
+    stats = core.agg(
+        F.count(F.lit(1)).alias("n"), F.min("core_degree").alias("mn")
+    ).collect()[0]
+    dt = time.time() - t0
+    print(f"kcore(k={avg_deg}): {stats['n']:,} members "
+          f"(min core degree {stats['mn']}) in {dt:.1f}s")
+    assert stats["mn"] is None or stats["mn"] >= avg_deg
     spark.stop()
 
 
@@ -77,3 +101,4 @@ if __name__ == "__main__":
         int(sys.argv[1]) if len(sys.argv) > 1 else 200_000,
         int(sys.argv[2]) if len(sys.argv) > 2 else 10,
     )
+
