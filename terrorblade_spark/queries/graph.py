@@ -312,3 +312,77 @@ def q109_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kcore(edges, k=_Q109_K).orderBy("node")
+
+
+# --- q110: weighted PageRank (full value oracle) -------------------------------
+# The weighted variant end-to-end: edge weight = number of qualifying
+# lineitems per (customer-nation, supplier-nation) pair, so the walk
+# follows trade VOLUME, not mere existence. Oracle = the q104 unroll
+# with weighted out-degrees and weighted contributions.
+
+_Q110_ITER = 8
+
+_Q110_WEDGES_SQL = f"""
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             count(*)::DOUBLE AS w
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE l.l_quantity > {_Q104_MIN_QTY}
+      GROUP BY c.c_nationkey, s.s_nationkey
+"""
+
+
+def _q110_oracle() -> str:
+    steps = []
+    for i in range(1, _Q110_ITER + 1):
+        steps.append(f"""
+    pr{i} AS MATERIALIZED (
+      SELECT n.node,
+             (1.0 - {_Q104_DAMP}) / cnt.nn + {_Q104_DAMP} * (
+               COALESCE(c.contrib, 0.0) + dm.m / cnt.nn
+             ) AS rank
+      FROM nodes n
+      CROSS JOIN cnt
+      CROSS JOIN (
+        SELECT COALESCE(sum(rank), 0.0) AS m FROM pr{i - 1}
+        WHERE node NOT IN (SELECT src FROM deg)
+      ) dm
+      LEFT JOIN (
+        SELECT e.dst, sum(p.rank * e.w / d.deg) AS contrib
+        FROM e
+        JOIN pr{i - 1} p ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) c ON c.dst = n.node
+    )""")
+    return f"""
+    WITH e AS MATERIALIZED ({_Q110_WEDGES_SQL}),
+    nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ),
+    deg AS (
+      SELECT src, sum(w) AS deg FROM e GROUP BY src
+    ),
+    cnt AS (
+      SELECT count(*)::DOUBLE AS nn FROM nodes
+    ),
+    pr0 AS (
+      SELECT node, 1.0 / cnt.nn AS rank FROM nodes CROSS JOIN cnt
+    ),{",".join(steps)}
+    SELECT node, round(rank, 6) AS pagerank
+    FROM pr{_Q110_ITER}
+    ORDER BY node
+    """
+
+
+@query("q110_weighted_trade_pagerank", oracle=_q110_oracle())
+def q110_weighted_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.graph import pagerank
+
+    wedges = _trade_edges(spark, sf_dir).groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    pr = pagerank(wedges, n_iter=_Q110_ITER, damping=_Q104_DAMP, weight_col="w")
+    return pr.select("node", F.round("pagerank", 6).alias("pagerank")).orderBy("node")

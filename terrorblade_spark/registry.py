@@ -111,6 +111,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q107_trade_graph_triangles",
     "q108_fuzzy_customer_match",
     "q109_trade_kcore",
+    "q110_weighted_trade_pagerank",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",
