@@ -848,3 +848,23 @@ def q103_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = dedup_lines(d, "doc_id", "text")
     return out.select("doc_id", "text", "n_removed_lines").orderBy("doc_id")
+
+
+# --- q111: corpus topic table (rows-only by declared design) ------------------
+# LDA topic indices and term weights are inference-stochastic (seeded,
+# but engine-specific — no DuckDB twin exists), so like q65's HLL
+# estimates this registers WITHOUT an oracle: the driver checks rows
+# (= n_topics, stable) + schema. Structural correctness is unit-tested
+# in tests/test_topics.py (planted vocabularies separate; dominant
+# topics cohere).
+
+_Q111_TOPICS = 4
+
+
+@query("q111_corpus_topics")
+def q111_corpus_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.topics import fit_topics, topic_terms
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    model = fit_topics(d, n_topics=_Q111_TOPICS, max_iter=15, min_df=2.0)
+    return topic_terms(model, n_terms=6)

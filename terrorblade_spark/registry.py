@@ -115,6 +115,9 @@ GATE_OVERFLOW: tuple[str, ...] = (
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",
+    # LDA topic indices are inference-stochastic (no cross-engine twin);
+    # rows-only by declared design, structure unit-tested
+    "q111_corpus_topics",
 )
 
 

@@ -25,7 +25,7 @@ def _registry():
 # q65 returns HLL / rank-sketch ESTIMATES — deterministic within Spark
 # but engine-specific by design, so no DuckDB value oracle can exist;
 # it deliberately takes the driver's rows-only check
-ROWS_ONLY_OK: set[str] = {"q65_sketch_profile"}
+ROWS_ONLY_OK: set[str] = {"q65_sketch_profile", "q111_corpus_topics"}
 
 
 def test_all_queries_have_oracles():
