@@ -51,10 +51,15 @@ def fit_topics(
     max_iter: int = 20,
     seed: int = 7,
     min_df: float = 2.0,
+    optimizer: str = "online",
 ) -> TopicModel:
-    """Fit online LDA on the corpus. The vocabulary is the top
-    ``vocab_size`` tokens by document frequency (bounded regardless of
-    corpus size); ``min_df`` drops hapax noise."""
+    """Fit LDA on the corpus. The vocabulary is the top ``vocab_size``
+    tokens by document frequency (bounded regardless of corpus size);
+    ``min_df`` drops hapax noise. ``optimizer='online'`` (default) is
+    the distributed mini-batch path for corpus scale; ``'em'`` is the
+    batch path — steadier on tiny corpora (mini-batch order interacts
+    with vocabulary tie order, so online runs can land in different
+    optima across sessions even under a fixed seed)."""
     from pyspark.ml.clustering import LDA
     from pyspark.ml.feature import CountVectorizer
 
@@ -69,7 +74,7 @@ def fit_topics(
         k=n_topics,
         maxIter=max_iter,
         seed=seed,
-        optimizer="online",
+        optimizer=optimizer,
         featuresCol="__tf",
     ).fit(tf)
     return TopicModel(lda_model=lda, vectorizer=cv, n_topics=n_topics)

@@ -22,7 +22,7 @@ def _corpus(spark):
 
 def test_topics_separate_planted_vocabularies(spark):
     df = _corpus(spark)
-    model = fit_topics(df, n_topics=2, max_iter=30, min_df=1.0)
+    model = fit_topics(df, n_topics=2, max_iter=40, min_df=1.0, optimizer="em")
     got = assign_topics(df, model).collect()
     by_doc = {r["doc_id"]: r["topic"] for r in got}
     cook_topics = {by_doc[i] for i in range(len(_COOK))}
@@ -35,7 +35,7 @@ def test_topics_separate_planted_vocabularies(spark):
 
 def test_topic_terms_reflect_vocabularies(spark):
     df = _corpus(spark)
-    model = fit_topics(df, n_topics=2, max_iter=30, min_df=1.0)
+    model = fit_topics(df, n_topics=2, max_iter=40, min_df=1.0, optimizer="em")
     terms = {r["topic"]: r["terms"].split(",") for r in topic_terms(model, 5).collect()}
     assert len(terms) == 2
     # smoothing puts SOME cross-topic words in every top-5; the sharp
