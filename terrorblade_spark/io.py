@@ -270,3 +270,42 @@ def salted_join(
     )
     out = b.join(s, on=[*keys, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int = 64,
+    seed: str = "export-v1",
+    mode: str = "error",
+) -> DataFrame:
+    """Deterministic JSONL export — the interchange format training
+    stacks read. Rows are assigned to shards and ordered within them
+    by the seeded corpus shuffle (operators/sampling.shuffle_corpus:
+    shard and position are pure functions of (seed, key), so a re-run
+    on any cluster produces byte-identical shard contents), written as
+    one JSONL directory per ``shard=NN`` partition with each file in
+    reading order. A ``_manifest`` parquet directory beside the data
+    records (shard, n_rows) — the reader's integrity check and
+    dataloader work-assignment table.
+
+    Returns the manifest DataFrame. Scale shape: one hash projection,
+    one shard-partitioned window, one shuffle to co-locate shards —
+    never a global sort or single-partition pass.
+    """
+    import os
+
+    from terrorblade_spark.operators.sampling import shuffle_corpus
+
+    shuffled = shuffle_corpus(df, key_col, seed=seed, n_shards=n_shards)
+    (
+        shuffled.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .json(path)
+    )
+    manifest = shuffled.groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows"))
+    manifest.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "_manifest"))
+    return manifest
