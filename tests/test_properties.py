@@ -385,3 +385,59 @@ def test_repeat_to_balance_counts_and_epochs(spark, groups, n_parts, cap):
     assert set(per_row) == set(range(len(groups)))
     for i, epochs in per_row.items():
         assert sorted(epochs) == list(range(1, expect[groups[i]] + 1))
+
+
+_graph_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@_slow
+@given(edges=_graph_edges)
+def test_pagerank_mass_conserved_and_partition_invariant(spark, edges):
+    """On ANY digraph (self-loops, dangling nodes, duplicates): total
+    mass stays 1 and ranks are identical on 1 vs 7 input partitions."""
+    from terrorblade_spark.operators.graph import pagerank
+
+    a = spark.createDataFrame(edges, "src long, dst long").coalesce(1)
+    b = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    ra = {r["node"]: r["pagerank"] for r in pagerank(a, n_iter=4).collect()}
+    rb = {r["node"]: r["pagerank"] for r in pagerank(b, n_iter=4).collect()}
+    assert abs(sum(ra.values()) - 1.0) < 1e-9
+    assert set(ra) == set(rb)
+    for v in ra:
+        assert ra[v] == pytest.approx(rb[v], abs=1e-12)
+
+
+@_slow
+@given(edges=_graph_edges, k=st.integers(min_value=2, max_value=4))
+def test_kcore_nesting_property(spark, edges, k):
+    """The (k+1)-core is a subgraph of the k-core, and every member's
+    core degree is >= k — on any random graph."""
+    from terrorblade_spark.operators.graph import kcore
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    lo = {r["node"]: r["core_degree"] for r in kcore(e, k).collect()}
+    hi = {r["node"]: r["core_degree"] for r in kcore(e, k + 1).collect()}
+    assert set(hi) <= set(lo)
+    assert all(d >= k for d in lo.values())
+    assert all(d >= k + 1 for d in hi.values())
+
+
+@_slow
+@given(edges=_graph_edges)
+def test_random_walks_partition_invariant(spark, edges):
+    """Seeded walks are identical on 1 vs 7 input partitions — the
+    md5-arithmetic determinism contract."""
+    from terrorblade_spark.operators.graph import random_walks
+
+    a = spark.createDataFrame(edges, "src long, dst long").coalesce(1)
+    b = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    wa = sorted(map(tuple, random_walks(a, walk_length=3, seed="p").collect()))
+    wb = sorted(map(tuple, random_walks(b, walk_length=3, seed="p").collect()))
+    assert wa == wb
