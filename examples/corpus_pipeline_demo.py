@@ -60,6 +60,17 @@ def main() -> None:
     # the audit row is the artifact a curation run ships
     pipe.report(curated, deduped, packed).show(truncate=False)
 
+    # terminal stage: trainer-ready JSONL shards + manifest
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="corpus_shards_")
+    manifest = pipe.export(
+        deduped.where(~F.col("is_duplicate")).select("doc_id", "text"),
+        f"{out}/data", n_shards=4,
+    )
+    print(f"exported to {out}/data:")
+    manifest.orderBy("shard").show()
+
 
 if __name__ == "__main__":
     main()

@@ -385,6 +385,27 @@ class CorpusPipeline:
             return train_eval_split(df, "canonical_id", eval_fraction, seed)
         return train_eval_split(df, self.id_col, eval_fraction, seed)
 
+    # -- stage 5: export ------------------------------------------------------
+
+    def export(
+        self,
+        df: DataFrame,
+        path: str,
+        n_shards: int = 64,
+        seed: str = "export-v1",
+        mode: str = "error",
+    ) -> DataFrame:
+        """Trainer-ready JSONL shards (io.write_jsonl_shards): rows
+        sharded and ordered by the seeded corpus shuffle — re-runs are
+        byte-identical — with a parquet manifest beside the data.
+        Returns the manifest. The terminal stage: what dataloaders
+        actually mount."""
+        from terrorblade_spark.io import write_jsonl_shards
+
+        return write_jsonl_shards(
+            df, path, self.id_col, n_shards=n_shards, seed=seed, mode=mode
+        )
+
     # -- audit --------------------------------------------------------------
 
     def report(self, curated: DataFrame, deduped: DataFrame, packed: DataFrame) -> DataFrame:

@@ -303,3 +303,18 @@ def test_dedup_lines_stage_chains_into_document_dedup(spark):
     cleaned = pipe.dedup_lines(docs).select("doc_id", "text")
     deduped = pipe.dedup(cleaned)
     assert deduped.count() == 3
+
+
+def test_export_stage_writes_manifested_shards(spark, tmp_path):
+    from terrorblade_spark.corpus import CorpusPipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    pipe = CorpusPipeline(spark, docs)
+    out = str(tmp_path / "shards")
+    manifest = pipe.export(docs, out, n_shards=4)
+    counts = {r["shard"]: r["n_rows"] for r in manifest.collect()}
+    assert sum(counts.values()) == 200 and len(counts) == 4
+    back = spark.read.json(f"{out}/shard=*")
+    assert back.count() == 200
