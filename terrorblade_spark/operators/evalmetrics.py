@@ -79,3 +79,50 @@ def ranking_metrics(
         F.coalesce(F.lit(1.0) / F.col("__first_hit"), F.lit(0.0)).alias("mrr_at_k"),
         (F.coalesce(F.col("__dcg"), F.lit(0.0)) / F.col("__idcg")).alias("ndcg_at_k"),
     )
+
+
+def binary_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """ROC-AUC of ``score_col`` against boolean ``label_col`` as the
+    Mann-Whitney rank statistic, computed distributed:
+    ``AUC = (sum of positive 1-based ranks - P(P+1)/2) / (P * N)``.
+
+    Ranks come from :func:`~terrorblade_spark.operators.windows.
+    distributed_rank` over ``(score, id)`` — the range-partition +
+    broadcast-offset shape, never a single-partition window over the
+    corpus. The id tie-break makes the statistic DETERMINISTIC under
+    tied scores (standard AUC mid-ranks ties; this ranks them in id
+    order instead — identical when scores are distinct, documented and
+    engine-portable when not, since the oracle applies the same total
+    order). NULL labels/scores are excluded. Returns one row
+    ``(auc, n_pos, n_neg)``; AUC is NULL for a single-class input.
+    """
+    from terrorblade_spark.operators.windows import distributed_rank
+
+    scored = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("boolean").alias("__y"),
+        F.col(score_col).cast("double").alias("__s"),
+    ).where(F.col("__y").isNotNull() & F.col("__s").isNotNull())
+    ranked = distributed_rank(scored, ["__s", "__id"], out_col="__r")
+    agg = ranked.agg(
+        F.sum(F.when(F.col("__y"), F.col("__r") + 1)).alias("__rsum"),
+        F.count(F.when(F.col("__y"), F.lit(1))).alias("n_pos"),
+        F.count(F.when(~F.col("__y"), F.lit(1))).alias("n_neg"),
+    )
+    return agg.select(
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            (
+                F.col("__rsum").cast("double")
+                - F.col("n_pos").cast("double") * (F.col("n_pos") + 1).cast("double") / 2.0
+            )
+            / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+        ).alias("auc"),
+        "n_pos",
+        "n_neg",
+    )

@@ -868,3 +868,41 @@ def q111_corpus_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("text")
     model = fit_topics(d, n_topics=_Q111_TOPICS, max_iter=15, min_df=2.0)
     return topic_terms(model, n_terms=6)
+
+
+# --- q112: distributed ROC-AUC (full value oracle) -----------------------------
+# binary_auc end-to-end: does document length predict English? (a real
+# curation question — length-based quality gates are language-biased,
+# and this measures exactly how much). Ranks are the id-tie-broken
+# total order on both engines, so the Mann-Whitney statistic is
+# bit-portable: rank sums are exact integers and the final expression
+# is identical IEEE arithmetic on exact-int-valued doubles (the q100
+# one-subtraction precedent).
+
+
+@query(
+    "q112_length_language_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, (lang = 'en') AS y, n_chars::DOUBLE AS s
+      FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    ranked AS (
+      SELECT y, row_number() OVER (ORDER BY s, doc_id) AS r FROM scored
+    )
+    SELECT
+      (sum(CASE WHEN y THEN r END)::DOUBLE
+         - sum(y::INT)::DOUBLE * (sum(y::INT) + 1)::DOUBLE / 2.0)
+      / (sum(y::INT)::DOUBLE * sum((NOT y)::INT)::DOUBLE) AS auc,
+      sum(y::INT)::BIGINT AS n_pos,
+      sum((NOT y)::INT)::BIGINT AS n_neg
+    FROM ranked
+    """,
+)
+def q112_length_language_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.evalmetrics import binary_auc
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").alias("y"), F.col("n_chars").alias("s")
+    )
+    return binary_auc(d, "y", "s", "doc_id")

@@ -78,3 +78,52 @@ def test_rejects_bad_k(spark):
     t = _rel(spark, [(1, 10, 1)])
     with pytest.raises(ValueError):
         ranking_metrics(t, t, k=0)
+
+
+def test_binary_auc_hand_computed_and_sklearn_free(spark):
+    """Perfect separation -> 1.0; inverted -> 0.0; a hand-computed
+    mixed case; single-class -> NULL; NULLs excluded."""
+    from terrorblade_spark.operators.evalmetrics import binary_auc
+
+    perfect = spark.createDataFrame(
+        [(i, i >= 5, float(i)) for i in range(10)], "id long, y boolean, s double"
+    )
+    r = binary_auc(perfect, "y", "s", "id").collect()[0]
+    assert r["auc"] == 1.0 and r["n_pos"] == 5 and r["n_neg"] == 5
+    inverted = spark.createDataFrame(
+        [(i, i < 5, float(i)) for i in range(10)], "id long, y boolean, s double"
+    )
+    assert binary_auc(inverted, "y", "s", "id").collect()[0]["auc"] == 0.0
+    # hand case: scores 1..4, positives at scores 2 and 4 -> ranks 2,4
+    # AUC = (6 - 3) / (2*2) = 0.75
+    mixed = spark.createDataFrame(
+        [(1, False, 1.0), (2, True, 2.0), (3, False, 3.0), (4, True, 4.0)],
+        "id long, y boolean, s double",
+    )
+    assert binary_auc(mixed, "y", "s", "id").collect()[0]["auc"] == 0.75
+    single = spark.createDataFrame([(1, True, 1.0)], "id long, y boolean, s double")
+    assert binary_auc(single, "y", "s", "id").collect()[0]["auc"] is None
+    with_nulls = spark.createDataFrame(
+        [(1, False, 1.0), (2, True, 2.0), (3, None, 9.0), (4, True, None)],
+        "id long, y boolean, s double",
+    )
+    r2 = binary_auc(with_nulls, "y", "s", "id").collect()[0]
+    assert (r2["n_pos"], r2["n_neg"], r2["auc"]) == (1, 1, 1.0)
+
+
+def test_binary_auc_matches_numpy_reference(spark):
+    """Seeded continuous scores vs a direct pairwise numpy count."""
+    import numpy as np
+
+    from terrorblade_spark.operators.evalmetrics import binary_auc
+
+    rng = np.random.RandomState(5)
+    y = rng.rand(200) < 0.4
+    s = rng.rand(200) + y * 0.3        # informative but noisy
+    rows = [(i, bool(y[i]), float(s[i])) for i in range(200)]
+    got = binary_auc(
+        spark.createDataFrame(rows, "id long, y boolean, s double"), "y", "s", "id"
+    ).collect()[0]["auc"]
+    pos, neg = s[y], s[~y]
+    want = (pos[:, None] > neg[None, :]).mean()
+    assert got == pytest.approx(want, abs=1e-12)
