@@ -314,8 +314,6 @@ def random_walks(
     cache plus an eager localCheckpoint — the corpus-sized edge
     relation never re-shuffles, lineage stays flat.
     """
-    from terrorblade_spark.functions.exprs import hash64
-
     if walk_length < 1:
         raise ValueError(f"walk_length must be >= 1, got {walk_length}")
     if walks_per_node < 1:
