@@ -309,3 +309,40 @@ def write_jsonl_shards(
     manifest = shuffled.groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows"))
     manifest.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "_manifest"))
     return manifest
+
+
+def read_jsonl_shards(
+    spark,
+    path: str,
+    validate: bool = True,
+) -> DataFrame:
+    """Read a :func:`write_jsonl_shards` directory back. With
+    ``validate`` (default), per-shard row counts are checked against
+    the persisted ``_manifest`` and a mismatch raises — the cheap
+    integrity gate that catches partially-written or hand-mutilated
+    exports before a trainer consumes them (one count aggregate; the
+    manifest side is shard-count rows)."""
+    import os
+
+    # reading the BASE path lets partition discovery attach the shard
+    # column from the directory names (_manifest is underscore-hidden)
+    df = spark.read.json(path)
+    if validate:
+        want = {
+            r["shard"]: r["n_rows"]
+            for r in spark.read.parquet(os.path.join(path, "_manifest")).collect()
+        }
+        got = {
+            r["shard"]: r["n"]
+            for r in df.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        if got != want:
+            bad = {
+                s: (want.get(s), got.get(s))
+                for s in set(want) | set(got)
+                if want.get(s) != got.get(s)
+            }
+            raise ValueError(
+                f"jsonl shard integrity check failed (shard: expected, found): {bad}"
+            )
+    return df

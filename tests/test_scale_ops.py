@@ -316,3 +316,39 @@ def test_write_jsonl_shards_deterministic_and_manifested(spark, tmp_path):
         a, b = shard_rows(p1, s), shard_rows(p2, s)
         assert a == b and len(a) == counts[s]
         assert [r["pos"] for r in a] == sorted(r["pos"] for r in a)
+
+
+def manifest_rows(spark, path):
+    return spark.read.parquet(f"{path}/_manifest").collect()
+
+
+def test_read_jsonl_shards_validates_manifest(spark, tmp_path):
+    import pathlib
+
+    import pytest as _pytest
+
+    from terrorblade_spark.io import read_jsonl_shards, write_jsonl_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(300)], "doc_id long, text string"
+    )
+    p = str(tmp_path / "x")
+    write_jsonl_shards(df, p, "doc_id", n_shards=4)
+    back = read_jsonl_shards(spark, p)
+    assert back.count() == 300
+
+    # lose one shard file (with its Hadoop .crc sidecar — in-place
+    # EDITS are already caught by the local FS checksum layer; the
+    # manifest gate exists for the silent case: a valid-looking but
+    # incomplete export)
+    victim = next(pathlib.Path(p, "shard=2").glob("*.json"))
+    lost = {r["shard"]: r["n_rows"] for r in manifest_rows(spark, p)}[2]
+    victim.unlink()
+    crc = victim.parent / f".{victim.name}.crc"
+    if crc.exists():
+        crc.unlink()
+    spark.catalog.refreshByPath(p)
+    with _pytest.raises(ValueError, match="integrity"):
+        read_jsonl_shards(spark, p)
+    # opt-out still reads what remains
+    assert read_jsonl_shards(spark, p, validate=False).count() == 300 - lost
