@@ -109,3 +109,45 @@ def scd_rollup(df: DataFrame, keys: Sequence[str], ts_col: str) -> DataFrame:
     return df.groupBy(*keys).agg(
         F.min(ts_col).alias("first_seen"), F.max(ts_col).alias("last_seen")
     )
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    content_cols: Sequence[str],
+    status_col: str = "status",
+) -> DataFrame:
+    """Row-level diff between two dataset versions — the crawl-over-
+    crawl ops tool: per key, ``added`` (new only), ``removed`` (old
+    only), ``changed`` (both, any content column differs null-safely),
+    or ``unchanged``. Returns one row per key with ``status_col``.
+
+    Plan: content is collapsed to ONE 60-bit hash per side before the
+    join (concat_ws over the content columns with a NULL sentinel —
+    ``concat_ws`` silently skips NULLs, so ('a', NULL) and ('a',)
+    would collide without it), then a single full-outer equi-join on
+    the key; bodies never cross the shuffle twice. Complements
+    operators/lm.py corpus drift (distribution-level) with exact
+    row-level accounting.
+    """
+    from pyspark.sql import functions as F
+
+    from terrorblade_spark.functions.exprs import hash64
+
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        payload = F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in content_cols]
+        )
+        return df.select(F.col(key_col), hash64(payload).alias(f"__h_{side}"))
+
+    o, n = hashed(old, "old"), hashed(new, "new")
+    joined = o.join(n, key_col, "full_outer")
+    return joined.select(
+        key_col,
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias(status_col),
+    )

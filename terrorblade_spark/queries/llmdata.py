@@ -906,3 +906,71 @@ def q112_length_language_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("lang") == "en").alias("y"), F.col("n_chars").alias("s")
     )
     return binary_auc(d, "y", "s", "doc_id")
+
+
+# --- q113: crawl-over-crawl dataset diff (full value oracle) -------------------
+# dataset_diff between the fixture corpus and a synthesized "next
+# crawl": every 10th doc dropped, every 7th doc's text rewritten, a
+# new doc added per 13th id. The oracle mirrors the content-hash
+# collapse (concat_ws with the 0x1f separator and 0x00 NULL sentinel,
+# md5 hash64) and the full-outer status derivation — all-integer.
+
+
+@query(
+    "q113_corpus_diff",
+    oracle=r"""
+    WITH old AS (
+      SELECT doc_id, text, lang FROM documents
+    ),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+             lang
+      FROM documents WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, 'fresh page', 'en'
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    ho AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(
+               coalesce(text, chr(0)) || chr(31) || coalesce(lang, chr(0))
+             ), 1, 15))::BIGINT AS h
+      FROM old
+    ),
+    hn AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(
+               coalesce(text, chr(0)) || chr(31) || coalesce(lang, chr(0))
+             ), 1, 15))::BIGINT AS h
+      FROM new
+    )
+    SELECT coalesce(ho.doc_id, hn.doc_id) AS doc_id,
+           CASE WHEN ho.h IS NULL THEN 'added'
+                WHEN hn.h IS NULL THEN 'removed'
+                WHEN ho.h <> hn.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM ho FULL OUTER JOIN hn ON ho.doc_id = hn.doc_id
+    ORDER BY doc_id
+    """,
+)
+def q113_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.relational import dataset_diff
+
+    old = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    new = base.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    ).unionByName(
+        base.where(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.lit("fresh page").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+    )
+    out = dataset_diff(old, new, "doc_id", ["text", "lang"])
+    return out.orderBy("doc_id")

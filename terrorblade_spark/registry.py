@@ -113,6 +113,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q109_trade_kcore",
     "q110_weighted_trade_pagerank",
     "q112_length_language_auc",
+    "q113_corpus_diff",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

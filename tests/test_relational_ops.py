@@ -123,3 +123,37 @@ def test_apply_dictionary_with_conflicting_id_column(spark):
     assert sorted(out.columns) == ["color_id", "id"]
     got = {r["id"]: r["color_id"] for r in out.collect()}
     assert got[11] == 0 and got[10] == 1  # blue < red by sort order
+
+
+def test_dataset_diff_statuses(spark):
+    from terrorblade_spark.operators.relational import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "id long, t string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0), (5, "e", 5.0)],
+        "id long, t string, v double",
+    )
+    got = {r["id"]: r["status"] for r in dataset_diff(old, new, "id", ["t", "v"]).collect()}
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",   # NULL -> 3.0 is a change, not a join-drop
+        4: "changed",   # 'd' -> NULL likewise
+        5: "added",
+    }
+
+
+def test_dataset_diff_null_sentinel_no_collision(spark):
+    """('a', NULL) must differ from ('a', '') and from a shifted
+    concat — the NULL sentinel and field separator prevent both."""
+    from terrorblade_spark.operators.relational import dataset_diff
+
+    old = spark.createDataFrame([(1, "a", None), (2, "ab", "c")],
+                                "id long, x string, y string")
+    new = spark.createDataFrame([(1, "a", ""), (2, "a", "bc")],
+                                "id long, x string, y string")
+    got = {r["id"]: r["status"] for r in dataset_diff(old, new, "id", ["x", "y"]).collect()}
+    assert got == {1: "changed", 2: "changed"}
