@@ -385,6 +385,33 @@ class CorpusPipeline:
             return train_eval_split(df, "canonical_id", eval_fraction, seed)
         return train_eval_split(df, self.id_col, eval_fraction, seed)
 
+    # -- analysis: topics ------------------------------------------------------
+
+    def topics(
+        self,
+        df: DataFrame,
+        n_topics: int = 8,
+        max_iter: int = 20,
+        seed: int = 7,
+        optimizer: str = "online",
+    ):
+        """Corpus topic analysis (operators/topics.py): fits online LDA
+        on ``df`` and returns ``(assignments, topic_table)`` — per-doc
+        dominant topic/weight and the data-card topic-term table. An
+        analysis stage, not a transform: feeds mixing decisions
+        (pair with :meth:`balance` grouped on ``topic``)."""
+        from terrorblade_spark.operators.topics import (
+            assign_topics,
+            fit_topics,
+            topic_terms,
+        )
+
+        model = fit_topics(
+            df, self.text_col, n_topics=n_topics, max_iter=max_iter, seed=seed,
+            optimizer=optimizer,
+        )
+        return assign_topics(df, model, self.id_col, self.text_col), topic_terms(model)
+
     # -- stage 5: export ------------------------------------------------------
 
     def export(

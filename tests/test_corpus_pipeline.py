@@ -318,3 +318,27 @@ def test_export_stage_writes_manifested_shards(spark, tmp_path):
     assert sum(counts.values()) == 200 and len(counts) == 4
     back = spark.read.json(f"{out}/shard=*")
     assert back.count() == 200
+
+
+def test_topics_stage_feeds_balance(spark):
+    """The analysis stage returns per-doc topics that the balance
+    stage can group on — the topic-mixing composition."""
+    from terrorblade_spark.corpus import CorpusPipeline
+
+    cook = "bake flour sugar butter cake oven batter eggs cream"
+    code = "compile code binary debug stack trace objects link"
+    docs = spark.createDataFrame(
+        [(i, cook) for i in range(12)] + [(100 + i, code) for i in range(3)],
+        "doc_id long, text string",
+    )
+    pipe = CorpusPipeline(spark, docs)
+    assigned, table = pipe.topics(docs, n_topics=2, max_iter=30, optimizer="em")
+    assert table.count() == 2
+    joined = docs.join(assigned, "doc_id")
+    balanced = pipe.balance(joined, group_col="topic", max_epochs=3)
+    by_topic = {
+        r["topic"]: r["n"]
+        for r in balanced.groupBy("topic").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # the minority topic is repeated toward parity (3 docs x 3 epochs)
+    assert max(by_topic.values()) == 12 and min(by_topic.values()) == 9
