@@ -152,23 +152,25 @@ def _pagerank_impl(
     spark = edges.sparkSession
     k = int(spark.conf.get("spark.sql.shuffle.partitions"))
     links, deg = _prepare_links(e, k)
-    nodes = dangling = None
     try:
         links.count()  # materialize: iterations must hit the cache, not the lineage
 
+        # node set from the PERSISTED links, not from e: links keeps
+        # every edge (inner join with deg matches all sources), and
+        # deriving from e would recompute the whole upstream edge
+        # pipeline twice more (the edge relation is often a multi-table
+        # join — q104's is 4-way)
         bare_nodes = (
-            e.select(F.col("__src").alias(node_col))
-            .unionByName(e.select(F.col("__dst").alias(node_col)))
+            links.select(F.col("__src").alias(node_col))
+            .unionByName(links.select(F.col("__dst").alias(node_col)))
             .distinct()
         )
         # teleport vector as a node column: uniform 1/n, or the normalized
         # seed weights (computed over in-graph seeds so mass still sums to 1)
         if reset is None:
             n_df = bare_nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-            nodes = (
-                bare_nodes.crossJoin(F.broadcast(n_df))
-                .select(node_col, (F.lit(1.0) / F.col("__n")).alias("__t"))
-                .persist()
+            teleport = bare_nodes.crossJoin(F.broadcast(n_df)).select(
+                node_col, (F.lit(1.0) / F.col("__n")).alias("__t")
             )
         else:
             seeded = bare_nodes.join(
@@ -182,45 +184,52 @@ def _pagerank_impl(
                 "left",
             ).withColumn("__rw", F.coalesce(F.col("__rw"), F.lit(0.0)))
             tot = seeded.agg(F.sum("__rw").alias("__tot"))
-            nodes = (
-                seeded.crossJoin(F.broadcast(tot))
-                .select(
-                    node_col,
-                    # fail fast instead of 0/0 -> all-NaN ranks: no in-graph
-                    # seed means the teleport vector doesn't exist. The
-                    # raise fires at the eager init checkpoint below, not
-                    # mid-iteration.
-                    F.when(
-                        F.col("__tot") > 0, F.col("__rw") / F.col("__tot")
-                    )
-                    .otherwise(
-                        F.raise_error(
-                            F.lit(
-                                "pagerank reset has no in-graph seed with positive weight"
-                            )
-                        ).cast("double")
-                    )
-                    .alias("__t"),
+            teleport = seeded.crossJoin(F.broadcast(tot)).select(
+                node_col,
+                # fail fast instead of 0/0 -> all-NaN ranks: no in-graph
+                # seed means the teleport vector doesn't exist. The
+                # raise fires at the eager init checkpoint below, not
+                # mid-iteration.
+                F.when(F.col("__tot") > 0, F.col("__rw") / F.col("__tot"))
+                .otherwise(
+                    F.raise_error(
+                        F.lit(
+                            "pagerank reset has no in-graph seed with positive weight"
+                        )
+                    ).cast("double")
                 )
-                .persist()
+                .alias("__t"),
             )
-        dangling = nodes.join(
-            deg, nodes[node_col] == deg["__src"], "left_anti"
-        ).persist()
-
-        ranks = nodes.select(node_col, F.col("__t").alias(rank_col)).localCheckpoint(
-            eager=True
+        # the superstep STATE carries teleport + dangling flag next to
+        # the rank, so each superstep is exactly one join with the
+        # cached links plus one filter-scan for the dangling mass — the
+        # old per-superstep (dangling anti-join relation) JOIN (ranks)
+        # is gone, and no node-sized persists outlive the call (the
+        # checkpointed state is ContextCleaner-reclaimed)
+        srcs = links.select(F.col("__src").alias(node_col)).distinct()
+        state = (
+            teleport.join(srcs.withColumn("__out", F.lit(True)), node_col, "left")
+            .select(
+                node_col,
+                "__t",
+                F.coalesce("__out", F.lit(False)).alias("__out"),
+                F.col("__t").alias(rank_col),
+            )
+            .localCheckpoint(eager=True)
         )
         for _ in range(n_iter):
-            contrib = _superstep_contrib(links, ranks, node_col, rank_col)
-            dm = dangling.select(node_col, "__t").join(ranks, node_col).agg(
+            contrib = _superstep_contrib(links, state, node_col, rank_col)
+            dm = state.where(~F.col("__out")).agg(
                 F.coalesce(F.sum(rank_col), F.lit(0.0)).alias("__dm")
             )
-            new_ranks = (
-                nodes.join(contrib, nodes[node_col] == contrib["__dst"], "left")
+            new_state = (
+                state.select(node_col, "__t", "__out")
+                .join(contrib, F.col(node_col) == F.col("__dst"), "left")
                 .crossJoin(F.broadcast(dm))
                 .select(
                     node_col,
+                    "__t",
+                    "__out",
                     (
                         F.lit(1.0 - damping) * F.col("__t")
                         + F.lit(damping)
@@ -234,26 +243,22 @@ def _pagerank_impl(
             )
             if tol is not None:
                 delta = (
-                    new_ranks.withColumnRenamed(rank_col, "__new")
-                    .join(ranks, node_col)
+                    new_state.select(node_col, F.col(rank_col).alias("__new"))
+                    .join(state.select(node_col, rank_col), node_col)
                     .agg(F.sum(F.abs(F.col("__new") - F.col(rank_col))).alias("d"))
                     .first()["d"]
                 )
-                ranks = new_ranks
+                state = new_state
                 if delta is not None and delta < tol:
                     break
             else:
-                ranks = new_ranks
+                state = new_state
     finally:
-        # release caches on EVERY path — including the designed
+        # release the edge cache on EVERY path — including the designed
         # raise_error for an all-off-graph reset and tol-loop errors;
         # a retry loop must not accumulate pinned edge-sized caches
         links.unpersist()
-        if nodes is not None:
-            nodes.unpersist()
-        if dangling is not None:
-            dangling.unpersist()
-    return ranks
+    return state.select(node_col, rank_col)
 
 
 def indegree_profile(
@@ -420,6 +425,179 @@ def walk_context_pairs(
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Hop-bounded multi-source BFS over the DIRECTED graph ``edges``:
+    for every node reachable from the ``seeds`` relation (``node_col``)
+    in at most ``max_hops`` edge traversals, the minimum hop count
+    (seeds themselves at 0). Returns ``(node_col, distance int)``.
+
+    The hop bound is part of the SEMANTICS, not a convergence budget:
+    "distance within <= H hops" is a total function of the graph for
+    any H, so a fixed unroll (the gate oracle) is exact by definition —
+    no fixpoint argument needed, unlike connected components.
+
+    Why it's here: seed-distance is the crawl-frontier/quality signal
+    of link-graph curation (pages k hops from a trusted seed set — the
+    TrustRank recipe) and the reachability half of graph embeddings;
+    the reference has no graph surface at all (see module docstring).
+
+    Plan (frontier Pregel): the edge relation is deduped, repartitioned
+    on ``src`` and persisted ONCE; each hop joins only the FRONTIER
+    (nodes first reached last hop, node-sized, monotonically shrinking
+    toward the fringe) against that cached partitioning — the 100 TB
+    edge side never re-shuffles. New nodes are frontier-join minus
+    already-visited (anti-join on the visited relation, also
+    node-sized). Per-hop ``localCheckpoint`` keeps lineage flat; the
+    one scalar action per hop is an early-exit count of the frontier.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    spark = edges.sparkSession
+    k = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("__src"), F.col(dst).cast("long").alias("__dst")
+        )
+        .where(F.col("__src").isNotNull() & F.col("__dst").isNotNull())
+        .distinct()
+        .repartition(k, "__src")
+        .persist()
+    )
+    try:
+        e.count()  # materialize: every hop must hit the cache, not the lineage
+        frontier = (
+            seeds.select(F.col(node_col).cast("long").alias(node_col))
+            .where(F.col(node_col).isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        visited = frontier.select(node_col, F.lit(0).alias("distance"))
+        for hop in range(1, max_hops + 1):
+            if frontier.isEmpty():
+                break
+            reached = (
+                e.join(frontier.withColumnRenamed(node_col, "__src"), "__src")
+                .select(F.col("__dst").alias(node_col))
+                .distinct()
+            )
+            frontier = reached.join(visited, node_col, "left_anti").localCheckpoint(
+                eager=True
+            )
+            visited = visited.unionByName(
+                frontier.select(node_col, F.lit(hop).alias("distance"))
+            ).localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+    return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    node_col: str = "node",
+    label_col: str = "community",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    UNDIRECTED graph induced by ``edges`` (direction dropped, parallel
+    edge weights summed, self-loops ignored). Returns
+    ``(node_col, label_col)`` after exactly ``n_iter`` rounds.
+
+    Each round, every node simultaneously adopts the label carrying the
+    largest total incident edge weight among its neighbors' CURRENT
+    labels, ties broken by the SMALLEST label — so with a fixed round
+    count the result is a pure function of the graph (the gate oracle
+    unrolls the identical update; the usual async/randomized LPA is
+    irreproducible by design, which is exactly what a correctness-gated
+    engine cannot ship). Labels start as node ids, so the final label
+    is always some member's id — the same canonical-id convention as
+    connected_components. Isolated direction-only nodes cannot occur
+    (every node of the induced graph has degree >= 1).
+
+    Weighted: community pull follows trade VOLUME (or any affinity),
+    not mere adjacency — pass ``weight_col``. With integer-valued
+    weights the per-label sums are exact in double on both engines, so
+    the argmax is engine-portable (the gate query uses lineitem counts;
+    same rule as q110's weighted PageRank).
+
+    Plan: one symmetric weighted edge relation, repartitioned on ``u``
+    and persisted once; each round is join(labels) -> groupBy(u, label)
+    weight sum -> per-u argmax via one window (two node/label-sized
+    shuffles; edges never re-shuffle). ``localCheckpoint`` per round
+    keeps the plan flat. No driver-side data access at all.
+    """
+    from pyspark.sql import Window
+
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    half = (
+        edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+            w.alias("__w"),
+        )
+        .where(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+            & (F.col("__w") > 0)
+        )
+    )
+    spark = edges.sparkSession
+    k = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = (
+        half.unionByName(
+            half.select(F.col("b").alias("a"), F.col("a").alias("b"), "__w")
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("__w").alias("__w"))
+        .repartition(k, "a")
+        .persist()
+    )
+    try:
+        sym.count()  # materialize before iterating
+        labels = sym.select(F.col("a").alias(node_col)).distinct().select(
+            node_col, F.col(node_col).alias(label_col)
+        ).localCheckpoint(eager=True)
+        by_pull = Window.partitionBy("a").orderBy(
+            F.col("__pull").desc(), F.col(label_col).asc()
+        )
+        for _ in range(n_iter):
+            pulls = (
+                sym.join(
+                    labels.select(
+                        F.col(node_col).alias("b"), F.col(label_col)
+                    ),
+                    "b",
+                )
+                .groupBy("a", label_col)
+                .agg(F.sum("__w").alias("__pull"))
+            )
+            labels = (
+                pulls.withColumn("__rn", F.row_number().over(by_pull))
+                .where(F.col("__rn") == 1)
+                .select(F.col("a").alias(node_col), label_col)
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        sym.unpersist()
+    return labels
 
 
 def triangle_count(

@@ -265,3 +265,63 @@ def bm25_search_text(
         top.join(df.select(F.col(id_col).alias("doc"), text_col), "doc")
         .orderBy(F.desc("score"), F.asc("doc"))
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` keywords by smoothed TF-IDF
+    (``score = tf * (ln((1+N)/(1+df)) + 1)``, the sklearn smooth-idf
+    formula) over the same lowercased whitespace tokenization as the
+    BM25 stack. Returns ``(doc, rank 1..k, term, score)``, ties broken
+    by term ascending — deterministic given the corpus.
+
+    Reference analog: the reference's text surface stops at counts
+    (utils/text); corpus keyword profiling is beyond-reference but a
+    standard curation/reporting primitive.
+
+    Plan: reuses ``bm25_index``'s single-pass postings (one explode +
+    groupBy), eagerly ``localCheckpoint``-ed because THREE consumers
+    read it (scores, document frequencies, N) — without it each branch
+    would re-tokenize the corpus (the triangle_count precedent:
+    checkpoint over persist so the blocks are ContextCleaner-reclaimed
+    with the result, plan-gated in tests/test_plans.py). Document
+    frequencies and N are term-sized / 1-row aggregates joined back on
+    ``term`` with N as a 1-row broadcast scalar, and the per-doc top-k
+    is one window over the doc-keyed postings. No driver-side counts.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    idx = bm25_index(df, id_col, text_col, persist=False)
+    postings = idx.postings.localCheckpoint(eager=True)
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    n_docs = postings.select("doc").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    scored = (
+        postings.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "term",
+            (
+                F.col("tf")
+                * (F.log((F.lit(1.0) + F.col("__n")) / (F.lit(1.0) + F.col("__df"))) + F.lit(1.0))
+            ).alias("score"),
+        )
+    )
+    by_score = Window.partitionBy("doc").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(by_score))
+        .where(F.col("rank") <= k)
+        .select("doc", "rank", "term", "score")
+    )

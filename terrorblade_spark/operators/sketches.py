@@ -245,3 +245,124 @@ def hll_merge(partials: DataFrame, rollup_cols: Sequence[str]) -> DataFrame:
         )
         .withColumn("approx_distinct", F.hll_sketch_estimate("hll"))
     )
+
+
+# --- count-min sketch --------------------------------------------------------
+# The frequency twin of the HLL section above: bounded-state per-key
+# COUNT estimation with the same partial/merge/estimate lifecycle.
+# Where frequent_items (Misra-Gries) keeps only the top ``capacity``
+# keys, count-min answers point queries for ANY key with a one-sided
+# error bound: est >= true, and est <= true + (e/width) * N with
+# probability 1 - (1/e)^depth. State is depth*width longs per group —
+# corpus-size independent, exactly the property that lets per-batch
+# sketches persist next to each ingest and fold forward without
+# rescanning history (the incremental-rollup shape, operators/rollup.py).
+#
+# Hashing is md5 arithmetic over (seed, row, key) — the engine-portable
+# house hash (functions/exprs.py), so a persisted sketch is stable
+# across Spark versions and re-partitionings.
+
+
+def _cm_bucket(key_col, row_col, width: int, seed: str):
+    # 60-bit md5 prefix mod width: independent per sketch row via the
+    # (seed, row) salt; nonnegative because the prefix is < 2^60
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed + "/"),
+                    row_col.cast("string"),
+                    F.lit("/"),
+                    key_col.cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long") % width
+
+
+def countmin_partial(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cm-v1",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Count-min partial state: one (``row``, ``bucket``, ``c``) count
+    per touched cell (untouched cells are implicit zeros), optionally
+    per ``group_cols``. ONE map-side-combined aggregation over the
+    exploded (row x key) relation — depth is a small constant bounded
+    fan-out — and the output is at most depth * width rows per group
+    regardless of input size.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    rows = F.array(*[F.lit(d) for d in range(depth)])
+    return (
+        df.select(F.col(key_col).alias("__k"), *group_cols)
+        .where(F.col("__k").isNotNull())
+        .select(*group_cols, "__k", F.explode(rows).alias("row"))
+        .select(
+            *group_cols,
+            "row",
+            _cm_bucket(F.col("__k"), F.col("row"), width, seed).alias("bucket"),
+        )
+        .groupBy(*group_cols, "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def countmin_merge(
+    partials: Sequence[DataFrame] | DataFrame,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Fold partial sketches into one: cellwise sum on (row, bucket).
+    Merging is exact (the sketch of a union IS the cellwise sum), so
+    per-batch sketches compose in any order — the mergeability contract
+    shared with hll_merge above."""
+    if isinstance(partials, DataFrame):
+        merged = partials
+    else:
+        from functools import reduce
+
+        merged = reduce(lambda a, b: a.unionByName(b), partials)
+    return merged.groupBy(*group_cols, "row", "bucket").agg(
+        F.sum("c").alias("c")
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cm-v1",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Point-frequency estimates for ``keys``: min over sketch rows of
+    the key's cell count (absent cells are zero). depth/width/seed must
+    match the build. The sketch side is depth*width rows per group —
+    broadcast-sized by construction — so the keys relation never
+    shuffles for the join; the only shuffle is the final per-key min."""
+    rows = F.array(*[F.lit(d) for d in range(depth)])
+    probes = keys.select(*group_cols, key_col).select(
+        *group_cols, key_col, F.explode(rows).alias("row")
+    ).select(
+        *group_cols,
+        key_col,
+        "row",
+        _cm_bucket(F.col(key_col), F.col("row"), width, seed).alias("bucket"),
+    )
+    joined = probes.join(
+        F.broadcast(sketch), [*group_cols, "row", "bucket"], "left"
+    ).select(
+        *group_cols, key_col, F.coalesce("c", F.lit(0)).alias("c")
+    )
+    return joined.groupBy(*group_cols, key_col).agg(
+        F.min("c").alias("est_count")
+    )

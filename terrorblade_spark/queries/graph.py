@@ -386,3 +386,133 @@ def q110_weighted_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(wedges, n_iter=_Q110_ITER, damping=_Q104_DAMP, weight_col="w")
     return pr.select("node", F.round("pagerank", 6).alias("pagerank")).orderBy("node")
+
+
+# --- q114: hop-bounded BFS reach over the part co-purchase graph --------------
+# Multi-source shortest-hop distances (the TrustRank/seed-distance
+# curation signal): parts co-ordered with another high-quantity part
+# form an undirected co-purchase graph; seeds are the size-50 parts.
+# The hop bound is part of the semantics ("within <= 4 hops"), so the
+# unrolled oracle is exact BY DEFINITION — no convergence argument, in
+# contrast to the q78 components fixpoint. All-integer algebra.
+
+_Q114_HOPS = 4
+_Q114_MIN_QTY = 48
+_Q114_SEED_SIZE = 50
+
+_Q114_BASKET_SQL = f"""
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_quantity >= {_Q114_MIN_QTY}
+"""
+
+
+def _q114_oracle() -> str:
+    steps = []
+    for h in range(1, _Q114_HOPS + 1):
+        steps.append(f"""
+    r{h} AS MATERIALIZED (
+      SELECT DISTINCT e.v AS node FROM e JOIN r{h - 1} r ON r.node = e.u
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT node, {h} AS d FROM r{h}" for h in range(_Q114_HOPS + 1)
+    )
+    return f"""
+    WITH b AS MATERIALIZED ({_Q114_BASKET_SQL}),
+    und AS MATERIALIZED (
+      SELECT x.pk AS u, y.pk AS v FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+    ),
+    e AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+      )
+    ),
+    r0 AS (
+      SELECT p_partkey AS node FROM part WHERE p_size = {_Q114_SEED_SIZE}
+    ),{",".join(steps)}
+    SELECT node, min(d)::INTEGER AS distance
+    FROM ({unions})
+    GROUP BY node
+    ORDER BY node
+    """
+
+
+@query("q114_copurchase_reach", oracle=_q114_oracle())
+def q114_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.graph import bfs_distances
+
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= _Q114_MIN_QTY)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    und = (
+        a.join(b, "ok")
+        .where(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+    )
+    edges = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") == _Q114_SEED_SIZE)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return bfs_distances(edges, seeds, max_hops=_Q114_HOPS).orderBy("node")
+
+
+# --- q115: label-propagation communities on the weighted nation graph ---------
+# Deterministic SYNCHRONOUS label propagation (fixed rounds, max-pull
+# label, smallest-label ties) over the same weighted trade graph as
+# q110 — community detection where connected components is too coarse
+# (the nation graph is one component; LPA splits it along trade-volume
+# lines). Weights are lineitem counts, so per-label pulls are exact in
+# double on both engines and the argmax is engine-portable.
+
+_Q115_ITER = 4
+
+
+def _q115_oracle() -> str:
+    steps = []
+    for i in range(1, _Q115_ITER + 1):
+        steps.append(f"""
+    l{i} AS MATERIALIZED (
+      SELECT node, community FROM (
+        SELECT a AS node, community,
+               row_number() OVER (
+                 PARTITION BY a ORDER BY pull DESC, community ASC
+               ) AS rn
+        FROM (
+          SELECT s.a, p.community, sum(s.w) AS pull
+          FROM sym s JOIN l{i - 1} p ON p.node = s.b
+          GROUP BY s.a, p.community
+        )
+      ) WHERE rn = 1
+    )""")
+    return f"""
+    WITH e AS MATERIALIZED ({_Q110_WEDGES_SQL}),
+    sym AS MATERIALIZED (
+      SELECT a, b, sum(w) AS w FROM (
+        SELECT src AS a, dst AS b, w FROM e WHERE src <> dst
+        UNION ALL
+        SELECT dst AS a, src AS b, w FROM e WHERE src <> dst
+      ) GROUP BY a, b
+    ),
+    l0 AS (
+      SELECT DISTINCT a AS node, a AS community FROM sym
+    ),{",".join(steps)}
+    SELECT node, community FROM l{_Q115_ITER}
+    ORDER BY node
+    """
+
+
+@query("q115_trade_communities", oracle=_q115_oracle())
+def q115_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.graph import label_propagation
+
+    wedges = _trade_edges(spark, sf_dir).groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    return label_propagation(wedges, n_iter=_Q115_ITER, weight_col="w").orderBy("node")

@@ -564,3 +564,73 @@ def q108_fuzzy_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("p_id", "p_name", "c_custkey", "c_name", "edit_distance").orderBy(
         "p_id"
     )
+
+
+# --- q116: brand co-purchase association rules (support/confidence/lift) ------
+# Market-basket mining at the brand level: baskets are orders' distinct
+# part brands (quantity-qualified), rules are unordered brand pairs
+# with confidence and lift. The engine expands pairs ROW-LOCALLY from
+# each basket's sorted brand array (operators/assoc.py — no self-join
+# on the basket key); the oracle uses the classic self-join. Counts are
+# integers and confidence/lift are single IEEE divisions of
+# exact-in-double integers, so 6-dp rounding matches bit-for-bit.
+
+_Q116_MIN_QTY = 25
+_Q116_MIN_SUPPORT = 5
+
+_Q116_BASKET_SQL = f"""
+      SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS it
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity >= {_Q116_MIN_QTY}
+"""
+
+
+@query(
+    "q116_brand_copurchase_rules",
+    oracle=f"""
+    WITH b AS MATERIALIZED ({_Q116_BASKET_SQL}),
+    pairs AS (
+      SELECT x.it AS item_a, y.it AS item_b, count(*)::BIGINT AS pair_count
+      FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+      GROUP BY x.it, y.it
+      HAVING count(*) >= {_Q116_MIN_SUPPORT}
+    ),
+    supp AS (
+      SELECT it, count(*)::BIGINT AS n FROM b GROUP BY it
+    ),
+    tot AS (
+      SELECT count(DISTINCT bk)::DOUBLE AS nb FROM b
+    )
+    SELECT p.item_a, p.item_b, p.pair_count,
+           sa.n AS count_a, sb.n AS count_b,
+           round(p.pair_count / sa.n, 6) AS confidence,
+           round(p.pair_count * tot.nb / (sa.n * sb.n), 6) AS lift
+    FROM pairs p
+    JOIN supp sa ON sa.it = p.item_a
+    JOIN supp sb ON sb.it = p.item_b
+    CROSS JOIN tot
+    ORDER BY p.item_a, p.item_b
+    """,
+)
+def q116_brand_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.assoc import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity") >= _Q116_MIN_QTY
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("it")
+    )
+    rules = association_rules(
+        baskets, "bk", "it", min_pair_support=_Q116_MIN_SUPPORT
+    )
+    return rules.select(
+        "item_a",
+        "item_b",
+        "pair_count",
+        "count_a",
+        "count_b",
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    ).orderBy("item_a", "item_b")

@@ -469,3 +469,51 @@ def q91_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "chunk_idx", "chunk_tokens", "chunk_text").orderBy(
         "doc_id", "chunk_idx"
     )
+
+
+# --- q117: per-document TF-IDF keywords ---------------------------------------
+# Top-3 terms per document by smoothed TF-IDF (tf * (ln((1+N)/(1+df))
+# + 1), the sklearn smooth-idf form) over the q59-proven lowercased
+# whitespace tokenization. The only float is ONE ln of a ratio of
+# small-integer-valued doubles times an integer tf — identical libm
+# inputs on both engines, and the 6-dp round absorbs any sub-ulp
+# divergence (the q104 rule). Rank ties break by term ascending, so
+# the row set is deterministic.
+
+@query(
+    "q117_tfidf_keywords",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id AS doc, t.term
+      FROM documents, unnest({_DUCK_LTOKENS}) AS t(term)
+    ),
+    p AS MATERIALIZED (
+      SELECT doc, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc, term
+    ),
+    dfreq AS (
+      SELECT term, count(*)::DOUBLE AS df FROM p GROUP BY term
+    ),
+    n AS (
+      SELECT count(DISTINCT doc)::DOUBLE AS nd FROM p
+    )
+    SELECT doc, rank, term, score FROM (
+      SELECT p.doc, p.term,
+             row_number() OVER (
+               PARTITION BY p.doc
+               ORDER BY p.tf * (ln((1.0 + n.nd) / (1.0 + d.df)) + 1.0) DESC,
+                        p.term ASC
+             ) AS rank,
+             round(p.tf * (ln((1.0 + n.nd) / (1.0 + d.df)) + 1.0), 6) AS score
+      FROM p JOIN dfreq d USING (term) CROSS JOIN n
+    ) WHERE rank <= 3
+    ORDER BY doc, rank
+    """,
+)
+def q117_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.search import tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tfidf_keywords(docs, "doc_id", "text", k=3)
+    return out.select(
+        "doc", "rank", "term", F.round("score", 6).alias("score")
+    ).orderBy("doc", "rank")

@@ -114,6 +114,13 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q110_weighted_trade_pagerank",
     "q112_length_language_auc",
     "q113_corpus_diff",
+    # round-5 continuation: hop-bounded BFS reach, label-propagation
+    # communities, market-basket rules, TF-IDF keywords — all full
+    # value oracles, verified by the local check_oracle runs
+    "q114_copurchase_reach",
+    "q115_trade_communities",
+    "q116_brand_copurchase_rules",
+    "q117_tfidf_keywords",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

@@ -378,3 +378,109 @@ def test_kcore_rejects_bad_k(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="k must be"):
         kcore(e, 0)
+
+
+# --- bfs_distances -----------------------------------------------------------
+
+from terrorblade_spark.operators.graph import bfs_distances, label_propagation
+
+
+def _dist(df):
+    return {r["node"]: r["distance"] for r in df.collect()}
+
+
+def _seeds(spark, *nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node long")
+
+
+def test_bfs_chain_hop_bound(spark):
+    """Chain 1->2->3->4->5 from seed 1 with max_hops=2: exactly the
+    first three nodes, at their hop counts — the bound is semantic."""
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long")
+    got = _dist(bfs_distances(e, _seeds(spark, 1), max_hops=2))
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_multi_seed_min_distance(spark):
+    """Two seeds: every node gets the MIN distance over seeds; a node
+    that is itself a seed stays at 0 even with in-edges."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 4), (4, 1)], "src long, dst long"
+    )
+    got = _dist(bfs_distances(e, _seeds(spark, 1, 10), max_hops=3))
+    assert got == {1: 0, 10: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_directed_and_unreachable(spark):
+    """Direction matters (no back-traversal) and unreachable nodes are
+    absent, not infinite."""
+    e = spark.createDataFrame([(2, 1), (3, 2), (9, 8)], "src long, dst long")
+    got = _dist(bfs_distances(e, _seeds(spark, 1), max_hops=5))
+    assert got == {1: 0}
+
+
+def test_bfs_off_graph_seed_and_zero_hops(spark):
+    """Seeds outside the edge relation still report distance 0; and
+    max_hops=0 returns exactly the seed set."""
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert _dist(bfs_distances(e, _seeds(spark, 77), max_hops=3)) == {77: 0}
+    assert _dist(bfs_distances(e, _seeds(spark, 1), max_hops=0)) == {1: 0}
+
+
+def test_bfs_cycle_terminates_early(spark):
+    """A cycle exhausts its frontier before the hop budget — distances
+    stay minimal and no node repeats."""
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    got = _dist(bfs_distances(e, _seeds(spark, 1), max_hops=50))
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+# --- label_propagation -------------------------------------------------------
+
+
+def _labels(df):
+    return {r["node"]: r["community"] for r in df.collect()}
+
+
+def test_lpa_two_cliques_weak_bridge(spark):
+    """Two triangles joined by one bridge edge: after a few synchronous
+    rounds each triangle converges to its own min-id label."""
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(4, 5), (5, 6), (4, 6)]
+    e = spark.createDataFrame(tri1 + tri2 + [(3, 4)], "src long, dst long")
+    got = _labels(label_propagation(e, n_iter=6))
+    # the exact label ids are deterministic but not "the clique min":
+    # min-tie-break lets the bridge node's label seep into the second
+    # clique (here it converges to 3). What the operator promises is
+    # the PARTITION: each triangle one community, bridge not merged.
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    assert got[1] != got[4]
+
+
+def test_lpa_tie_breaks_smallest_label(spark):
+    """A node pulled equally by two labels adopts the smaller one —
+    the determinism contract the gate oracle mirrors."""
+    # node 3 has one edge to 1 and one to 2 (equal unit weights);
+    # after round 1 every node keeps/propagates its initial id
+    e = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    got = _labels(label_propagation(e, n_iter=1))
+    assert got[3] == 1
+
+
+def test_lpa_weight_beats_count(spark):
+    """Weighted pull: one heavy edge outweighs two unit edges."""
+    e = spark.createDataFrame(
+        [(1, 4, 1.0), (2, 4, 1.0), (9, 4, 5.0)], "src long, dst long, w double"
+    )
+    got = _labels(label_propagation(e, n_iter=1, weight_col="w"))
+    assert got[4] == 9
+
+
+def test_lpa_zero_iters_identity_and_parallel_edges(spark):
+    """n_iter=0 returns initial self-labels; parallel edges sum their
+    weights (2x unit edge == weight-2 edge)."""
+    e = spark.createDataFrame([(1, 2), (1, 2), (3, 2)], "src long, dst long")
+    assert _labels(label_propagation(e, n_iter=0)) == {1: 1, 2: 2, 3: 3}
+    # parallel 1-2 edges (total pull 2) beat the single 3-2 edge
+    assert _labels(label_propagation(e, n_iter=1))[2] == 1

@@ -555,3 +555,36 @@ def test_pagerank_superstep_reads_edges_from_cache_unshuffled(spark):
         assert "Exchange" not in between, plan
     finally:
         links.unpersist()
+
+
+def test_association_rules_pairs_are_fused_row_local(spark, sf_dir):
+    """q116's pair counts come from the in-row HOF expansion (Generate
+    over the basket array) — never a basket-key self-join. The only
+    nested-loop join allowed anywhere is the 1-row broadcast total."""
+    from terrorblade_spark.registry import get_queries
+
+    q = get_queries()["q116_brand_copurchase_rules"](spark, sf_dir)
+    plan = _plan(q)
+    assert "Generate explode" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # basket relation aggregated ONCE into arrays: exactly one
+    # collect_set/sort_array aggregate pair feeding the expansion
+    assert plan.count("collect_set") <= 2, plan  # partial+final agg of one op
+
+
+def test_tfidf_plan_jvm_only_with_broadcast_scalar(spark, sf_dir):
+    """q117: whole pipeline JVM-side (no Python eval), the doc-count
+    scalar joins via broadcast, and the corpus is tokenized exactly
+    ONCE — the three postings consumers (scores, df, N) read the
+    checkpointed relation, so the final plan contains NO explode at
+    all (re-tokenization would reappear as Generate nodes)."""
+    from terrorblade_spark.registry import get_queries
+
+    q = get_queries()["q117_tfidf_keywords"](spark, sf_dir)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row n_docs scalar
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" not in plan, plan
+    assert "ExistingRDD" in plan  # the checkpointed postings

@@ -224,3 +224,53 @@ def test_q71_index_cache_key_tracks_fixture_fingerprint(tmp_path):
     k3 = _q71_index_path(str(d))
     (part_dir / "part-0.parquet").write_bytes(b"p0-rewritten")
     assert _q71_index_path(str(d)) != k3
+
+
+# --- tfidf_keywords ----------------------------------------------------------
+
+from terrorblade_spark.operators.search import tfidf_keywords
+
+
+def _kw(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["doc"], []).append((r["rank"], r["term"], r["score"]))
+    return {d: [t for _, t, _ in sorted(v)] for d, v in out.items()}, {
+        (r["doc"], r["term"]): r["score"] for r in df.collect()
+    }
+
+
+def test_tfidf_rare_term_wins(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry banana")],
+        "doc_id long, text string",
+    )
+    terms, scores = _kw(tfidf_keywords(docs, "doc_id", k=1))
+    # doc-unique 'apple' (tf=2, df=1) beats ubiquitous 'banana'
+    assert terms == {1: ["apple"], 2: ["cherry"], 3: ["cherry"]}
+    assert scores[(1, "apple")] == pytest.approx(2 * (math.log(4 / 2) + 1))
+    assert scores[(2, "cherry")] == pytest.approx(math.log(4 / 3) + 1)
+
+
+def test_tfidf_rank_bound_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y z w"), (2, "q")], "doc_id long, text string"
+    )
+    terms, _ = _kw(tfidf_keywords(docs, "doc_id", k=3))
+    # all four terms of doc 1 tie on score (tf=1, df=1): term-ascending
+    # tie-break keeps the first three, deterministically
+    assert terms[1] == ["w", "x", "y"]
+    assert terms[2] == ["q"]
+
+
+def test_tfidf_lowercases_and_skips_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "Apple APPLE"), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    terms, scores = _kw(tfidf_keywords(docs, "doc_id", k=2))
+    # case folds to one term; token-free docs produce no rows (and do
+    # not count toward N: N=1 here, so idf = ln(2/2)+1 = 1, score = tf)
+    assert terms == {1: ["apple"]}
+    assert scores[(1, "apple")] == pytest.approx(2.0)

@@ -233,3 +233,83 @@ def test_sampled_frequent_items_scaled_to_corpus_magnitude(spark):
     ).collect()}
     # true count 10,000; the scaled estimate must be the right magnitude
     assert 8000 <= got["hot"] <= 12000, got
+
+
+# --- count-min sketch --------------------------------------------------------
+
+from terrorblade_spark.operators.sketches import (
+    countmin_estimate,
+    countmin_merge,
+    countmin_partial,
+)
+
+
+def _est(sketch, keys_df, **kw):
+    out = countmin_estimate(sketch, keys_df, "k", **kw)
+    return {r["k"]: r["est_count"] for r in out.collect()}
+
+
+def test_countmin_exact_when_wide(spark):
+    """width >> distinct keys: collisions are (near) absent and the
+    estimate is the exact count; unseen keys estimate >= 0."""
+    data = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(data, "k string")
+    sk = countmin_partial(df, "k", depth=4, width=4096)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], "k string")
+    got = _est(sk, keys, depth=4, width=4096)
+    assert got["a"] == 5 and got["b"] == 3 and got["c"] == 1
+    assert got["zz"] >= 0  # one-sided: never underestimates (true = 0)
+
+
+def test_countmin_never_underestimates(spark):
+    """The structural guarantee: est >= true for every key, even with
+    heavy collisions (width=4 forces them)."""
+    import collections
+
+    vals = [f"k{i % 13}" for i in range(200)]
+    true = collections.Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    sk = countmin_partial(df, "k", depth=3, width=4)
+    keys = spark.createDataFrame([(k,) for k in true], "k string")
+    got = _est(sk, keys, depth=3, width=4)
+    for k, n in true.items():
+        assert got[k] >= n
+
+
+def test_countmin_merge_equals_whole(spark):
+    """Mergeability: cellwise sum of two halves' sketches == the
+    sketch of the union, hence identical estimates."""
+    a = spark.createDataFrame([("x",)] * 4 + [("y",)] * 2, "k string")
+    b = spark.createDataFrame([("x",)] * 1 + [("z",)] * 3, "k string")
+    whole = a.unionByName(b)
+    merged = countmin_merge(
+        [countmin_partial(a, "k", width=256), countmin_partial(b, "k", width=256)]
+    )
+    direct = countmin_partial(whole, "k", width=256)
+    keys = spark.createDataFrame([("x",), ("y",), ("z",)], "k string")
+    assert _est(merged, keys, width=256) == _est(direct, keys, width=256)
+    assert _est(merged, keys, width=256) == {"x": 5, "y": 2, "z": 3}
+
+
+def test_countmin_grouped_state_is_bounded(spark):
+    """Per-group sketches: estimates separate by group and the state
+    relation is at most depth*width rows per group."""
+    rows = [("g1", "a")] * 3 + [("g2", "a")] * 7
+    df = spark.createDataFrame(rows, "g string, k string")
+    sk = countmin_partial(df, "k", depth=2, width=8, group_cols=["g"])
+    assert sk.count() <= 2 * 2 * 8
+    keys = spark.createDataFrame([("g1", "a"), ("g2", "a")], "g string, k string")
+    out = countmin_estimate(sk, keys, "k", depth=2, width=8, group_cols=["g"])
+    got = {(r["g"], r["k"]): r["est_count"] for r in out.collect()}
+    assert got[("g1", "a")] >= 3 and got[("g2", "a")] >= 7
+    # g1's estimate must not absorb g2's mass beyond collision noise:
+    # with distinct keys per group = 1, it is exact
+    assert got[("g1", "a")] == 3 and got[("g2", "a")] == 7
+
+
+def test_countmin_rejects_bad_params(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        countmin_partial(df, "k", depth=0)
