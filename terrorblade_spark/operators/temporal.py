@@ -240,3 +240,66 @@ def resample_events(
         )
         out = out.withColumn("v", F.last("v", ignorenulls=True).over(w))
     return out.withColumnRenamed("v", f"{agg}_{value_col}").orderBy(entity_col, "bucket")
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    alpha: float = 0.5,
+    window: int = 8,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average over a bounded trailing
+    window: for each row, the weight-normalized mean of the last
+    ``window`` values in ``order_cols`` order within the partition
+    (weights ``(1-alpha)^age``, the pandas ``ewm(adjust=True)`` form,
+    truncated to the window). The bounded window is part of the
+    SEMANTICS, not an approximation knob — like bfs_distances' hop
+    bound, it makes the result a pure function of the local frame (and
+    at alpha=0.5 the age-``window`` tail weight is 2^-window, below
+    float noise anyway).
+
+    Scale: ONE shuffle on the partition keys; the frame collect and
+    the weighted fold are row-local array HOFs (window rows, a small
+    constant, per row) — no self-join, no per-row Python.
+    ``order_cols`` should end in a unique tiebreaker (the W2 rule) or
+    frame contents at ties are engine-dependent.
+
+    Determinism: with alpha a power of 1/2, weights are exact binary
+    fractions and each product is exact; the fold runs in frame order
+    on both engines, so a 6-dp round absorbs sub-ulp division drift
+    (gate query q118).
+    """
+    from pyspark.sql import Window as _W
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    w = (
+        _W.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window - 1), _W.currentRow)
+    )
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    out = df.withColumn("__frame", arr)
+    n = F.size("__frame")
+    ages = F.sequence(F.lit(0), n - F.lit(1))
+    decay = float(1.0 - alpha)
+    num = F.aggregate(
+        F.transform(
+            ages,
+            lambda j: F.element_at(F.col("__frame"), (n - j).cast("int"))
+            * F.pow(F.lit(decay), j),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(ages, lambda j: F.pow(F.lit(decay), j)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return out.withColumn(out_col, num / den).drop("__frame")

@@ -270,3 +270,95 @@ def q79_event_thread_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --- q118: per-user EWMA smoothing of event values ---------------------------
+# Bounded-window exponentially-weighted moving average (pandas
+# ewm(adjust=True) truncated to 8 rows): per user in (ts, event_id)
+# order. alpha = 0.5 makes every weight an exact binary fraction, so
+# each weighted term is exact on both engines and 6-dp rounding
+# absorbs the fold's sub-ulp drift (operators/temporal.py ewma).
+
+_Q118_ALPHA = 0.5
+_Q118_WINDOW = 8
+
+
+@query(
+    "q118_event_ewma",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_Q118_WINDOW - 1} PRECEDING AND CURRENT ROW
+             ) AS l
+      FROM events
+    )
+    SELECT user_id, event_id, value,
+           round(
+             list_sum(list_transform(
+               range(0, len(l)), j -> l[len(l) - j] * power({1 - _Q118_ALPHA}, j)
+             ))
+             / list_sum(list_transform(
+               range(0, len(l)), j -> power({1 - _Q118_ALPHA}, j)
+             )),
+             6
+           ) AS ewma
+    FROM w
+    ORDER BY user_id, event_id
+    """,
+)
+def q118_event_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.temporal import ewma
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = ewma(
+        ev,
+        "value",
+        partition_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        alpha=_Q118_ALPHA,
+        window=_Q118_WINDOW,
+    )
+    return out.select(
+        "user_id", "event_id", "value", F.round("ewma", 6).alias("ewma")
+    ).orderBy("user_id", "event_id")
+
+
+# --- q119: robust (median/MAD) outlier events --------------------------------
+# Per-user robust z-scores: both engines interpolate the even-count
+# median identically ((a+b)/2 of the two middle doubles), deviations
+# subtract exactly, and the single division rounds to 6 dp. MAD = 0
+# groups are skipped by contract (operators/anomaly.py).
+
+
+@query(
+    "q119_value_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, median(value) AS med FROM events GROUP BY user_id
+    ),
+    dev AS (
+      SELECT e.user_id, e.event_id, e.value, e.value - m.med AS d
+      FROM events e JOIN med m USING (user_id)
+    ),
+    mad AS (
+      SELECT user_id, median(abs(d)) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id, d.event_id, d.value,
+           round(d.d / (1.4826 * m.mad), 6) AS robust_z
+    FROM dev d JOIN mad m USING (user_id)
+    WHERE m.mad > 0 AND abs(d.d / (1.4826 * m.mad)) > 3
+    ORDER BY d.user_id, d.event_id
+    """,
+)
+def q119_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.anomaly import robust_outliers
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = robust_outliers(ev, "value", ["user_id"], z_threshold=3.0)
+    return out.select(
+        "user_id", "event_id", "value", F.round("robust_z", 6).alias("robust_z")
+    ).orderBy("user_id", "event_id")

@@ -121,6 +121,8 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q115_trade_communities",
     "q116_brand_copurchase_rules",
     "q117_tfidf_keywords",
+    "q118_event_ewma",
+    "q119_value_outliers",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

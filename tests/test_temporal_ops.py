@@ -226,3 +226,55 @@ def test_asof_join_payload_free_right_side(spark):
     right = spark.createDataFrame([(1, 15.0)], "k long, t double")
     out = asof_join(left, right, on="t", by=["k"]).collect()
     assert len(out) == 2  # no crash; left rows all survive
+
+
+# --- ewma --------------------------------------------------------------------
+
+from terrorblade_spark.operators.temporal import ewma
+
+
+def _ewma_vals(df):
+    return {r["i"]: r["ewma"] for r in df.collect()}
+
+
+def test_ewma_hand_computed(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0)], "g long, i long, value double"
+    )
+    got = _ewma_vals(ewma(df, "value", ["g"], ["i"], alpha=0.5, window=4))
+    assert got[1] == _pt.approx(10.0)
+    assert got[2] == _pt.approx((20 + 0.5 * 10) / 1.5)
+    assert got[3] == _pt.approx((30 + 0.5 * 20 + 0.25 * 10) / 1.75)
+
+
+def test_ewma_window_truncates(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0)], "g long, i long, value double"
+    )
+    got = _ewma_vals(ewma(df, "value", ["g"], ["i"], alpha=0.5, window=2))
+    # row 3 sees only [20, 30]: (30 + 0.5*20) / 1.5
+    assert got[3] == _pt.approx((30 + 0.5 * 20) / 1.5)
+
+
+def test_ewma_partitions_independent(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 2, 99.0)], "g long, i long, value double"
+    )
+    got = _ewma_vals(ewma(df, "value", ["g"], ["i"]))
+    assert got[1] == _pt.approx(10.0) and got[2] == _pt.approx(99.0)
+
+
+def test_ewma_rejects_bad_params(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "g long, i long, value double")
+    with _pt.raises(ValueError):
+        ewma(df, "value", ["g"], ["i"], alpha=1.0)
+    with _pt.raises(ValueError):
+        ewma(df, "value", ["g"], ["i"], window=0)
