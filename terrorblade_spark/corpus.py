@@ -412,6 +412,40 @@ class CorpusPipeline:
         )
         return assign_topics(df, model, self.id_col, self.text_col), topic_terms(model)
 
+    # -- analysis: keywords ----------------------------------------------------
+
+    def keywords(self, df: DataFrame, k: int = 3) -> DataFrame:
+        """Per-document TF-IDF keywords (operators/search.tfidf_keywords)
+        — the lightweight data-card companion to :meth:`topics`: no
+        model fit, deterministic, value-oracled (q117). Returns
+        ``(doc, rank, term, score)``."""
+        from terrorblade_spark.operators.search import tfidf_keywords
+
+        return tfidf_keywords(df, self.id_col, self.text_col, k=k)
+
+    # -- analysis: length outliers ---------------------------------------------
+
+    def length_outliers(self, df: DataFrame, z_threshold: float = 3.5) -> DataFrame:
+        """Documents whose token count is a robust (median/MAD) outlier
+        within their source group (operators/anomaly.robust_outliers)
+        — flags truncation/concatenation artifacts the absolute-length
+        curation rules miss because each source has its own length
+        regime. Analysis stage: returns the flagged rows with a
+        ``robust_z`` column; feed the ids to a filter if pruning."""
+        from terrorblade_spark.operators.anomaly import robust_outliers
+        from terrorblade_spark.operators.textops import with_token_count
+
+        counted = with_token_count(df, self.text_col, out_col="__n_tokens").withColumn(
+            "__n_tokens", F.col("__n_tokens").cast("double")
+        )
+        if "source" in df.columns:
+            group = ["source"]
+        else:
+            counted = counted.withColumn("__all", F.lit(1))
+            group = ["__all"]
+        out = robust_outliers(counted, "__n_tokens", group, z_threshold=z_threshold)
+        return out.drop("__all")
+
     # -- stage 5: export ------------------------------------------------------
 
     def export(

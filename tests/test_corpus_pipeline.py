@@ -342,3 +342,38 @@ def test_topics_stage_feeds_balance(spark):
     }
     # the minority topic is repeated toward parity (3 docs x 3 epochs)
     assert max(by_topic.values()) == 12 and min(by_topic.values()) == 9
+
+
+def test_keywords_stage_is_deterministic_data_card(spark):
+    """The keywords analysis stage: top-k per doc, rare terms first —
+    the lightweight data-card companion to topics."""
+    from terrorblade_spark.corpus import CorpusPipeline
+
+    docs = spark.createDataFrame(
+        [(1, "quantum quantum flux common"), (2, "common words here")],
+        "doc_id long, text string",
+    )
+    pipe = CorpusPipeline(spark, docs)
+    kw = pipe.keywords(docs, k=2)
+    got = {(r["doc"], r["rank"]): r["term"] for r in kw.collect()}
+    # the repeated doc-unique term outranks the corpus-wide one
+    assert got[(1, 1)] == "quantum"
+    assert kw.where(F.col("rank") > 2).count() == 0
+
+
+def test_length_outliers_stage_flags_per_source(spark):
+    """A 200-token doc among 10-token docs of ITS OWN source is
+    flagged; the same length in a long-form source is not."""
+    from terrorblade_spark.corpus import CorpusPipeline
+
+    # lengths VARY within each source (identical lengths would zero the
+    # MAD and skip the group, by the operator's contract)
+    rows = (
+        [(i, " ".join(["w"] * (10 + i)), "tweets") for i in range(8)]
+        + [(50, " ".join(["w"] * 200), "tweets")]
+        + [(100 + i, " ".join(["w"] * (200 + i)), "books") for i in range(8)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pipe = CorpusPipeline(spark, docs)
+    flagged = {r["doc_id"] for r in pipe.length_outliers(docs).collect()}
+    assert flagged == {50}
