@@ -366,3 +366,64 @@ def countmin_estimate(
     return joined.groupBy(*group_cols, key_col).agg(
         F.min("c").alias("est_count")
     )
+
+
+def countmin_update_txn(
+    table,
+    batch: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cm-v1",
+    group_cols: Sequence[str] = (),
+    applied_id: str | None = None,
+) -> None:
+    """Fold ``batch``'s count-min partial into a transactional sketch
+    table (``txn.TxnTable``) — the incremental-ingest shape the sketch
+    exists for: per-batch partials land EXACTLY ONCE (the cellwise
+    merge and the applied-batch marker are one atomic manifest swap,
+    the rollup_update_txn recipe), and the persisted state stays
+    depth*width rows per group forever while the raw stream is never
+    re-scanned. Readers estimate from any committed snapshot via
+    :func:`countmin_estimate` on ``table.read``.
+
+    Concurrency: read+merge runs inside the optimistic retry pinned to
+    the manifest version it read (``expected_version``) — a concurrent
+    writer's fold conflicts and re-merges rather than being silently
+    overwritten. State is partitioned by sketch ``row`` so the swap is
+    a partition replace.
+    """
+    import time as _time
+
+    from terrorblade_spark.txn import CommitConflict
+
+    if applied_id is not None and table.applied(applied_id):
+        return
+    spark = batch.sparkSession
+    partial = countmin_partial(
+        batch, key_col, depth=depth, width=width, seed=seed, group_cols=group_cols
+    ).persist()
+    try:
+        for attempt in range(12):
+            base = table.latest()
+            base_version = base.version if base else 0
+            if applied_id is not None and base and applied_id in base.applied_ids:
+                return
+            try:
+                existing = table.read(spark, version=base_version or None)
+                merged = countmin_merge(
+                    existing.unionByName(partial), group_cols=group_cols
+                )
+            except FileNotFoundError:
+                merged = partial
+            try:
+                table.replace_partitions(
+                    merged, "row", applied_id=applied_id,
+                    expected_version=base_version,
+                )
+                return
+            except CommitConflict:
+                _time.sleep(min(0.05 * (2**attempt), 1.0))
+        raise CommitConflict(f"countmin_update_txn gave up on {table.path}")
+    finally:
+        partial.unpersist()

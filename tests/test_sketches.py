@@ -313,3 +313,58 @@ def test_countmin_rejects_bad_params(spark):
 
     with _pytest.raises(ValueError):
         countmin_partial(df, "k", depth=0)
+
+
+def test_countmin_txn_fold_matches_direct(spark, tmp_path):
+    """Three batches folded through the transactional state == one
+    sketch of the concatenation; a replayed batch id is a no-op."""
+    from terrorblade_spark.operators.sketches import countmin_update_txn
+    from terrorblade_spark.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "cm"))
+    batches = [
+        [("a",)] * 3 + [("b",)] * 1,
+        [("a",)] * 2 + [("c",)] * 4,
+        [("b",)] * 5,
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "k string")
+        countmin_update_txn(t, df, "k", width=256, applied_id=f"b{i}")
+    # replay of batch 1 must not double-count
+    countmin_update_txn(
+        t, spark.createDataFrame(batches[1], "k string"), "k", width=256,
+        applied_id="b1",
+    )
+    whole = spark.createDataFrame(
+        [r for b in batches for r in b], "k string"
+    )
+    direct = countmin_partial(whole, "k", width=256)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    got = _est(t.read(spark), keys, width=256)
+    assert got == _est(direct, keys, width=256)
+    assert got == {"a": 5, "b": 6, "c": 4}
+
+
+def test_countmin_txn_concurrent_folds_no_lost_update(spark, tmp_path):
+    """Two writers folding different batches concurrently: both land
+    (the expected_version conflict path re-reads and re-merges)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from terrorblade_spark.operators.sketches import countmin_update_txn
+    from terrorblade_spark.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "cm2"))
+    countmin_update_txn(
+        t, spark.createDataFrame([("x",)], "k string"), "k", width=64,
+        applied_id="seed",
+    )
+
+    def fold(tag, n):
+        df = spark.createDataFrame([(tag,)] * n, "k string")
+        countmin_update_txn(t, df, "k", width=64, applied_id=tag)
+
+    with ThreadPoolExecutor(2) as ex:
+        list(ex.map(lambda a: fold(*a), [("x", 4), ("y", 7)]))
+    keys = spark.createDataFrame([("x",), ("y",)], "k string")
+    got = _est(t.read(spark), keys, width=64)
+    assert got == {"x": 5, "y": 7}
