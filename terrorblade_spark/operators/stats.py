@@ -1,0 +1,103 @@
+"""Categorical association statistics: contingency tables with
+chi-square decomposition and Cramer's V.
+
+Why it's here: "is this categorical column independent of that one"
+is the workhorse question of corpus accounting (is language balanced
+across sources? did the new crawl shift the domain mix per language?)
+and of feature screening for the quality classifier — the
+distribution-level complement to the row-level dataset diff
+(relational.dataset_diff) and the JS corpus drift (lm.corpus_drift).
+
+Scale: ONE aggregation over the data (cell counts), then margins are
+re-aggregations of the CELL relation (category-sized, never the data
+again), joined back on the category keys with the grand total as a
+1-row broadcast scalar. Category cardinalities are assumed
+dimension-like (languages, sources, buckets): the cell relation is
+their product at most.
+
+Determinism (gate q120): observed counts and margins are integers;
+expected = row_tot * col_tot / N is exact-in-double integer products
+and ONE IEEE division; the per-cell contribution adds one subtract /
+square / divide chain — identical on both engines, 6-dp rounded. The
+chi2 total is a decimal-exact sum of 6-dp-rounded contributions
+(order-free, the dec_sum rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from terrorblade_spark.functions.exprs import dec_sum
+
+
+def crosstab_stats(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """Per-cell contingency statistics for ``row_col`` x ``col_col``:
+    ``(row, col, n, n_row, n_col, expected, contrib)`` where
+    ``expected = n_row * n_col / N`` (independence) and ``contrib =
+    (n - expected)^2 / expected`` (the cell's chi-square term). Only
+    observed cells appear; a zero-observed cell's contribution equals
+    its expected count — add it driver-side via the margins if a
+    complete grid is needed (the gate query's oracle mirrors the
+    observed-cells convention). NULL categories are kept as their own
+    level (they are a real level of corpus metadata)."""
+    cells = df.groupBy(
+        F.col(row_col).alias("row"), F.col(col_col).alias("col")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # margin joins are NULL-SAFE: a NULL category is a real level and a
+    # plain equi-join would silently drop its cells at the join back
+    rows = cells.groupBy("row").agg(F.sum("n").alias("n_row")).withColumnRenamed(
+        "row", "__row_m"
+    )
+    cols = cells.groupBy("col").agg(F.sum("n").alias("n_col")).withColumnRenamed(
+        "col", "__col_m"
+    )
+    total = cells.agg(F.sum("n").cast("double").alias("__N"))
+    expected = F.col("n_row") * F.col("n_col") / F.col("__N")
+    return (
+        cells.join(rows, F.col("row").eqNullSafe(F.col("__row_m")))
+        .join(cols, F.col("col").eqNullSafe(F.col("__col_m")))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "row",
+            "col",
+            "n",
+            "n_row",
+            "n_col",
+            expected.alias("expected"),
+            ((F.col("n") - expected) * (F.col("n") - expected) / expected).alias(
+                "contrib"
+            ),
+        )
+    )
+
+
+def chi_square(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """One-row chi-square summary: ``(chi2, dof, n, cramers_v)``.
+
+    ``chi2`` covers the FULL grid without materializing it: observed
+    cells contribute via ``crosstab_stats``; a zero-observed cell's
+    term collapses to its expected count, and summed over all missing
+    cells that is exactly ``N - sum(expected over observed cells)`` —
+    so two decimal-exact sums over the observed-cell relation suffice.
+    Contributions/expectations are 6-dp rounded then decimal-summed
+    (order-free, engine-portable: the dec_sum rule); ``cramers_v``
+    adds one sqrt of exact-input doubles."""
+    cells = crosstab_stats(df, row_col, col_col)
+    agg = cells.agg(
+        dec_sum(F.round("contrib", 6), 6).alias("__chi_obs"),
+        dec_sum(F.round("expected", 6), 6).alias("__exp_obs"),
+        F.sum("n").alias("n"),
+        F.countDistinct("row").alias("__r"),
+        F.countDistinct("col").alias("__c"),
+    )
+    chi2 = F.col("__chi_obs") + (F.col("n") - F.col("__exp_obs"))
+    min_dim = F.least("__r", "__c") - F.lit(1)
+    return agg.select(
+        chi2.alias("chi2"),
+        ((F.col("__r") - 1) * (F.col("__c") - 1)).alias("dof"),
+        "n",
+        F.when(min_dim > 0, F.sqrt(chi2 / (F.col("n") * min_dim)))
+        .otherwise(F.lit(0.0))
+        .alias("cramers_v"),
+    )

@@ -517,3 +517,109 @@ def q117_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc", "rank", "term", F.round("score", 6).alias("score")
     ).orderBy("doc", "rank")
+
+
+# --- q120/q121: lang x source categorical association -------------------------
+# Contingency-table chi-square over document metadata — the
+# distribution-level "did the mix shift" statistic next to the
+# row-level dataset diff (q113) and JS drift (q90). Observed counts
+# and margins are integers; expected/contrib are exact-integer
+# products with one IEEE division each, 6-dp rounded; the q121 totals
+# are decimal-exact sums of the rounded cells (order-free), with the
+# zero-observed grid cells folded in analytically (their terms sum to
+# N - sum(expected over observed cells)).
+
+_Q120_CELLS_SQL = """
+      SELECT lang AS row, source AS col, count(*)::BIGINT AS n
+      FROM documents GROUP BY lang, source
+"""
+
+
+@query(
+    "q120_lang_source_association",
+    oracle=f"""
+    WITH cells AS MATERIALIZED ({_Q120_CELLS_SQL}),
+    r AS (SELECT row, sum(n)::BIGINT AS n_row FROM cells GROUP BY row),
+    c AS (SELECT col, sum(n)::BIGINT AS n_col FROM cells GROUP BY col),
+    t AS (SELECT sum(n)::DOUBLE AS nn FROM cells)
+    SELECT cells.row AS lang, cells.col AS source, cells.n,
+           r.n_row, c.n_col,
+           round(r.n_row * c.n_col / t.nn, 6) AS expected,
+           round(
+             (cells.n - r.n_row * c.n_col / t.nn)
+             * (cells.n - r.n_row * c.n_col / t.nn)
+             / (r.n_row * c.n_col / t.nn),
+             6
+           ) AS contrib
+    FROM cells
+    JOIN r ON r.row = cells.row
+    JOIN c ON c.col = cells.col
+    CROSS JOIN t
+    ORDER BY lang, source
+    """,
+)
+def q120_lang_source_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.stats import crosstab_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = crosstab_stats(docs, "lang", "source")
+    return out.select(
+        F.col("row").alias("lang"),
+        F.col("col").alias("source"),
+        "n",
+        "n_row",
+        "n_col",
+        F.round("expected", 6).alias("expected"),
+        F.round("contrib", 6).alias("contrib"),
+    ).orderBy("lang", "source")
+
+
+@query(
+    "q121_lang_source_chi2",
+    oracle=f"""
+    WITH cells AS MATERIALIZED ({_Q120_CELLS_SQL}),
+    r AS (SELECT row, sum(n)::BIGINT AS n_row FROM cells GROUP BY row),
+    c AS (SELECT col, sum(n)::BIGINT AS n_col FROM cells GROUP BY col),
+    t AS (SELECT sum(n)::DOUBLE AS nn FROM cells),
+    percell AS (
+      SELECT cells.n,
+             round(r.n_row * c.n_col / t.nn, 6) AS expected,
+             round(
+               (cells.n - r.n_row * c.n_col / t.nn)
+               * (cells.n - r.n_row * c.n_col / t.nn)
+               / (r.n_row * c.n_col / t.nn),
+               6
+             ) AS contrib,
+             cells.row, cells.col
+      FROM cells
+      JOIN r ON r.row = cells.row
+      JOIN c ON c.col = cells.col
+      CROSS JOIN t
+    ),
+    agg AS (
+      SELECT sum(CAST(contrib AS DECIMAL(18,6)))::DOUBLE AS chi_obs,
+             sum(CAST(expected AS DECIMAL(18,6)))::DOUBLE AS exp_obs,
+             sum(n)::BIGINT AS n,
+             count(DISTINCT row)::BIGINT AS r,
+             count(DISTINCT col)::BIGINT AS c
+      FROM percell
+    )
+    SELECT round(chi_obs + (n - exp_obs), 6) AS chi2,
+           (r - 1) * (c - 1) AS dof,
+           n,
+           round(sqrt((chi_obs + (n - exp_obs)) / (n * (least(r, c) - 1))), 6)
+             AS cramers_v
+    FROM agg
+    """,
+)
+def q121_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.stats import chi_square
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chi_square(docs, "lang", "source")
+    return out.select(
+        F.round("chi2", 6).alias("chi2"),
+        "dof",
+        "n",
+        F.round("cramers_v", 6).alias("cramers_v"),
+    )

@@ -123,6 +123,8 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q117_tfidf_keywords",
     "q118_event_ewma",
     "q119_value_outliers",
+    "q120_lang_source_association",
+    "q121_lang_source_chi2",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

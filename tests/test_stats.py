@@ -1,0 +1,62 @@
+"""Contingency chi-square + Cramer's V (operators/stats.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from terrorblade_spark.operators.stats import chi_square, crosstab_stats
+
+
+def _mk(spark, cells):
+    rows = []
+    for (r, c), n in cells.items():
+        rows += [(r, c)] * n
+    return spark.createDataFrame(rows, "lang string, source string")
+
+
+def test_crosstab_hand_computed_2x2(spark):
+    df = _mk(spark, {("A", "X"): 30, ("A", "Y"): 10, ("B", "X"): 10, ("B", "Y"): 30})
+    got = {
+        (r["row"], r["col"]): r for r in crosstab_stats(df, "lang", "source").collect()
+    }
+    # uniform margins of 40 over N=80: every expected is 20
+    assert all(v["expected"] == pytest.approx(20.0) for v in got.values())
+    assert got[("A", "X")]["contrib"] == pytest.approx(100 / 20)
+    s = chi_square(df, "lang", "source").collect()[0]
+    assert s["chi2"] == pytest.approx(20.0)
+    assert s["dof"] == 1 and s["n"] == 80
+    assert s["cramers_v"] == pytest.approx(0.5)
+
+
+def test_chi_square_includes_zero_observed_cells(spark):
+    """A grid cell with no observations still contributes its expected
+    count — folded in analytically, never materialized."""
+    df = _mk(spark, {("A", "X"): 5, ("A", "Y"): 5, ("B", "X"): 5})
+    s = chi_square(df, "lang", "source").collect()[0]
+    # by hand: chi2 = 0.41667 + 0.83333 + 0.83333 + E(B,Y)=1.66667
+    assert s["chi2"] == pytest.approx(3.75, abs=1e-5)
+
+
+def test_chi_square_independent_is_zero(spark):
+    """Perfectly proportional table: chi2 = 0 = Cramer's V."""
+    df = _mk(spark, {("A", "X"): 20, ("A", "Y"): 10, ("B", "X"): 40, ("B", "Y"): 20})
+    s = chi_square(df, "lang", "source").collect()[0]
+    assert s["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert s["cramers_v"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_crosstab_keeps_null_level(spark):
+    df = spark.createDataFrame(
+        [("A", "X"), (None, "X"), (None, "Y")], "lang string, source string"
+    )
+    got = crosstab_stats(df, "lang", "source").collect()
+    assert {r["row"] for r in got} == {"A", None}
+
+
+def test_single_category_degenerate(spark):
+    """One row level: dof = 0 and V = 0 (no association possible)."""
+    df = _mk(spark, {("A", "X"): 5, ("A", "Y"): 7})
+    s = chi_square(df, "lang", "source").collect()[0]
+    assert s["dof"] == 0
+    assert s["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert s["cramers_v"] == 0.0
