@@ -25,6 +25,8 @@ chi2 total is a decimal-exact sum of 6-dp-rounded contributions
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -100,4 +102,47 @@ def chi_square(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
         F.when(min_dim > 0, F.sqrt(chi2 / (F.col("n") * min_dim)))
         .otherwise(F.lit(0.0))
         .alias("cramers_v"),
+    )
+
+
+def pearson_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str] = (),
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group Pearson correlation from decimal-exact moments:
+    ``(group..., n, corr)``.
+
+    Spark's builtin ``corr`` accumulates doubles in shuffle order, so
+    its low bits change run to run — unusable under a bit-compare
+    oracle. This form decimal-sums the five moments (order-free,
+    exact at ``scale`` / ``2*scale`` fractional digits), then applies
+    the closed form ``(n*sxy - sx*sy) / sqrt((n*sxx - sx^2) *
+    (n*syy - sy^2))`` — identical IEEE arithmetic on identical exact
+    inputs on any engine (gate q123). Rows with a NULL in either
+    column are excluded (the pairwise-complete convention); zero
+    variance on either side yields NULL.
+
+    One map-side-combined aggregation; group relations only.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    both = df.where(x.isNotNull() & y.isNotNull())
+    agg = both.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        dec_sum(x, scale).alias("__sx"),
+        dec_sum(y, scale).alias("__sy"),
+        dec_sum(x * x, 2 * scale).alias("__sxx"),
+        dec_sum(y * y, 2 * scale).alias("__syy"),
+        dec_sum(x * y, 2 * scale).alias("__sxy"),
+    )
+    varx = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vary = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cov = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    return agg.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        F.when((varx > 0) & (vary > 0), cov / F.sqrt(varx * vary)).alias("corr"),
     )

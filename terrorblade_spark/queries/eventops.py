@@ -362,3 +362,100 @@ def q119_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", "value", F.round("robust_z", 6).alias("robust_z")
     ).orderBy("user_id", "event_id")
+
+
+# --- q122: schema-on-read JSON property profile -------------------------------
+# events.props is a JSON string column; extract $.k JVM-side
+# (get_json_object — no Python, no pre-parsing pass) and profile it
+# per event type. All-integer aggregates plus one exact division.
+
+
+@query(
+    "q122_props_json_stats",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           count(k)::BIGINT AS n_k,
+           sum(k)::BIGINT AS sum_k,
+           min(k) AS min_k,
+           max(k) AS max_k,
+           count(DISTINCT k)::BIGINT AS n_distinct_k,
+           round(sum(k)::DOUBLE / count(k), 6) AS avg_k
+    FROM t
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q122_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+            F.round(F.sum("k").cast("double") / F.count("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- q123: reproducible Pearson correlation per event type --------------------
+# corr(value, json k) from decimal-exact moments (operators/stats.py
+# pearson_corr): Spark's builtin corr sums doubles in shuffle order
+# and cannot hash-match an oracle; exact moments make the closed form
+# a pure function of the data. Oracle mirrors the same DECIMAL sums.
+
+
+@query(
+    "q123_value_k_correlation",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, value,
+             CAST(json_extract_string(props, '$.k') AS BIGINT)::DOUBLE AS k
+      FROM events
+      WHERE value IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type,
+             count(*)::DOUBLE AS n,
+             sum(CAST(value AS DECIMAL(28,6)))::DOUBLE AS sx,
+             sum(CAST(k AS DECIMAL(28,6)))::DOUBLE AS sy,
+             sum(CAST(value * value AS DECIMAL(28,12)))::DOUBLE AS sxx,
+             sum(CAST(k * k AS DECIMAL(28,12)))::DOUBLE AS syy,
+             sum(CAST(value * k AS DECIMAL(28,12)))::DOUBLE AS sxy
+      FROM t GROUP BY event_type
+    )
+    SELECT event_type, n::BIGINT AS n,
+           round(
+             (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+             6
+           ) AS corr
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def q123_value_k_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.stats import pearson_corr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    out = pearson_corr(ev, "value", "k", group_cols=["event_type"])
+    return out.select(
+        "event_type", "n", F.round("corr", 6).alias("corr")
+    ).orderBy("event_type")

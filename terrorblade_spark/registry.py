@@ -125,6 +125,8 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q119_value_outliers",
     "q120_lang_source_association",
     "q121_lang_source_chi2",
+    "q122_props_json_stats",
+    "q123_value_k_correlation",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

@@ -60,3 +60,53 @@ def test_single_category_degenerate(spark):
     assert s["dof"] == 0
     assert s["chi2"] == pytest.approx(0.0, abs=1e-9)
     assert s["cramers_v"] == 0.0
+
+
+# --- pearson_corr ------------------------------------------------------------
+
+from terrorblade_spark.operators.stats import pearson_corr
+
+
+def _corr(spark, pairs):
+    df = spark.createDataFrame(pairs, "x double, y double")
+    row = pearson_corr(df, "x", "y").collect()[0]
+    return row["n"], row["corr"]
+
+
+def test_corr_perfect_linear(spark):
+    n, r = _corr(spark, [(float(i), 2.0 * i + 1) for i in range(10)])
+    assert n == 10 and r == pytest.approx(1.0)
+    n, r = _corr(spark, [(float(i), -3.0 * i) for i in range(10)])
+    assert r == pytest.approx(-1.0)
+
+
+def test_corr_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    xs = rng.rand(50).round(4)
+    ys = (0.3 * xs + rng.rand(50) * 0.5).round(4)
+    n, r = _corr(spark, [(float(a), float(b)) for a, b in zip(xs, ys)])
+    assert r == pytest.approx(float(np.corrcoef(xs, ys)[0, 1]), abs=1e-9)
+
+
+def test_corr_excludes_null_pairs_and_zero_variance(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, None), (None, 5.0), (3.0, 6.0)],
+        "x double, y double",
+    )
+    row = pearson_corr(df, "x", "y").collect()[0]
+    assert row["n"] == 2 and row["corr"] == pytest.approx(1.0)
+    flat = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], "x double, y double")
+    assert pearson_corr(flat, "x", "y").collect()[0]["corr"] is None
+
+
+def test_corr_grouped(spark):
+    rows = [("a", float(i), float(i)) for i in range(5)] + [
+        ("b", float(i), float(-i)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {
+        r["g"]: r["corr"] for r in pearson_corr(df, "x", "y", ["g"]).collect()
+    }
+    assert got["a"] == pytest.approx(1.0) and got["b"] == pytest.approx(-1.0)
