@@ -623,3 +623,39 @@ def q121_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("cramers_v", 6).alias("cramers_v"),
     )
+
+
+# --- q124: OLAP rollup totals over corpus metadata ----------------------------
+# GROUPING SETS surface: one pass produces per-(lang, source) stats,
+# per-lang subtotals, and the grand total, disambiguated by the
+# grouping-id bitmask (a NULL category level vs a subtotal row are
+# different things; Spark's grouping_id() and DuckDB's
+# GROUPING(lang, source) emit the same mask). All-integer aggregates.
+
+
+@query(
+    "q124_corpus_rollup",
+    oracle="""
+    SELECT lang, source,
+           GROUPING(lang, source)::BIGINT AS gid,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           max(n_chars)::BIGINT AS max_chars
+    FROM documents
+    GROUP BY ROLLUP(lang, source)
+    ORDER BY gid, lang, source
+    """,
+)
+def q124_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select("lang", "source", "gid", "n_docs", "total_chars", "max_chars")
+        .orderBy("gid", "lang", "source")
+    )

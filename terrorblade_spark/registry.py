@@ -127,6 +127,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q121_lang_source_chi2",
     "q122_props_json_stats",
     "q123_value_k_correlation",
+    "q124_corpus_rollup",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",
