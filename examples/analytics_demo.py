@@ -25,6 +25,13 @@ TOUR = [
     "q71_bm25_persisted_topk",    # lexical search (persisted index)
     "q104_nation_trade_pagerank",  # link-graph centrality (Pregel supersteps)
     "q108_fuzzy_customer_match",   # entity resolution (blocked levenshtein)
+    "q114_copurchase_reach",       # hop-bounded BFS (seed distance)
+    "q115_trade_communities",      # label-propagation communities
+    "q116_brand_copurchase_rules", # market-basket support/confidence/lift
+    "q119_value_outliers",         # robust median/MAD anomaly scoring
+    "q121_lang_source_chi2",       # categorical association summary
+    "q123_value_k_correlation",    # reproducible Pearson correlation
+    "q124_corpus_rollup",          # OLAP grouping sets
 ]
 
 
