@@ -146,3 +146,52 @@ def pearson_corr(
         F.col("__n").cast("long").alias("n"),
         F.when((varx > 0) & (vary > 0), cov / F.sqrt(varx * vary)).alias("corr"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str] = (),
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Spearman rank correlation: Pearson over tie-AVERAGED
+    ranks (the fractional-rank convention), computed with the same
+    decimal-exact moments as :func:`pearson_corr` so the result is a
+    pure function of the data on any engine (gate q125).
+
+    The average rank needs no second aggregation pass:
+    ``avg_rank = rank() + (n_ties - 1)/2`` — one ordered window for
+    ``rank()`` plus one unordered count over the tie partition, per
+    axis. Ranks land on integers or halves (exact at 2 fractional
+    decimal digits, hence the default ``scale=2``; rank-square sums
+    need ~n^3/3 integer headroom, far inside the decimal(30) bound to
+    billions of rows per group).
+
+    Scale: per-group windows — the shuffle is on the group key, the
+    sort is within groups (the W2 shape). For one GLOBAL corpus-scale
+    correlation, rank each axis with ``windows.distributed_rank``
+    (range-partitioned, no single-partition pass) and feed the ranks
+    to :func:`pearson_corr` directly.
+    """
+    from pyspark.sql import Window as _W
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    both = df.where(x.isNotNull() & y.isNotNull()).select(
+        *group_cols, x.alias("__x"), y.alias("__y")
+    )
+
+    def _avg_rank(col: str, out: str):
+        ordered = _W.partitionBy(*group_cols).orderBy(col)
+        ties = _W.partitionBy(*group_cols, col)
+        return (
+            F.rank().over(ordered).cast("double")
+            + (F.count(F.lit(1)).over(ties).cast("double") - 1.0) / 2.0
+        ).alias(out)
+
+    ranked = both.select(
+        *group_cols, _avg_rank("__x", "__rx"), _avg_rank("__y", "__ry")
+    )
+    out = pearson_corr(ranked, "__rx", "__ry", group_cols=group_cols, scale=scale)
+    return out.withColumnRenamed("corr", "spearman")

@@ -459,3 +459,64 @@ def q123_value_k_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n", F.round("corr", 6).alias("corr")
     ).orderBy("event_type")
+
+
+# --- q125: Spearman rank correlation per event type ---------------------------
+# Pearson over tie-averaged ranks (avg_rank = rank() + (ties-1)/2, the
+# fractional-rank convention). Ranks are integers/halves — exact at
+# decimal scale 2 — and the moments are decimal-summed, so the closed
+# form is bit-portable; the oracle mirrors windows + DECIMAL sums.
+
+
+@query(
+    "q125_value_k_spearman",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, value,
+             CAST(json_extract_string(props, '$.k') AS BIGINT)::DOUBLE AS k
+      FROM events
+      WHERE value IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type,
+             rank() OVER (PARTITION BY event_type ORDER BY value)::DOUBLE
+               + (count(*) OVER (PARTITION BY event_type, value)::DOUBLE - 1.0) / 2.0
+               AS rx,
+             rank() OVER (PARTITION BY event_type ORDER BY k)::DOUBLE
+               + (count(*) OVER (PARTITION BY event_type, k)::DOUBLE - 1.0) / 2.0
+               AS ry
+      FROM t
+    ),
+    m AS (
+      SELECT event_type,
+             count(*)::DOUBLE AS n,
+             sum(CAST(rx AS DECIMAL(28,2)))::DOUBLE AS sx,
+             sum(CAST(ry AS DECIMAL(28,2)))::DOUBLE AS sy,
+             sum(CAST(rx * rx AS DECIMAL(28,4)))::DOUBLE AS sxx,
+             sum(CAST(ry * ry AS DECIMAL(28,4)))::DOUBLE AS syy,
+             sum(CAST(rx * ry AS DECIMAL(28,4)))::DOUBLE AS sxy
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n::BIGINT AS n,
+           round(
+             (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+             6
+           ) AS spearman
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def q125_value_k_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.stats import spearman_corr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    out = spearman_corr(ev, "value", "k", group_cols=["event_type"])
+    return out.select(
+        "event_type", "n", F.round("spearman", 6).alias("spearman")
+    ).orderBy("event_type")

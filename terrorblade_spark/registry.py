@@ -128,6 +128,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q122_props_json_stats",
     "q123_value_k_correlation",
     "q124_corpus_rollup",
+    "q125_value_k_spearman",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

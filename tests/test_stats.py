@@ -110,3 +110,67 @@ def test_corr_grouped(spark):
         r["g"]: r["corr"] for r in pearson_corr(df, "x", "y", ["g"]).collect()
     }
     assert got["a"] == pytest.approx(1.0) and got["b"] == pytest.approx(-1.0)
+
+
+# --- spearman_corr -----------------------------------------------------------
+
+from terrorblade_spark.operators.stats import spearman_corr
+
+
+def test_spearman_monotone_nonlinear_is_one(spark):
+    """The defining property Pearson lacks: any monotone transform
+    gives |rho| = 1 even when the relation is nonlinear."""
+    pairs = [(float(i), float(i**3)) for i in range(1, 12)]
+    df = spark.createDataFrame(pairs, "x double, y double")
+    row = spearman_corr(df, "x", "y").collect()[0]
+    assert row["spearman"] == pytest.approx(1.0)
+    drow = spearman_corr(
+        spark.createDataFrame([(x, -y) for x, y in pairs], "x double, y double"),
+        "x",
+        "y",
+    ).collect()[0]
+    assert drow["spearman"] == pytest.approx(-1.0)
+
+
+def test_spearman_matches_scipy_formula_with_ties(spark):
+    """Tie-averaged ranks: cross-checked against the closed form over
+    hand-averaged ranks computed in numpy."""
+    import numpy as np
+
+    xs = [1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 4.0, 5.0]
+    ys = [10.0, 30.0, 20.0, 20.0, 50.0, 40.0, 60.0, 55.0]
+
+    def avg_ranks(v):
+        v = np.asarray(v)
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v), dtype=float)
+        i = 0
+        sv = v[order]
+        while i < len(v):
+            j = i
+            while j < len(v) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    want = float(np.corrcoef(rx, ry)[0, 1])
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    got = spearman_corr(df, "x", "y").collect()[0]["spearman"]
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_spearman_grouped_and_null_pairs(spark):
+    rows = (
+        [("a", float(i), float(2 * i)) for i in range(6)]
+        + [("b", float(i), float(-i)) for i in range(6)]
+        + [("a", 99.0, None)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {
+        r["g"]: (r["n"], r["spearman"])
+        for r in spearman_corr(df, "x", "y", ["g"]).collect()
+    }
+    assert got["a"] == (6, pytest.approx(1.0))
+    assert got["b"][1] == pytest.approx(-1.0)
