@@ -99,3 +99,60 @@ def suggest_salts(summary: DataFrame, target_rows_per_task: int = 5_000_000) -> 
     import math
 
     return max(1, min(256, math.ceil(max_rows / target_rows_per_task)))
+
+
+def concentration_profile(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """One-row key-concentration summary: ``(n_keys, total_rows,
+    max_count, gini, top{k}_share)`` — the quantitative form of "is
+    this key skewed": Gini = 0 is perfectly uniform load, -> 1 is one
+    hot key owning the table; ``top{k}_share`` is the fraction of rows
+    held by the ``top_k`` heaviest keys.
+
+    Gini via the rank closed form ``2*sum(i*c_i)/(n*T) - (n+1)/n``
+    over counts sorted ascending with a total tie-break — which needs
+    a GLOBAL rank of the per-key count relation. That rank comes from
+    ``windows.distributed_rank`` (range-partitioned two-pass with
+    broadcast offsets), so no single-partition window ever sees the
+    key relation — the profile works on a billion-key table. All
+    inputs to the final arithmetic are exact integers (the i*c sum is
+    decimal-accumulated against ANSI long overflow); the divisions are
+    engine-portable (gate q127).
+    """
+    from terrorblade_spark.operators.windows import distributed_rank
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    ranked = distributed_rank(
+        counts, ["__c", "__k"], out_col="__r0", total_col="__n"
+    ).select(
+        "__c",
+        (F.col("__r0") + 1).alias("__i"),
+        "__n",
+    )
+    agg = ranked.agg(
+        F.max("__n").alias("n_keys"),
+        F.sum("__c").alias("total_rows"),
+        F.max("__c").alias("max_count"),
+        F.sum((F.col("__i") * F.col("__c")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("__s"),
+        F.sum(
+            F.when(F.col("__i") > F.col("__n") - top_k, F.col("__c")).otherwise(0)
+        ).alias("__topc"),
+    )
+    n = F.col("n_keys").cast("double")
+    t = F.col("total_rows").cast("double")
+    return agg.select(
+        "n_keys",
+        "total_rows",
+        "max_count",
+        (F.lit(2.0) * F.col("__s") / (n * t) - (n + 1.0) / n).alias("gini"),
+        (F.col("__topc").cast("double") / t).alias(f"top{top_k}_share"),
+    )

@@ -520,3 +520,51 @@ def q125_value_k_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n", F.round("spearman", 6).alias("spearman")
     ).orderBy("event_type")
+
+
+# --- q127: key-concentration (skew) profile of the orders table ---------------
+# "Is o_custkey skewed" as one row: Gini over per-key counts via the
+# rank closed form. The global rank of the key-count relation comes
+# from distributed_rank (range partition + broadcast offsets — no
+# single-partition window), so the same plan profiles a billion-key
+# table. All-integer inputs; two divisions; 6-dp rounded.
+
+
+@query(
+    "q127_custkey_concentration",
+    oracle="""
+    WITH cc AS (
+      SELECT o_custkey AS k, count(*)::BIGINT AS c
+      FROM orders GROUP BY o_custkey
+    ),
+    n AS (
+      SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS t, max(c)::BIGINT AS mx
+      FROM cc
+    ),
+    r AS (
+      SELECT c, row_number() OVER (ORDER BY c, k)::BIGINT AS i FROM cc
+    ),
+    s AS (
+      SELECT sum(i * c)::BIGINT AS s FROM r
+    ),
+    tp AS (
+      SELECT sum(r.c)::BIGINT AS topc FROM r CROSS JOIN n WHERE r.i > n.n - 10
+    )
+    SELECT n.n AS n_keys, n.t AS total_rows, n.mx AS max_count,
+           round(2.0 * s.s / (n.n * n.t) - (n.n + 1.0) / n.n, 6) AS gini,
+           round(tp.topc::DOUBLE / n.t, 6) AS top10_share
+    FROM n CROSS JOIN s CROSS JOIN tp
+    """,
+)
+def q127_custkey_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.diagnostics import concentration_profile
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    out = concentration_profile(orders, "o_custkey", top_k=10)
+    return out.select(
+        "n_keys",
+        "total_rows",
+        "max_count",
+        F.round("gini", 6).alias("gini"),
+        F.round("top10_share", 6).alias("top10_share"),
+    )

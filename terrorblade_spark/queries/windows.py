@@ -128,3 +128,42 @@ def q17_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("y", "m", "h")
     )
+
+
+# --- q126: rank-family window functions (percent_rank / cume_dist / ntile) ----
+# The remaining SQL window-rank family in one pass: all four columns
+# share a single (event_type)-partitioned ordering, so Catalyst plans
+# ONE Window over one Exchange. The order ends in the unique event_id
+# (the W2 rule) making every rank engine-portable; percent_rank and
+# cume_dist are exact-integer ratios (one IEEE division), 6-dp rounded.
+
+
+@query(
+    "q126_value_rank_profile",
+    oracle="""
+    SELECT event_id, event_type,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           ntile(4) OVER w AS quartile,
+           row_number() OVER w AS rn
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    ORDER BY event_type, rn
+    """,
+)
+def q126_value_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w = _W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .orderBy("event_type", "rn")
+    )

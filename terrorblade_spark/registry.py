@@ -129,6 +129,8 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q123_value_k_correlation",
     "q124_corpus_rollup",
     "q125_value_k_spearman",
+    "q126_value_rank_profile",
+    "q127_custkey_concentration",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

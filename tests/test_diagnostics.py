@@ -64,3 +64,40 @@ def test_suggest_salts_scales_with_hot_key(spark):
     assert suggest_salts(s2, target_rows_per_task=100) == 1
     # cap at 256
     assert suggest_salts(summary, target_rows_per_task=1) == 256
+
+
+# --- concentration_profile ---------------------------------------------------
+
+from terrorblade_spark.operators.diagnostics import concentration_profile
+
+
+def _profile(spark, counts, top_k=10):
+    rows = [(f"k{i}",) for i, c in enumerate(counts) for _ in range(c)]
+    df = spark.createDataFrame(rows, "k string")
+    return concentration_profile(df, "k", top_k=top_k).collect()[0]
+
+
+def test_concentration_uniform_is_zero_gini(spark):
+    import pytest as _pt
+
+    row = _profile(spark, [3, 3, 3, 3])
+    assert row["n_keys"] == 4 and row["total_rows"] == 12 and row["max_count"] == 3
+    assert row["gini"] == _pt.approx(0.0, abs=1e-12)
+
+
+def test_concentration_hot_key_hand_computed(spark):
+    import pytest as _pt
+
+    # 9 keys x 1 row + 1 key x 9 rows: gini = 2*135/(10*18) - 11/10 = 0.4
+    row = _profile(spark, [1] * 9 + [9], top_k=1)
+    assert row["gini"] == _pt.approx(0.4)
+    assert row["top1_share"] == _pt.approx(0.5)
+    assert row["max_count"] == 9
+
+
+def test_concentration_rejects_bad_topk(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with _pt.raises(ValueError):
+        concentration_profile(df, "k", top_k=0)

@@ -588,3 +588,26 @@ def test_tfidf_plan_jvm_only_with_broadcast_scalar(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Generate explode" not in plan, plan
     assert "ExistingRDD" in plan  # the checkpointed postings
+
+
+def test_ewma_single_window_shuffle(spark, sf_dir):
+    """q118: one Exchange for the partition-key window (plus the
+    display sort's range exchange), ONE window, zero aggregates and
+    zero Python — the weighted fold is row-local array HOFs."""
+    from terrorblade_spark.registry import get_queries
+
+    plan = _plan(get_queries()["q118_event_ewma"](spark, sf_dir))
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pearson_map_side_combined(spark, sf_dir):
+    """q123: the five decimal moments ship as ONE partial+final
+    aggregate pair (map-side combine) — never a moment per pass."""
+    from terrorblade_spark.registry import get_queries
+
+    plan = _plan(get_queries()["q123_value_k_correlation"](spark, sf_dir))
+    assert plan.count("HashAggregate") == 2, plan
+    assert plan.count("Exchange") <= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
