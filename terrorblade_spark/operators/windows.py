@@ -214,3 +214,56 @@ def distributed_rank(
         .withColumn(out_col, (F.col("__rn") + F.col("__off")).cast("long"))
         .drop("__pid", "__rn", "__off")
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: Sequence[str],
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` by a TOTAL order, at
+    corpus scale — the summing sibling of :func:`distributed_rank`
+    and the primitive behind global sweep-line analytics (interval
+    concurrency, cumulative revenue, watermark accounting): range-
+    partition on the order key, run the within-partition window sum,
+    and add each partition's exclusive prefix TOTAL from the k-row
+    offset relation (broadcast back). No row ever crosses a single
+    partition; the only global structure is the k-row cumsum.
+
+    Same load-bearing ``localCheckpoint`` as distributed_rank: the
+    range boundaries are frozen once so the totals pass and the
+    numbering pass see the SAME partition assignment (the
+    resampling-boundaries bug class, regression-gated there).
+
+    ``order_cols`` must form a total order (unique tiebreaker last).
+    Exactness: integer values sum exactly (the gate use); float values
+    inherit within-partition order determinism but the caller should
+    decimal-cast for cross-engine bit equality (the dec_sum rule).
+    """
+    spark = df.sparkSession
+    k = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = (
+        df.repartitionByRange(k, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        parted.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__ptot"))
+        .withColumn("__soff", F.coalesce(F.sum("__ptot").over(woff), F.lit(0)))
+        .drop("__ptot")
+    )
+    win = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parted.withColumn("__run", F.sum(value_col).over(win))
+        .join(F.broadcast(offs), "__pid")
+        .withColumn(out_col, F.col("__run") + F.col("__soff"))
+        .drop("__pid", "__run", "__soff")
+    )

@@ -341,3 +341,60 @@ def q88_conversation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "user_id", "session_id", "event_id", "n_context", "context", "response"
     ).orderBy("user_id", "session_id", "event_id")
+
+
+# --- q128: global session concurrency sweep -----------------------------------
+# "How many sessions are open at each instant" — the sweep-line
+# analytic: sessions become +1/-1 boundary points; the running sum
+# over the TOTAL point order is the concurrency. The running sum is
+# windows.distributed_prefix_sum (range partition + k-row broadcast
+# offsets), so no single-partition window forms at any corpus size.
+# Tie order (-1 before +1 at equal ts) means a session ending exactly
+# when another starts never counts as overlap. All-integer values.
+
+
+@query(
+    "q128_session_concurrency",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, session_id, min(ts) AS st, max(ts) AS en
+      FROM ({{src}})
+      GROUP BY user_id, session_id
+    ),
+    p AS (
+      SELECT st AS ts, 1 AS delta, user_id, session_id FROM s
+      UNION ALL
+      SELECT en AS ts, -1 AS delta, user_id, session_id FROM s
+    )
+    SELECT ts, delta, user_id, session_id,
+           sum(delta) OVER (
+             ORDER BY ts, delta, user_id, session_id
+             ROWS UNBOUNDED PRECEDING
+           )::BIGINT AS concurrency
+    FROM p
+    ORDER BY ts, delta, user_id, session_id
+    """.format(src=_SESSIONIZE_SQL.format(gap_ms=3600000, src="events")),
+)
+def q128_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.windows import distributed_prefix_sum
+
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, "ts", ["user_id"], "event_id", gap="1 hour")
+    spans = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("st"), F.max("ts").alias("en")
+    )
+    points = spans.select(
+        F.col("st").alias("ts"), F.lit(1).alias("delta"), "user_id", "session_id"
+    ).unionByName(
+        spans.select(
+            F.col("en").alias("ts"), F.lit(-1).alias("delta"), "user_id", "session_id"
+        )
+    )
+    swept = distributed_prefix_sum(
+        points, "delta", ["ts", "delta", "user_id", "session_id"],
+        out_col="concurrency",
+    )
+    return swept.select(
+        "ts", "delta", "user_id", "session_id",
+        F.col("concurrency").cast("long").alias("concurrency"),
+    ).orderBy("ts", "delta", "user_id", "session_id")

@@ -131,6 +131,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q125_value_k_spearman",
     "q126_value_rank_profile",
     "q127_custkey_concentration",
+    "q128_session_concurrency",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

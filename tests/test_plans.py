@@ -472,90 +472,6 @@ def test_pagerank_superstep_reads_edges_from_cache_unshuffled(spark):
         links.unpersist()
 
 
-def test_distributed_rank_survives_boundary_resampling(spark):
-    """repartitionByRange samples its boundaries with a FRESH random
-    seed on every execution, so the rank's two passes (counts,
-    numbering) must consume one MATERIALIZED partitioning — unpersisted,
-    the offsets disagree with the numbering and ranks collide (measured:
-    ~240k duplicates at 10M rows; invisible at gate scale because the
-    sample covers the whole input there). This test forces aggressive
-    subsampling (2 rows/partition) so any regression to per-pass
-    re-evaluation collides at unit scale; the gate is the exact
-    permutation invariant."""
-    from pyspark.sql import functions as F
-
-    from terrorblade_spark.operators.windows import distributed_rank
-
-    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
-    old = spark.conf.get(key)
-    spark.conf.set(key, "2")
-    try:
-        n = 200_000
-        df = spark.range(n).select(
-            F.col("id"),
-            F.expr("conv(substring(md5(cast(id as string)),1,15),16,10)")
-            .cast("long")
-            .alias("k"),
-        )
-        out = distributed_rank(df, ["k", "id"], out_col="rank", total_col="n_total")
-        agg = out.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct("rank").alias("nd"),
-            F.min("rank").alias("mn"),
-            F.max("rank").alias("mx"),
-            F.min("n_total").alias("t"),
-        ).collect()[0]
-        assert (agg["n"], agg["nd"], agg["mn"], agg["mx"]) == (n, n, 0, n - 1), agg
-        assert agg["t"] == n
-        # and the partitioning is really a frozen materialization (a
-        # checkpointed RDD scan), not a re-evaluated range exchange
-        plan = _plan(out)
-        assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan[:2000]
-        assert "rangepartitioning" not in plan, plan[:2000]
-    finally:
-        spark.conf.set(key, old)
-
-
-def test_pagerank_superstep_reads_edges_from_cache_unshuffled(spark):
-    """The pagerank scale claim: the edge relation shuffles ONCE at
-    build (repartition on src, persisted); every superstep's
-    contribution join must read it as an InMemoryTableScan with no
-    Exchange above it — only the node-sized rank relation moves."""
-    from pyspark.sql import functions as F
-
-    edges = spark.range(5000).select(
-        (F.col("id") % 500).alias("__src"), ((F.col("id") * 7) % 500).alias("__dst")
-    )
-    deg = edges.groupBy("__src").agg(F.count(F.lit(1)).cast("double").alias("__deg"))
-    k = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    links = (
-        edges.join(deg, "__src")
-        .withColumn("__w", F.lit(1.0) / F.col("__deg"))
-        .drop("__deg")
-        .repartition(k, "__src")
-        .persist()
-    )
-    try:
-        links.count()
-        ranks = spark.range(500).select(
-            F.col("id").alias("__src"), F.lit(1.0 / 500).alias("r")
-        )
-        contrib = links.join(ranks, "__src").groupBy("__dst").agg(
-            F.sum(F.col("r") * F.col("__w")).alias("c")
-        )
-        contrib.collect()
-        plan = _plan(contrib)
-        assert "InMemoryTableScan" in plan, plan
-        # no Exchange between the cache scan and the join: the cached
-        # side's lines from the join down to the scan contain none
-        lines = plan.splitlines()
-        scan_i = next(i for i, ln in enumerate(lines) if "InMemoryTableScan" in ln)
-        join_i = max(i for i, ln in enumerate(lines) if "Join" in ln and i < scan_i)
-        between = "\n".join(lines[join_i:scan_i])
-        assert "Exchange" not in between, plan
-    finally:
-        links.unpersist()
-
 
 def test_association_rules_pairs_are_fused_row_local(spark, sf_dir):
     """q116's pair counts come from the in-row HOF expansion (Generate

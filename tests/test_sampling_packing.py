@@ -599,6 +599,60 @@ def test_distributed_rank_total_col(spark):
     assert sorted(r["rank"] for r in rows) == list(range(57))
 
 
+def test_distributed_prefix_sum_matches_single_partition_cumsum(spark):
+    from terrorblade_spark.operators.windows import distributed_prefix_sum
+
+    rows = [(i, (i * 37) % 11, ((i * 13) % 7) - 3) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, score long, v long")
+    # single-partition ground truth
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    run, want = 0, {}
+    for rid, _, v in order:
+        run += v
+        want[rid] = run
+    for n_parts in (1, 4, 9):
+        got = {
+            r.id: r.running_total
+            for r in distributed_prefix_sum(
+                df.repartition(n_parts), "v", ["score", "id"], num_partitions=5
+            ).collect()
+        }
+        assert got == want
+
+
+def test_distributed_prefix_sum_survives_boundary_resampling(spark):
+    """Same bug class as distributed_rank: the offsets pass and the
+    within-partition cumsum pass must see ONE frozen range
+    partitioning. Forced boundary subsampling makes any regression to
+    per-pass re-evaluation break the exact final-total invariant."""
+    from pyspark.sql import functions as F
+
+    from terrorblade_spark.operators.windows import distributed_prefix_sum
+
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    try:
+        n = 100_000
+        df = spark.range(n).select(
+            F.col("id"),
+            F.expr("conv(substring(md5(cast(id as string)),1,15),16,10)")
+            .cast("long")
+            .alias("k"),
+            F.lit(1).alias("v"),
+        )
+        out = distributed_prefix_sum(df, "v", ["k", "id"])
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("running_total").alias("nd"),
+            F.min("running_total").alias("mn"),
+            F.max("running_total").alias("mx"),
+        ).collect()[0]
+        assert (agg["n"], agg["nd"], agg["mn"], agg["mx"]) == (n, n, 1, n), agg
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_curriculum_buckets_equal_population_and_monotone(spark):
     from terrorblade_spark.operators.sampling import curriculum_order
 
