@@ -267,3 +267,74 @@ def distributed_prefix_sum(
         .withColumn(out_col, F.col("__run") + F.col("__soff"))
         .drop("__pid", "__run", "__soff")
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[float],
+    tiebreak_cols: Sequence[str] = (),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT global percentile_cont / percentile_disc at corpus scale.
+
+    Spark's exact ``percentile`` aggregate buffers a value->count map
+    inside ONE aggregation buffer (OOM at corpus scale; the reference
+    leans on DuckDB ``quantile_cont``, `telegram_database.py` word
+    quantiles), and ``percentile_approx`` trades exactness away. This
+    operator is exact AND distributed: rank the values globally with
+    :func:`distributed_rank` (range partition + k-row broadcast
+    offsets — no single-partition window, no corpus-sized buffer),
+    filter to the <=3 candidate ranks per requested quantile (a JVM
+    row-local predicate over the ranked relation), and resolve each
+    quantile from that tiny relation.
+
+    Semantics pinned to the SQL standard (probed bit-exact vs DuckDB):
+      - ``pct_cont``: lo*(1-frac) + hi*frac at pos=(n-1)*q (the convex
+        form — DuckDB's exact arithmetic; the naive lo+(hi-lo)*frac
+        differs in the last bit).
+      - ``pct_disc``: value at 0-based index ceil(q*n)-1, the first
+        value whose cume_dist reaches q.
+
+    Output: one row per q — (q, pct_cont, pct_disc), exact doubles.
+    Cost shape: distributed_rank's two passes over one materialized
+    range partitioning + one tiny (<=3*|qs| rows) aggregation.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.select(v.alias("__v"), *[F.col(c) for c in tiebreak_cols])
+    order = ["__v", *tiebreak_cols]
+    ranked = distributed_rank(
+        base, order, out_col="__r", total_col="__n", num_partitions=num_partitions
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+
+    nd = F.col("__n").cast("double")
+
+    def _lo(q: Column) -> Column:
+        return F.floor((nd - F.lit(1.0)) * q).cast("long")
+
+    def _hi(q: Column) -> Column:
+        return F.ceil((nd - F.lit(1.0)) * q).cast("long")
+
+    def _di(q: Column) -> Column:
+        return F.greatest(F.ceil(nd * q).cast("long") - F.lit(1), F.lit(0))
+
+    r = F.col("__r")
+    cand = ranked.where(
+        F.exists(qarr, lambda q: (r == _lo(q)) | (r == _hi(q)) | (r == _di(q)))
+    )
+    ex = cand.select("__v", "__r", "__n", F.explode(qarr).alias("q"))
+    qc = F.col("q")
+    ex = ex.where((r == _lo(qc)) | (r == _hi(qc)) | (r == _di(qc)))
+    pos = (nd - F.lit(1.0)) * qc
+    frac = pos - F.floor(pos)
+    res = ex.groupBy("q").agg(
+        F.min(F.when(r == _lo(qc), F.col("__v"))).alias("__lov"),
+        F.min(F.when(r == _hi(qc), F.col("__v"))).alias("__hiv"),
+        F.min(F.when(r == _di(qc), F.col("__v"))).alias("pct_disc"),
+        F.min(frac).alias("__frac"),
+    )
+    cont = F.col("__lov") * (F.lit(1.0) - F.col("__frac")) + F.col("__hiv") * F.col(
+        "__frac"
+    )
+    return res.select("q", cont.alias("pct_cont"), "pct_disc")

@@ -167,3 +167,38 @@ def q126_value_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rn")
     )
+
+# --- q129: exact global percentiles at corpus scale --------------------------
+# Spark's exact `percentile` aggregate holds every distinct value in
+# ONE aggregation buffer — a single-node bottleneck the moment the
+# column has corpus-scale cardinality. q129 computes EXACT global
+# percentile_cont AND percentile_disc through distributed_rank: range
+# partition + k-row broadcast offsets, then a row-local candidate-rank
+# filter (<=3 ranks per q survive) and a tiny resolve aggregation.
+# Bit-exactness contract: cont is the convex form lo*(1-frac)+hi*frac,
+# disc the value at ceil(q*n)-1 — both probed bit-equal to DuckDB's
+# native WITHIN GROUP implementations (see operators/windows.py).
+
+_Q129_QS = (0.01, 0.25, 0.5, 0.77, 0.9, 0.999)
+
+
+@query(
+    "q129_global_percentiles",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT {q} AS q,
+           percentile_cont({q}) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS pct_cont,
+           percentile_disc({q}) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS pct_disc
+    FROM lineitem"""
+        for q in _Q129_QS
+    )
+    + "\nORDER BY q",
+)
+def q129_global_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.windows import exact_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return exact_quantiles(
+        li, "l_extendedprice", _Q129_QS, tiebreak_cols=("l_orderkey", "l_linenumber")
+    ).orderBy("q")

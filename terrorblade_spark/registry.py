@@ -132,6 +132,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q126_value_rank_profile",
     "q127_custkey_concentration",
     "q128_session_concurrency",
+    "q129_global_percentiles",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

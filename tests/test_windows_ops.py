@@ -169,3 +169,51 @@ def test_run_ids_null_first_row_starts_run_zero(spark):
     df = spark.createDataFrame([(1, 1, None), (1, 2, None)], "chat long, i long, author string")
     got = [r["run_id"] for r in run_ids(df, F.col("author"), ["chat"], ["i"]).orderBy("i").collect()]
     assert got == [0, 0]
+
+
+# --- exact_quantiles ----------------------------------------------------------
+
+
+def test_exact_quantiles_matches_numpy_linear(spark):
+    import numpy as np
+
+    from terrorblade_spark.operators.windows import exact_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.uniform(-50, 50, 501), 3)
+    # inject heavy ties so tied candidate ranks are exercised
+    vals[100:180] = 7.0
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(vals)], "id long, v double"
+    )
+    qs = (0.0, 0.01, 0.25, 0.5, 0.77, 0.9, 1.0)
+    for n_parts in (1, 7):
+        rows = {
+            r["q"]: (r["pct_cont"], r["pct_disc"])
+            for r in exact_quantiles(
+                df.repartition(n_parts), "v", qs, tiebreak_cols=("id",)
+            ).collect()
+        }
+        s = np.sort(vals)
+        n = len(s)
+        for q in qs:
+            cont, disc = rows[q]
+            # numpy 'linear' is the same (n-1)*q positioning; allow the
+            # last-bit algebraic difference (convex vs lerp form)
+            assert abs(cont - float(np.percentile(s, q * 100))) < 1e-9, q
+            assert disc == float(s[max(int(np.ceil(q * n)) - 1, 0)]), q
+
+
+def test_exact_quantiles_single_row_and_two_rows(spark):
+    from terrorblade_spark.operators.windows import exact_quantiles
+
+    one = spark.createDataFrame([(1, 42.0)], "id long, v double")
+    r = exact_quantiles(one, "v", (0.0, 0.5, 1.0), tiebreak_cols=("id",)).collect()
+    assert all(row["pct_cont"] == 42.0 and row["pct_disc"] == 42.0 for row in r)
+
+    two = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    got = {
+        row["q"]: (row["pct_cont"], row["pct_disc"])
+        for row in exact_quantiles(two, "v", (0.5,), tiebreak_cols=("id",)).collect()
+    }
+    assert got[0.5] == (15.0, 10.0)  # cont interpolates, disc = first >= 0.5
