@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -427,3 +427,92 @@ def countmin_update_txn(
         raise CommitConflict(f"countmin_update_txn gave up on {table.path}")
     finally:
         partial.unpersist()
+
+
+# --- bottom-k quantile sketch -------------------------------------------------
+# The quantile twin of the sections above: bounded-state DISTRIBUTION
+# estimation with the same partial/merge/estimate lifecycle. Keep the k
+# rows whose seeded 60-bit house hash is smallest: bottom-k of a union
+# IS the bottom-k of merged bottom-k's, so per-batch partials compose
+# in any order (EXACT mergeability, like the HLL/count-min contracts),
+# and the surviving rows are a uniform k-sample of everything ever
+# folded in. Quantiles of the sample estimate corpus quantiles with the
+# DKW bound: P(|rank error| > eps) <= 2 exp(-2 k eps^2) — k=2048 gives
+# ~3% rank error at 95% confidence, independent of corpus size.
+#
+# Exact alternatives for one-shot questions exist (windows.exact_
+# quantiles ranks the full corpus); the sketch's value is the
+# INCREMENTAL shape: k rows of persisted state per group, folded
+# forward per ingest batch, never rescanning history — and the hash is
+# the engine-portable md5 house hash, so persisted state is stable
+# across engines, Spark versions, and re-partitionings.
+
+
+def quantile_sketch_partial(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 2048,
+    seed: str = "qsk-v1",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Bottom-k partial: the k (``__h``, value) rows per group with the
+    smallest seeded hash of the row identity. ``id_col`` must be unique
+    per logical row ACROSS batches (re-folding the same row is then a
+    no-op — the sketch is idempotent on replays, not just mergeable).
+    One rank window over (group, hash); the window input carries only
+    (group, hash, value) — the corpus's other columns never shuffle."""
+    from terrorblade_spark.functions.exprs import hash64
+
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (
+        df.select(
+            *group_cols,
+            hash64(F.col(id_col).cast("string"), salt=seed + "/").alias("__h"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .where(F.col("__v").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def quantile_sketch_merge(
+    partials: Sequence[DataFrame] | DataFrame,
+    k: int = 2048,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Fold partials: union, dedup on hash (replayed rows collapse),
+    keep the k smallest per group. Associative and commutative, so
+    batches fold in any order to the same state."""
+    if isinstance(partials, DataFrame):
+        merged = partials
+    else:
+        from functools import reduce
+
+        merged = reduce(lambda a, b: a.unionByName(b), partials)
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (
+        merged.dropDuplicates([*group_cols, "__h"])
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def quantile_sketch_estimate(
+    sketch: DataFrame,
+    qs: Sequence[float],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Quantile estimates from the sketch's uniform sample: Spark's
+    exact ``percentile`` over the <=k retained values per group — the
+    buffer the operator family exists to avoid is bounded at k here by
+    construction. Output: group cols + one ``p<q>`` column per q."""
+    aggs = [
+        F.expr(f"percentile(__v, {float(q)!r})").alias(f"p{str(q).replace('.', '_')}")
+        for q in qs
+    ]
+    out = sketch.groupBy(*group_cols).agg(*aggs) if group_cols else sketch.agg(*aggs)
+    return out

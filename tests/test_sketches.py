@@ -368,3 +368,79 @@ def test_countmin_txn_concurrent_folds_no_lost_update(spark, tmp_path):
     keys = spark.createDataFrame([("x",), ("y",)], "k string")
     got = _est(t.read(spark), keys, width=64)
     assert got == {"x": 5, "y": 7}
+
+
+# --- bottom-k quantile sketch -------------------------------------------------
+
+
+def test_quantile_sketch_merge_is_exact_and_replay_idempotent(spark):
+    """Bottom-k of a union == bottom-k of merged bottom-k's, in any
+    fold order; re-folding an already-seen batch changes nothing."""
+    from terrorblade_spark.operators.sketches import (
+        quantile_sketch_merge,
+        quantile_sketch_partial,
+    )
+
+    rows = [(i, float((i * 37) % 101)) for i in range(900)]
+    whole = spark.createDataFrame(rows, "id long, v double")
+    batches = [
+        spark.createDataFrame(rows[i : i + 300], "id long, v double")
+        for i in (0, 300, 600)
+    ]
+    k = 64
+    direct = {
+        r["__h"]: r["__v"]
+        for r in quantile_sketch_partial(whole, "v", "id", k=k).collect()
+    }
+    parts = [quantile_sketch_partial(b, "v", "id", k=k) for b in batches]
+    for order in ([0, 1, 2], [2, 0, 1]):
+        folded = quantile_sketch_merge([parts[i] for i in order], k=k)
+        got = {r["__h"]: r["__v"] for r in folded.collect()}
+        assert got == direct, order
+    # replay: batch 1's partial folded twice
+    replay = quantile_sketch_merge([parts[0], parts[1], parts[1], parts[2]], k=k)
+    got = {r["__h"]: r["__v"] for r in replay.collect()}
+    assert got == direct
+
+
+def test_quantile_sketch_estimate_within_dkw_rank_error(spark):
+    """k=2048 gives ~3% rank error at 95% confidence; assert 5% on a
+    50k-row skewed distribution for three seeds."""
+    import numpy as np
+
+    from terrorblade_spark.operators.sketches import (
+        quantile_sketch_estimate,
+        quantile_sketch_partial,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([rng.exponential(10, 45000), rng.uniform(500, 600, 5000)])
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(vals)], "id long, v double"
+    )
+    s = np.sort(vals)
+    for seed in ("a", "b", "c"):
+        sk = quantile_sketch_partial(df, "v", "id", k=2048, seed=seed)
+        est = quantile_sketch_estimate(sk, (0.5, 0.9, 0.99)).collect()[0]
+        for q, col in ((0.5, "p0_5"), (0.9, "p0_9"), (0.99, "p0_99")):
+            rank = np.searchsorted(s, est[col]) / len(s)
+            assert abs(rank - q) < 0.05, (seed, q, rank)
+
+
+def test_quantile_sketch_grouped_estimates(spark):
+    from terrorblade_spark.operators.sketches import (
+        quantile_sketch_estimate,
+        quantile_sketch_partial,
+    )
+
+    rows = [(i, "lo" if i % 2 else "hi", float(i % 2 or 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    sk = quantile_sketch_partial(df, "v", "id", k=256, group_cols=("g",))
+    got = {
+        r["g"]: r["p0_5"]
+        for r in quantile_sketch_estimate(sk, (0.5,), group_cols=("g",)).collect()
+    }
+    assert got == {"hi": 1000.0, "lo": 1.0}
+    # state bound: never more than k rows per group
+    counts = {r["g"]: r["n"] for r in sk.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert all(c <= 256 for c in counts.values())
