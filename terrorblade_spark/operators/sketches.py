@@ -516,3 +516,56 @@ def quantile_sketch_estimate(
     ]
     out = sketch.groupBy(*group_cols).agg(*aggs) if group_cols else sketch.agg(*aggs)
     return out
+
+
+def quantile_sketch_update_txn(
+    table,
+    batch: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 2048,
+    seed: str = "qsk-v1",
+    group_cols: Sequence[str] = (),
+    applied_id: str | None = None,
+) -> None:
+    """Fold ``batch`` into a transactional quantile-sketch table — the
+    count-min fold's quantile twin: per-batch partials land EXACTLY
+    ONCE (merge + applied-batch marker in one atomic manifest swap),
+    persisted state stays <=k rows per group forever, and readers
+    estimate from any committed snapshot via
+    :func:`quantile_sketch_estimate` on ``table.read``. The read+merge
+    runs inside the optimistic retry pinned to the version it read, so
+    concurrent folds re-merge instead of silently overwriting."""
+    import time as _time
+
+    from terrorblade_spark.txn import CommitConflict
+
+    if applied_id is not None and table.applied(applied_id):
+        return
+    spark = batch.sparkSession
+    partial = quantile_sketch_partial(
+        batch, value_col, id_col, k=k, seed=seed, group_cols=group_cols
+    ).persist()
+    try:
+        for attempt in range(12):
+            base = table.latest()
+            base_version = base.version if base else 0
+            if applied_id is not None and base and applied_id in base.applied_ids:
+                return
+            try:
+                existing = table.read(spark, version=base_version or None)
+                merged = quantile_sketch_merge(
+                    existing.unionByName(partial), k=k, group_cols=group_cols
+                )
+            except FileNotFoundError:
+                merged = partial
+            try:
+                table.overwrite(
+                    merged, applied_id=applied_id, expected_version=base_version
+                )
+                return
+            except CommitConflict:
+                _time.sleep(0.05 * (attempt + 1))
+        raise CommitConflict(f"quantile_sketch_update_txn gave up on {table.path}")
+    finally:
+        partial.unpersist()

@@ -295,18 +295,30 @@ class TxnTable:
         df: DataFrame,
         applied_id: str | None = None,
         partition_col: str | None = None,
+        expected_version: int | None = None,
     ) -> None:
         """Atomically replace the whole table contents. With
         ``partition_col`` the new snapshot lands hive-split with
         per-partition entries — the full-rebuild form for partitioned
         tables (unlike ``replace_partitions``, values absent from
         ``df`` do NOT survive: an index retrain with fewer partitions
-        leaves no stale ones)."""
+        leaves no stale ones).
+
+        ``expected_version`` is the same optimistic-concurrency handle
+        as on ``replace_partitions``: read-merge-overwrite callers pin
+        the version they merged against and get CommitConflict (to
+        re-read and re-merge) if another writer landed in between."""
         if applied_id is not None and self.applied(applied_id):
             return
         new_entries = self._write_data(df, partition_col)
 
         def build(base: Manifest | None) -> Manifest | None:
+            if expected_version is not None:
+                tip = base.version if base else 0
+                if tip != expected_version:
+                    raise CommitConflict(
+                        f"{self.path} moved to v{tip} (expected v{expected_version})"
+                    )
             if applied_id is not None and base and applied_id in base.applied_ids:
                 return None
             ids = list(base.applied_ids) if base else []

@@ -444,3 +444,35 @@ def test_quantile_sketch_grouped_estimates(spark):
     # state bound: never more than k rows per group
     counts = {r["g"]: r["n"] for r in sk.groupBy("g").agg(F.count("*").alias("n")).collect()}
     assert all(c <= 256 for c in counts.values())
+
+
+def test_quantile_sketch_txn_fold_replay_and_concurrency(spark, tmp_path):
+    """Per-batch folds land exactly once (replay no-op), concurrent
+    folds both land via the conflict re-merge, and the folded state
+    equals the one-shot sketch of all rows."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from terrorblade_spark.operators.sketches import (
+        quantile_sketch_partial,
+        quantile_sketch_update_txn,
+    )
+    from terrorblade_spark.txn import TxnTable
+
+    rows = [(i, float(i)) for i in range(600)]
+    mk = lambda lo, hi: spark.createDataFrame(rows[lo:hi], "id long, v double")
+    t = TxnTable(str(tmp_path / "qsk"))
+    quantile_sketch_update_txn(t, mk(0, 200), "v", "id", k=32, applied_id="b0")
+    quantile_sketch_update_txn(t, mk(0, 200), "v", "id", k=32, applied_id="b0")  # replay
+
+    def fold(tag, lo, hi):
+        quantile_sketch_update_txn(t, mk(lo, hi), "v", "id", k=32, applied_id=tag)
+
+    with ThreadPoolExecutor(2) as ex:
+        list(ex.map(lambda a: fold(*a), [("b1", 200, 400), ("b2", 400, 600)]))
+
+    direct = quantile_sketch_partial(
+        spark.createDataFrame(rows, "id long, v double"), "v", "id", k=32
+    )
+    got = {(r["__h"], r["__v"]) for r in t.read(spark).collect()}
+    want = {(r["__h"], r["__v"]) for r in direct.collect()}
+    assert got == want and len(got) == 32
