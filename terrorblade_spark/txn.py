@@ -217,18 +217,7 @@ class TxnTable:
             ]
         if not entries:
             raise FileNotFoundError(f"txn table {self.path} is empty")
-        parts = []
-        for e in entries:
-            part_df = spark.read.parquet(e["path"])
-            for col, raw in e["partition"].items():
-                # partitionBy strips the column from the data files;
-                # reattach it from the manifest entry with the type the
-                # WRITER recorded (fallback: the caller's hint, for
-                # manifests predating the ptype field)
-                cast_to = e.get("ptype", partition_type)
-                val = None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
-                part_df = part_df.withColumn(col, F.lit(val).cast(cast_to))
-            parts.append(part_df)
+        parts = [self._entry_df(spark, e, partition_type) for e in entries]
         # allowMissingColumns = additive schema evolution: entries
         # written before a column existed read it as typed nulls (the
         # Delta mergeSchema read behavior); renames/drops/type changes
@@ -236,6 +225,20 @@ class TxnTable:
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
+
+    def _entry_df(
+        self, spark: SparkSession, e: dict[str, Any], partition_type: str = "int"
+    ) -> DataFrame:
+        """One manifest entry as a DataFrame: partitionBy strips the
+        partition column from the data files, so reattach it from the
+        entry with the type the WRITER recorded (fallback: the caller's
+        hint, for manifests predating the ptype field)."""
+        part_df = spark.read.parquet(e["path"])
+        for col, raw in e["partition"].items():
+            cast_to = e.get("ptype", partition_type)
+            val = None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+            part_df = part_df.withColumn(col, F.lit(val).cast(cast_to))
+        return part_df
 
     def applied(self, applied_id: str) -> bool:
         """True iff a committed manifest recorded ``applied_id`` —
@@ -456,6 +459,134 @@ class TxnTable:
             except CommitConflict:
                 time.sleep(min(0.05 * (2**attempt), 1.0))
         raise CommitConflict(f"merge_upsert gave up on {self.path}")
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition: Any,
+        applied_id: str | None = None,
+    ) -> dict[str, int]:
+        """Row-level DELETE (the Delta ``DELETE WHERE`` shape): remove
+        every row matching ``condition`` (SQL string or Column) in one
+        atomic manifest swap. Rows where the condition is NULL are KEPT
+        (SQL three-valued semantics). Only entries that actually
+        contain matches are rewritten — discovered by ONE probe scan
+        over the snapshot (parquet footer stats prune it); untouched
+        entries keep their immutable files, so a targeted delete from a
+        large table rewrites only the hit partitions.
+
+        Deleted rows remain readable via time travel until
+        :func:`vacuum` drops the pre-delete versions — for
+        right-to-be-forgotten erasure, follow with
+        ``vacuum(retain_versions=1, min_age_s=0)`` once no reader needs
+        the history."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        return self._delete(
+            spark,
+            lambda df: df.where(cond),
+            lambda df: df.where(~F.coalesce(cond, F.lit(False))),
+            applied_id,
+        )
+
+    def delete_keys(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        key_col: str,
+        applied_id: str | None = None,
+    ) -> dict[str, int]:
+        """Row-level delete by key relation (the GDPR erasure shape:
+        the key list is a DataFrame, not a literal): semi-join probe,
+        anti-join rewrite — same atomic swap and touched-entries-only
+        rewrite as :func:`delete_where`."""
+        ks = keys.select(key_col).distinct()
+        return self._delete(
+            spark,
+            lambda df: df.join(ks, key_col, "leftsemi"),
+            lambda df: df.join(ks, key_col, "leftanti"),
+            applied_id,
+        )
+
+    def _delete(
+        self,
+        spark: SparkSession,
+        matches,
+        keeps,
+        applied_id: str | None,
+        max_attempts: int = 12,
+    ) -> dict[str, int]:
+        """Shared delete engine. Each attempt probes and rewrites
+        against ONE pinned snapshot and commits only if the tip has not
+        moved — a concurrent append of rows that would also match is
+        re-probed on the retry rather than silently surviving (the
+        rollup_update_txn conflict recipe)."""
+        if applied_id is not None and self.applied(applied_id):
+            return {"rows_deleted": 0, "entries_rewritten": 0, "entries_kept": 0}
+        for attempt in range(max_attempts):
+            base = self.latest()
+            if base is None or not base.entries:
+                return {"rows_deleted": 0, "entries_rewritten": 0, "entries_kept": 0}
+            if applied_id is not None and applied_id in base.applied_ids:
+                return {"rows_deleted": 0, "entries_rewritten": 0, "entries_kept": 0}
+            parts = [
+                self._entry_df(spark, e).withColumn("__entry", F.lit(i))
+                for i, e in enumerate(base.entries)
+            ]
+            snap = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+            )
+            hits = {
+                r["__entry"]: r["n"]
+                for r in matches(snap)
+                .groupBy("__entry")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            ids = list(base.applied_ids)
+            if applied_id is not None:
+                ids.append(applied_id)
+            if not hits:
+                if applied_id is None:
+                    return {
+                        "rows_deleted": 0,
+                        "entries_rewritten": 0,
+                        "entries_kept": len(base.entries),
+                    }
+                nxt = Manifest(base.version + 1, list(base.entries), _cap_ids(ids))
+            else:
+                touched = set(hits)
+                t_unpart = [i for i in touched if not base.entries[i]["partition"]]
+                t_part = [i for i in touched if base.entries[i]["partition"]]
+                new_entries: list[dict[str, Any]] = []
+                if t_unpart:
+                    df = keeps(
+                        snap.where(F.col("__entry").isin(t_unpart))
+                    ).drop("__entry")
+                    new_entries += self._write_data(df, None)
+                if t_part:
+                    pcol = next(iter(base.entries[t_part[0]]["partition"]))
+                    df = keeps(
+                        snap.where(F.col("__entry").isin(t_part))
+                    ).drop("__entry")
+                    new_entries += self._write_data(df, pcol)
+                kept = [
+                    e for i, e in enumerate(base.entries) if i not in touched
+                ]
+                nxt = Manifest(
+                    base.version + 1, kept + new_entries, _cap_ids(ids)
+                )
+            try:
+                self._commit(nxt)
+                return {
+                    "rows_deleted": sum(hits.values()),
+                    "entries_rewritten": len(hits),
+                    "entries_kept": len(base.entries) - len(hits),
+                }
+            except CommitConflict:
+                time.sleep(min(0.05 * (2**attempt), 1.0))
+        raise CommitConflict(
+            f"delete gave up after {max_attempts} attempts on {self.path}"
+        )
 
     def compact(self, spark: SparkSession) -> None:
         """Rewrite the live snapshot into one fresh data directory and

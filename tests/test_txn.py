@@ -471,3 +471,104 @@ def test_distinct_writer_ids_do_not_collide_on_batch_numbers(spark, tmp_path):
     t.append(_df(spark, [(2, 20)]), applied_id="writerB/batch_0")  # not a replay
     t.append(_df(spark, [(3, 30)]), applied_id="writerA/batch_0")  # replay: no-op
     assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 2]
+
+
+# --- row-level delete ---------------------------------------------------------
+
+
+def test_delete_where_rewrites_only_touched_entries(spark, tmp_path):
+    """Mixed table (unpartitioned appends + partitioned replace): a
+    delete hitting one partition and one append rewrites exactly those
+    entries; the untouched entries keep their immutable files (path
+    identity), and time travel still reads the pre-delete rows."""
+    t = TxnTable(str(tmp_path / "d"))
+    sch = "k long, p long, v long"
+    # partitioned snapshot: p=1 and p=2 will be hit, p=5 won't
+    t.overwrite(
+        _df(spark, [(1, 1, 10), (2, 1, 20), (6, 2, 200), (7, 5, 500)], sch),
+        partition_col="p",
+    )
+    t.append(_df(spark, [(3, 1, 30), (4, 1, 40)], sch))  # unpartitioned, no match
+    pre_version = t.latest().version
+    pre_paths = {e["path"] for e in t.latest().entries}
+
+    res = t.delete_where(spark, "v = 20 OR v = 200")
+    assert res["rows_deleted"] == 2 and res["entries_rewritten"] == 2
+
+    vals = sorted(r["v"] for r in t.read(spark).collect())
+    assert vals == [10, 30, 40, 500]
+    # untouched entries survive by identity (immutable files):
+    # the p=5 entry and the unpartitioned append
+    post_paths = {e["path"] for e in t.latest().entries}
+    assert len(pre_paths & post_paths) == 2
+    # and the rewrite preserved partitioned-ness of the rewritten rows
+    assert any(
+        e["partition"].get("p") == "1" for e in t.latest().entries
+    )
+    # time travel: pre-delete snapshot still has both deleted rows
+    old = sorted(r["v"] for r in t.read(spark, version=pre_version).collect())
+    assert old == [10, 20, 30, 40, 200, 500]
+
+
+def test_delete_where_null_condition_rows_kept(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "n"))
+    t.append(
+        spark.createDataFrame([(1, 5.0), (2, None), (3, 9.0)], "k long, v double")
+    )
+    res = t.delete_where(spark, "v > 6")
+    assert res["rows_deleted"] == 1
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_delete_keys_gdpr_erasure_with_vacuum(spark, tmp_path):
+    """delete_keys removes exactly the requested ids; after vacuum the
+    pre-delete versions (and their data files) are gone."""
+    t = TxnTable(str(tmp_path / "g"))
+    t.append(_df(spark, [(i, i * 10) for i in range(8)]))
+    keys = spark.createDataFrame([(2,), (5,), (99,)], "k long")
+    res = t.delete_keys(spark, keys, "k")
+    assert res["rows_deleted"] == 2
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [0, 1, 3, 4, 6, 7]
+    t.vacuum(retain_versions=1, min_age_s=0)
+    with pytest.raises(Exception):
+        t.read(spark, version=1)
+    # and the live snapshot still reads fine post-vacuum
+    assert t.read(spark).count() == 6
+
+
+def test_delete_where_replay_and_no_match(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "r"))
+    t.append(_df(spark, [(1, 10), (2, 20)]))
+    res = t.delete_where(spark, "k = 2", applied_id="erase-2")
+    assert res["rows_deleted"] == 1
+    replay = t.delete_where(spark, "k = 2", applied_id="erase-2")
+    assert replay["rows_deleted"] == 0 and replay["entries_rewritten"] == 0
+    nothing = t.delete_where(spark, "k = 777")
+    assert nothing["rows_deleted"] == 0
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1]
+
+
+def test_delete_concurrent_with_append_lands_consistently(spark, tmp_path):
+    """A delete racing an append of NON-matching rows: both commits
+    land (the delete re-probes on conflict) and the final state is the
+    same under either interleaving."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = TxnTable(str(tmp_path / "c"))
+    t.append(_df(spark, [(i, i) for i in range(10)]))
+
+    def do_delete():
+        return t.delete_where(spark, "k < 3")
+
+    def do_append():
+        t.append(_df(spark, [(100, 100), (101, 101)]))
+
+    with ThreadPoolExecutor(2) as ex:
+        fd = ex.submit(do_delete)
+        fa = ex.submit(do_append)
+        fa.result()
+        res = fd.result()
+    assert res["rows_deleted"] == 3
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [
+        3, 4, 5, 6, 7, 8, 9, 100, 101,
+    ]
