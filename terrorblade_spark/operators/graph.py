@@ -48,6 +48,7 @@ def pagerank(
     tol: float | None = None,
     weight_col: str | None = None,
     reset: DataFrame | None = None,
+    check_every: int = 5,
 ) -> DataFrame:
     """PageRank over the directed graph ``edges``. Returns
     ``(node_col, rank_col)`` for every node appearing as a source or
@@ -74,11 +75,24 @@ def pagerank(
     trades the fixed iteration count for a data-dependent one — leave
     it None when a bit-stable result matters more than saved
     supersteps).
+
+    COST of ``tol``: each convergence check is a SYNCHRONOUS driver
+    barrier (an extra node-sized join + aggregate + ``.first()``)
+    that serializes the superstep pipeline — at cluster scale a
+    per-superstep check turns N async supersteps into N barriers. The
+    check therefore runs only every ``check_every`` supersteps
+    (default 5): the amortized cost is one barrier per ``check_every``
+    iterations, at worst ``check_every - 1`` extra supersteps past
+    convergence. ``tol=None`` (the default) runs zero driver-side
+    convergence actions — prefer it for fixed-budget production runs.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     return _pagerank_impl(
-        edges, src, dst, n_iter, damping, node_col, rank_col, tol, weight_col, reset
+        edges, src, dst, n_iter, damping, node_col, rank_col, tol, weight_col,
+        reset, check_every,
     )
 
 
@@ -124,6 +138,7 @@ def _pagerank_impl(
     tol: float | None,
     weight_col: str | None,
     reset: DataFrame | None,
+    check_every: int = 5,
 ) -> DataFrame:
     if weight_col is None:
         e = (
@@ -217,7 +232,7 @@ def _pagerank_impl(
             )
             .localCheckpoint(eager=True)
         )
-        for _ in range(n_iter):
+        for it in range(n_iter):
             contrib = _superstep_contrib(links, state, node_col, rank_col)
             dm = state.where(~F.col("__out")).agg(
                 F.coalesce(F.sum(rank_col), F.lit(0.0)).alias("__dm")
@@ -241,7 +256,9 @@ def _pagerank_impl(
                 )
                 .localCheckpoint(eager=True)
             )
-            if tol is not None:
+            # the convergence probe is a synchronous driver barrier —
+            # amortize it to one check per check_every supersteps
+            if tol is not None and (it + 1) % check_every == 0:
                 delta = (
                     new_state.select(node_col, F.col(rank_col).alias("__new"))
                     .join(state.select(node_col, rank_col), node_col)

@@ -346,9 +346,12 @@ def countmin_estimate(
 ) -> DataFrame:
     """Point-frequency estimates for ``keys``: min over sketch rows of
     the key's cell count (absent cells are zero). depth/width/seed must
-    match the build. The sketch side is depth*width rows per group —
+    match the build. Ungrouped, the sketch side is depth*width rows —
     broadcast-sized by construction — so the keys relation never
-    shuffles for the join; the only shuffle is the final per-key min."""
+    shuffles for the join; the only shuffle is the final per-key min.
+    With ``group_cols`` the sketch is depth*width rows PER GROUP, which
+    a high-cardinality grouping can push past the broadcast limit, so
+    the join strategy is left to the optimizer/AQE there."""
     rows = F.array(*[F.lit(d) for d in range(depth)])
     probes = keys.select(*group_cols, key_col).select(
         *group_cols, key_col, F.explode(rows).alias("row")
@@ -358,8 +361,9 @@ def countmin_estimate(
         "row",
         _cm_bucket(F.col(key_col), F.col("row"), width, seed).alias("bucket"),
     )
+    sketch_side = F.broadcast(sketch) if not group_cols else sketch
     joined = probes.join(
-        F.broadcast(sketch), [*group_cols, "row", "bucket"], "left"
+        sketch_side, [*group_cols, "row", "bucket"], "left"
     ).select(
         *group_cols, key_col, F.coalesce("c", F.lit(0)).alias("c")
     )
@@ -460,19 +464,32 @@ def quantile_sketch_partial(
     smallest seeded hash of the row identity. ``id_col`` must be unique
     per logical row ACROSS batches (re-folding the same row is then a
     no-op — the sketch is idempotent on replays, not just mergeable).
-    One rank window over (group, hash); the window input carries only
-    (group, hash, value) — the corpus's other columns never shuffle."""
+
+    Two-stage bottom-k: a first window over (group,
+    spark_partition_id) prunes to k rows per input partition per group
+    — fully parallel, no single-partition sort even when
+    ``group_cols`` is empty — then the exact group window runs on the
+    pruned <= k * numPartitions relation. Bottom-k of local bottom-k's
+    IS the global bottom-k, so the result is identical to the direct
+    form. The window input carries only (group, hash, value) — the
+    corpus's other columns never shuffle."""
     from terrorblade_spark.functions.exprs import hash64
 
+    slim = df.select(
+        *group_cols,
+        hash64(F.col(id_col).cast("string"), salt=seed + "/").alias("__h"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(F.col("__v").isNotNull())
+    w_local = Window.partitionBy(*group_cols, "__pid").orderBy("__h")
+    pruned = (
+        slim.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rn", F.row_number().over(w_local))
+        .where(F.col("__rn") <= k)
+        .drop("__pid", "__rn")
+    )
     w = Window.partitionBy(*group_cols).orderBy("__h")
     return (
-        df.select(
-            *group_cols,
-            hash64(F.col(id_col).cast("string"), salt=seed + "/").alias("__h"),
-            F.col(value_col).cast("double").alias("__v"),
-        )
-        .where(F.col("__v").isNotNull())
-        .withColumn("__rn", F.row_number().over(w))
+        pruned.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )

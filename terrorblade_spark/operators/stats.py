@@ -84,14 +84,27 @@ def chi_square(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
     so two decimal-exact sums over the observed-cell relation suffice.
     Contributions/expectations are 6-dp rounded then decimal-summed
     (order-free, engine-portable: the dec_sum rule); ``cramers_v``
-    adds one sqrt of exact-input doubles."""
+    adds one sqrt of exact-input doubles.
+
+    Level counts are NULL-SAFE: ``crosstab_stats`` keeps NULL as a
+    real category level (its cells enter the chi2 sum), so dof and
+    ``cramers_v``'s min_dim must count it too — ``countDistinct``
+    alone would undercount the grid by one per NULL level. The
+    collision-free form is ``countDistinct + max(is_null)``."""
     cells = crosstab_stats(df, row_col, col_col)
+
+    def _levels(c: str):
+        # countDistinct ignores NULL; add it back iff a NULL level exists
+        return F.countDistinct(c) + F.max(
+            F.when(F.col(c).isNull(), F.lit(1)).otherwise(F.lit(0))
+        )
+
     agg = cells.agg(
         dec_sum(F.round("contrib", 6), 6).alias("__chi_obs"),
         dec_sum(F.round("expected", 6), 6).alias("__exp_obs"),
         F.sum("n").alias("n"),
-        F.countDistinct("row").alias("__r"),
-        F.countDistinct("col").alias("__c"),
+        _levels("row").alias("__r"),
+        _levels("col").alias("__c"),
     )
     chi2 = F.col("__chi_obs") + (F.col("n") - F.col("__exp_obs"))
     min_dim = F.least("__r", "__c") - F.lit(1)

@@ -283,23 +283,38 @@ def ewma(
         .orderBy(*order_cols)
         .rowsBetween(-(window - 1), _W.currentRow)
     )
-    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    # collect_list drops NULL elements, which would misalign ages with
+    # row positions — wrap each value in a (never-NULL) struct so NULL
+    # positions survive and still age the weights (pandas
+    # ewm(ignore_na=False)); the weight of a NULL position itself is
+    # excluded from the denominator, and an all-NULL frame yields NULL.
+    arr = F.collect_list(F.struct(F.col(value_col).cast("double").alias("v"))).over(w)
     out = df.withColumn("__frame", arr)
     n = F.size("__frame")
     ages = F.sequence(F.lit(0), n - F.lit(1))
     decay = float(1.0 - alpha)
+
+    def _at(j):
+        return F.element_at(F.col("__frame"), (n - j).cast("int"))["v"]
+
     num = F.aggregate(
         F.transform(
             ages,
-            lambda j: F.element_at(F.col("__frame"), (n - j).cast("int"))
-            * F.pow(F.lit(decay), j),
+            lambda j: F.coalesce(_at(j) * F.pow(F.lit(decay), j), F.lit(0.0)),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     den = F.aggregate(
-        F.transform(ages, lambda j: F.pow(F.lit(decay), j)),
+        F.transform(
+            ages,
+            lambda j: F.when(_at(j).isNotNull(), F.pow(F.lit(decay), j)).otherwise(
+                F.lit(0.0)
+            ),
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return out.withColumn(out_col, num / den).drop("__frame")
+    return out.withColumn(
+        out_col, F.when(den > 0, num / den)
+    ).drop("__frame")

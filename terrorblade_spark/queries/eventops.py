@@ -295,15 +295,22 @@ _Q118_WINDOW = 8
       FROM events
     )
     SELECT user_id, event_id, value,
-           round(
+           CASE WHEN list_sum(list_transform(
+                  range(0, len(l)),
+                  j -> CASE WHEN l[len(l) - j] IS NOT NULL
+                       THEN power({1 - _Q118_ALPHA}, j) ELSE 0 END
+                )) > 0
+           THEN round(
              list_sum(list_transform(
                range(0, len(l)), j -> l[len(l) - j] * power({1 - _Q118_ALPHA}, j)
              ))
              / list_sum(list_transform(
-               range(0, len(l)), j -> power({1 - _Q118_ALPHA}, j)
+               range(0, len(l)),
+               j -> CASE WHEN l[len(l) - j] IS NOT NULL
+                    THEN power({1 - _Q118_ALPHA}, j) ELSE 0 END
              )),
              6
-           ) AS ewma
+           ) END AS ewma
     FROM w
     ORDER BY user_id, event_id
     """,

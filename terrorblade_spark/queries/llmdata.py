@@ -422,13 +422,15 @@ _Q85_SEED = "q85mix"
     """,
 )
 def q85_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from terrorblade_spark.operators.sampling import temperature_mix
+    from terrorblade_spark.operators.sampling import temperature_mix_by
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    langs = sorted(r.lang for r in d.select("lang").distinct().collect())
-    sources = [d.where(F.col("lang") == lg) for lg in langs]
-    mixed = temperature_mix(
-        sources,
+    # single-DataFrame form: source indices and keep fractions derive
+    # inside the plan — building this query runs NO driver job (the
+    # list form needed a distinct().collect() to enumerate languages)
+    mixed = temperature_mix_by(
+        d,
+        "lang",
         "doc_id",
         total_rows=_Q85_TOTAL,
         alpha=_Q85_ALPHA,

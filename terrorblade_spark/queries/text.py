@@ -600,8 +600,10 @@ def q120_lang_source_association(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT sum(CAST(contrib AS DECIMAL(18,6)))::DOUBLE AS chi_obs,
              sum(CAST(expected AS DECIMAL(18,6)))::DOUBLE AS exp_obs,
              sum(n)::BIGINT AS n,
-             count(DISTINCT row)::BIGINT AS r,
-             count(DISTINCT col)::BIGINT AS c
+             (count(DISTINCT row)
+              + max(CASE WHEN row IS NULL THEN 1 ELSE 0 END))::BIGINT AS r,
+             (count(DISTINCT col)
+              + max(CASE WHEN col IS NULL THEN 1 ELSE 0 END))::BIGINT AS c
       FROM percell
     )
     SELECT round(chi_obs + (n - exp_obs), 6) AS chi2,

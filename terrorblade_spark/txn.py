@@ -564,11 +564,19 @@ class TxnTable:
                     ).drop("__entry")
                     new_entries += self._write_data(df, None)
                 if t_part:
-                    pcol = next(iter(base.entries[t_part[0]]["partition"]))
-                    df = keeps(
-                        snap.where(F.col("__entry").isin(t_part))
-                    ).drop("__entry")
-                    new_entries += self._write_data(df, pcol)
+                    # group touched entries by their partition column: a
+                    # table mixing partition columns across entries must
+                    # not re-home one column's rows under another's
+                    # partitioning (that would break manifest pruning)
+                    by_pcol: dict[str, list[int]] = {}
+                    for i in t_part:
+                        pc = next(iter(base.entries[i]["partition"]))
+                        by_pcol.setdefault(pc, []).append(i)
+                    for pc, idxs in sorted(by_pcol.items()):
+                        df = keeps(
+                            snap.where(F.col("__entry").isin(idxs))
+                        ).drop("__entry")
+                        new_entries += self._write_data(df, pc)
                 kept = [
                     e for i, e in enumerate(base.entries) if i not in touched
                 ]

@@ -92,6 +92,46 @@ def test_pagerank_rejects_bad_damping(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="damping"):
         pagerank(e, damping=1.0)
+    with pytest.raises(ValueError, match="check_every"):
+        pagerank(e, tol=1e-6, check_every=0)
+
+
+def test_pagerank_tol_on_converged_graph_equals_fixed_iter(spark):
+    """A 2-cycle is at its fixed point from superstep one (uniform in,
+    uniform out): the amortized early stop fires at the first check
+    and returns bit-identical ranks to the fixed-budget run."""
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    fixed = _ranks(pagerank(e, n_iter=10))
+    early = _ranks(pagerank(e, n_iter=10, tol=1e-9, check_every=3))
+    assert early == fixed == {1: 0.5, 2: 0.5}
+
+
+def test_pagerank_tol_driver_barrier_amortized(spark):
+    """tol=None runs ZERO convergence-probe driver actions inside the
+    loop; with tol set, exactly one probe job fires per check_every
+    supersteps — counted via job groups against the tol=None floor."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    sc = spark.sparkContext
+
+    def jobs_for(group, **kw):
+        sc.setJobGroup(group, group)
+        try:
+            pagerank(e, n_iter=4, **kw).count()
+            return len(sc.statusTracker().getJobIdsForGroup(group))
+        finally:
+            sc.setJobGroup("", "")
+
+    base = jobs_for("pr-none")                      # no probes at all
+    every1 = jobs_for("pr-ce1", tol=1e-30, check_every=1)   # 4 probes
+    every4 = jobs_for("pr-ce4", tol=1e-30, check_every=4)   # 1 probe
+    # a probe costs a few AQE stage-jobs (count not perfectly stable
+    # across runs), so assert the amortization ORDER, not exact ratios:
+    # tol=None is the job floor, and one check per 4 supersteps costs
+    # at most half of checking every superstep
+    assert base < every4 < every1
+    assert (every4 - base) * 2 <= (every1 - base)
 
 
 def test_indegree_profile(spark):

@@ -298,6 +298,35 @@ def test_temperature_mix_plan_build_runs_no_job(spark, sf_dir):
     assert list(jobs) == [], f"plan build ran Spark jobs: {jobs}"
 
 
+def test_q85_query_plan_build_runs_no_job(spark, sf_dir):
+    """The q85 WRAPPER (not just the operator) must build its plan
+    without any driver-side job: the single-DataFrame temperature_mix_by
+    derives source enumeration/counts/fractions inside the plan."""
+    from terrorblade_spark.queries.llmdata import q85_temperature_mix
+
+    sc = spark.sparkContext
+    # baseline: every spark.read.parquet fires one parquet
+    # footer/schema-inference metadata job, query or no query — the
+    # gate is about DATA jobs (distinct/collect) beyond that
+    sc.setJobGroup("q85-baseline", "bare table load")
+    try:
+        load_table(spark, sf_dir, "documents").schema
+        baseline = len(sc.statusTracker().getJobIdsForGroup("q85-baseline"))
+    finally:
+        sc.setJobGroup("", "")
+    sc.setJobGroup("q85-plan-build", "q85 wrapper plan construction")
+    try:
+        plan_df = q85_temperature_mix(spark, sf_dir)
+        plan_df._jdf.queryExecution().executedPlan()
+        jobs = sc.statusTracker().getJobIdsForGroup("q85-plan-build")
+    finally:
+        sc.setJobGroup("", "")
+    assert len(jobs) <= baseline, (
+        f"q85 plan build ran {len(jobs)} jobs vs {baseline} for a bare "
+        f"table load — a data job leaked into plan build: {jobs}"
+    )
+
+
 def test_chunk_documents_plan_is_narrow(spark, sf_dir):
     """Chunking is a row-to-rows map: no Exchange anywhere — it must
     compose with the scan at any scale."""

@@ -465,6 +465,40 @@ def test_temperature_mix_deterministic_and_clamped(spark):
     assert len(m1) == 150
 
 
+def test_temperature_mix_by_equals_list_form(spark):
+    """The single-DataFrame overload is row-identical to the list form
+    with sources enumerated in sorted value order; NULL source rows
+    are excluded (the list form can't express them either)."""
+    from terrorblade_spark.operators.sampling import (
+        temperature_mix,
+        temperature_mix_by,
+    )
+
+    df = spark.range(3_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 7 == 0, F.lit(None).cast("string"))
+        .when(F.col("id") % 3 == 0, F.lit("de"))
+        .when(F.col("id") % 3 == 1, F.lit("en"))
+        .otherwise(F.lit("fr"))
+        .alias("lang"),
+    )
+    langs = ["de", "en", "fr"]
+    sources = [df.where(F.col("lang") == lg) for lg in langs]
+    want = sorted(
+        (r.doc_id, r.mix_source)
+        for r in temperature_mix(
+            sources, "doc_id", total_rows=800, alpha=0.5, round_fracs=6
+        ).collect()
+    )
+    got = sorted(
+        (r.doc_id, r.mix_source)
+        for r in temperature_mix_by(
+            df, "lang", "doc_id", total_rows=800, alpha=0.5, round_fracs=6
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_temperature_mix_rejects_bad_args(spark):
     from terrorblade_spark.operators.sampling import temperature_mix
 

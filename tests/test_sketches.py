@@ -403,6 +403,58 @@ def test_quantile_sketch_merge_is_exact_and_replay_idempotent(spark):
     assert got == direct
 
 
+def test_quantile_sketch_partial_two_stage_matches_direct(spark):
+    """The two-stage (per-input-partition prune, then exact group
+    window) bottom-k equals the direct global bottom-k, and the plan
+    shows the parallel local stage (a __pid window) so an ungrouped
+    partial never funnels the raw input through one partition."""
+    from terrorblade_spark.functions.exprs import hash64
+    from terrorblade_spark.operators.sketches import quantile_sketch_partial
+
+    rows = [(i, float(i % 17)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(8)
+    k = 50
+    part = quantile_sketch_partial(df, "v", "id", k=k)
+    got = sorted((r["__h"], r["__v"]) for r in part.collect())
+    # expected: k smallest hashes over the whole input
+    all_h = (
+        df.select(
+            hash64(F.col("id").cast("string"), salt="qsk-v1/").alias("h"), "v"
+        )
+        .collect()
+    )
+    want = sorted((r["h"], r["v"]) for r in all_h)[:k]
+    assert got == want
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "__pid" in plan  # local prune stage present
+
+
+def test_countmin_estimate_broadcast_only_ungrouped(spark):
+    """Ungrouped sketch joins broadcast (depth*width rows, bounded);
+    grouped sketches are per-group-sized so the hint is NOT forced —
+    the optimizer/AQE picks the strategy."""
+    from terrorblade_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_partial,
+    )
+
+    df = spark.createDataFrame([(f"k{i % 5}", i % 3) for i in range(60)], "k string, g int")
+    flat_sketch = countmin_partial(df, "k", depth=2, width=64)
+    flat = countmin_estimate(flat_sketch, df.select("k").distinct(), "k", depth=2, width=64)
+    assert "ResolvedHint" in flat._jdf.queryExecution().optimizedPlan().toString() or \
+        "BroadcastHashJoin" in flat._jdf.queryExecution().executedPlan().toString()
+    g_sketch = countmin_partial(df, "k", depth=2, width=64, group_cols=["g"])
+    gro = countmin_estimate(
+        g_sketch, df.select("g", "k").distinct(), "k", depth=2, width=64, group_cols=["g"]
+    )
+    assert "ResolvedHint" not in gro._jdf.queryExecution().optimizedPlan().toString()
+    # results still correct without the forced hint
+    got = {(r["g"], r["k"]): r["est_count"] for r in gro.collect()}
+    true = {(r["g"], r["k"]): r["n"] for r in df.groupBy("g", "k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for key, est in got.items():
+        assert est >= true[key]
+
+
 def test_quantile_sketch_estimate_within_dkw_rank_error(spark):
     """k=2048 gives ~3% rank error at 95% confidence; assert 5% on a
     50k-row skewed distribution for three seeds."""

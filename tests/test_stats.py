@@ -53,6 +53,22 @@ def test_crosstab_keeps_null_level(spark):
     assert {r["row"] for r in got} == {"A", None}
 
 
+def test_chi_square_null_level_counts_toward_dof(spark):
+    """NULL is a real category level (its cells enter the chi2 sum),
+    so it must count toward dof and cramers_v's min_dim too: levels
+    {A, NULL} x {X, Y} is a 2x2 grid -> dof 1, not 0."""
+    df = spark.createDataFrame(
+        [("A", "X"), ("A", "Y"), (None, "X"), (None, "Y")],
+        "lang string, source string",
+    )
+    s = chi_square(df, "lang", "source").collect()[0]
+    assert s["dof"] == 1
+    assert s["n"] == 4
+    # perfectly proportional 2x2 -> chi2 = 0, and min_dim = 1 (not 0)
+    assert s["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert s["cramers_v"] == pytest.approx(0.0, abs=1e-6)
+
+
 def test_single_category_degenerate(spark):
     """One row level: dof = 0 and V = 0 (no association possible)."""
     df = _mk(spark, {("A", "X"): 5, ("A", "Y"): 7})

@@ -270,6 +270,25 @@ def test_ewma_partitions_independent(spark):
     assert got[1] == _pt.approx(10.0) and got[2] == _pt.approx(99.0)
 
 
+def test_ewma_null_positions_age_weights(spark):
+    """NULL rows occupy a frame slot (ages keep advancing, pandas
+    ewm(ignore_na=False)) but contribute to neither numerator nor
+    denominator; an all-NULL frame yields NULL, never a crash."""
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, None), ("a", 3, 2.0), ("b", 1, None)],
+        "g string, i int, value double",
+    )
+    out = ewma(df, "value", ["g"], ["g", "i"], alpha=0.5, window=4)
+    got = _ewma_vals(out.where(F.col("g") == "a"))
+    # row i=2 (NULL): only the age-1 value 1.0 is valid -> 1.0 exactly
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(1.0)
+    # row i=3: (1*2.0 + 0.25*1.0) / (1 + 0.25); the age-1 NULL slot
+    # ages the older value to weight 0.25 but adds no denominator mass
+    assert got[3] == pytest.approx(2.25 / 1.25)
+    assert out.where(F.col("g") == "b").collect()[0]["ewma"] is None
+
+
 def test_ewma_rejects_bad_params(spark):
     import pytest as _pt
 

@@ -510,6 +510,34 @@ def test_delete_where_rewrites_only_touched_entries(spark, tmp_path):
     assert old == [10, 20, 30, 40, 200, 500]
 
 
+def test_delete_mixed_partition_columns_keeps_each_partitioning(spark, tmp_path):
+    """A table whose entries are partitioned by DIFFERENT columns
+    (appends under p, then under q): a delete touching entries of both
+    kinds rewrites each group under ITS OWN partition column — rows
+    are never re-homed under another column's partitioning, so
+    manifest-level pruning survives the delete."""
+    t = TxnTable(str(tmp_path / "mix"))
+    sch = "k long, p long, q long, v long"
+    t.append(_df(spark, [(1, 1, 7, 10), (2, 2, 7, 20)], sch), partition_col="p")
+    t.append(_df(spark, [(3, 9, 3, 30), (4, 9, 4, 40)], sch), partition_col="q")
+
+    res = t.delete_where(spark, "v = 10 OR v = 30")
+    assert res["rows_deleted"] == 2
+    vals = sorted(r["v"] for r in t.read(spark).collect())
+    assert vals == [20, 40]
+    # every surviving partitioned entry still carries its original column
+    part_cols = {
+        next(iter(e["partition"])) for e in t.latest().entries if e["partition"]
+    }
+    by_col = {}
+    for e in t.latest().entries:
+        if e["partition"]:
+            c = next(iter(e["partition"]))
+            by_col.setdefault(c, set()).update(e["partition"].values())
+    assert part_cols == {"p", "q"}
+    assert by_col["p"] == {"2"} and by_col["q"] == {"4"}
+
+
 def test_delete_where_null_condition_rows_kept(spark, tmp_path):
     t = TxnTable(str(tmp_path / "n"))
     t.append(
