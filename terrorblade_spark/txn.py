@@ -679,4 +679,13 @@ class TxnTable:
             if v not in retained:
                 os.unlink(os.path.join(self._log, f"{v:0{_VERSION_WIDTH}d}.json"))
                 deleted_manifests += 1
+        # a writer killed inside _commit (tmp manifest written, link not
+        # taken) leaves an orphan .tmp.* file; readers ignore them, but
+        # reclaim the stale ones under the same age guard
+        for name in sorted(os.listdir(self._log)) if os.path.isdir(self._log) else []:
+            if not name.startswith(".tmp."):
+                continue
+            full = os.path.join(self._log, name)
+            if now - os.path.getmtime(full) >= min_age_s:
+                os.unlink(full)
         return {"data_dirs": deleted_dirs, "manifests": deleted_manifests}

@@ -58,6 +58,26 @@ class TestEmbedText:
         out = df.withColumn("e", embed_text(dim=32)(F.col("text"))).orderBy("id").collect()
         assert out[0]["e"] != out[1]["e"]
 
+    def test_sentence_transformers_real_model_path(self, spark):
+        """Exercises the REAL model pandas-UDF path (model singleton per
+        executor, Arrow batch transfer, normalize_embeddings) when the
+        optional dependency is installed; skipped otherwise. Checks
+        shape, unit norm, and run-to-run determinism on 10 rows."""
+        pytest.importorskip("sentence_transformers")
+        df = spark.createDataFrame(
+            [(i, f"document number {i} about spark queries") for i in range(10)],
+            "id long, text string",
+        )
+        udf = embed_text(encoder="sentence-transformers")
+        out1 = df.withColumn("e", udf(F.col("text"))).orderBy("id").collect()
+        out2 = df.withColumn("e", udf(F.col("text"))).orderBy("id").collect()
+        dims = {len(r["e"]) for r in out1}
+        assert len(dims) == 1 and dims.pop() > 0  # one fixed model dim
+        for r1, r2 in zip(out1, out2):
+            assert r1["e"] == r2["e"]  # deterministic across runs
+            norm = math.sqrt(sum(x * x for x in r1["e"]))
+            assert norm == pytest.approx(1.0, abs=1e-3)
+
 
 class TestSlidingDistance:
     def test_window1_hand_computed(self, spark):
