@@ -624,6 +624,51 @@ def _cluster_edges_blas(
     )
 
 
+def _assign_probes_blas(
+    unit: DataFrame,
+    centroids: DataFrame,
+    p: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Top-p nearest-centroid assignment in one Arrow matmul pass:
+    every vector appears once per probe cell (p rows per vector) —
+    the candidate-generation side of multi-probe SemDeDup. The
+    centroid matrix is model-sized (k x d), collected once and
+    broadcast; nearest-by-Euclidean ranks via ||c||^2 - 2 x.c (unit
+    x makes ||x||^2 a constant), so probe 0 agrees with the KMeans
+    transform's own assignment."""
+    import numpy as np
+
+    rows = centroids.orderBy("list_id").collect()  # k x d, model-sized
+    cmat = np.stack([np.asarray(r["centroid"], dtype="float64") for r in rows])
+    lids = np.array([r["list_id"] for r in rows], dtype="int64")
+    cnorm2 = (cmat * cmat).sum(axis=1)
+    b = unit.sparkSession.sparkContext.broadcast((cmat, lids, cnorm2))
+
+    def topp(batches):
+        import pandas as pd
+
+        cm, li, cn2 = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype("float64", copy=False)
+            d2 = cn2[None, :] - 2.0 * (x @ cm.T)
+            idx = np.argpartition(d2, p - 1, axis=1)[:, :p]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), p),
+                    "list_id": li[idx].ravel(),
+                    vec_col: np.repeat(pdf[vec_col].to_numpy(), p),
+                }
+            )
+
+    return unit.mapInPandas(
+        topp, f"{id_col} long, list_id int, {vec_col} array<double>"
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -634,6 +679,7 @@ def semantic_dedup(
     train_fraction: float | None = None,
     keep: str = "farthest",
     pair_method: str = "blas",
+    assign_probes: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public recipe): embedding-space
     near-duplicate removal — k-means cluster the embeddings, find
@@ -664,6 +710,15 @@ def semantic_dedup(
     twins missed), and it turns the per-pair cosine into a single dot
     fold (one array traversal instead of five — measured 2.9x on the
     35k-vector probe). Zero vectors stay zero and never pair.
+
+    ``assign_probes``: number of nearest cells each vector's candidacy
+    covers in the PAIR stage (the keep/score stage always uses the
+    single nearest cell). With k ~ sqrt(N) the Voronoi boundaries cut
+    through dense regions and near-dup pairs straddle them — measured
+    at 1M vectors / k=1024: 9.7% of planted twins missed at probes=1
+    (tools/semdedup_probe.py). Assignment cost is linear in probes and
+    the pair matmuls grow ~quadratically; 2 is the recommended
+    corpus-scale setting.
     """
     from terrorblade_spark.operators.components import (
         canonicalize_by_score,
@@ -675,6 +730,8 @@ def semantic_dedup(
         raise ValueError(f"keep must be 'farthest' or 'min_id', got {keep!r}")
     if pair_method not in ("blas", "join"):
         raise ValueError(f"pair_method must be 'blas' or 'join', got {pair_method!r}")
+    if not 1 <= assign_probes <= 8:
+        raise ValueError(f"assign_probes must be in 1..8, got {assign_probes}")
     if n_clusters < 2:
         # MLlib KMeans requires k >= 2; a 1-cluster semantic dedup is
         # an unbucketed all-pairs join — refuse rather than go quadratic
@@ -704,13 +761,23 @@ def semantic_dedup(
         train_fraction=train_fraction,
     )
     assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
-    if pair_method == "blas":
-        edges = _cluster_edges_blas(assigned, id_col, vec_col, float(threshold))
+    # the PAIR stage's candidate relation: the nearest-cell assignment,
+    # or the top-p multi-probe expansion (p rows per vector) so pairs
+    # straddling a Voronoi boundary still co-occur in some cell
+    if assign_probes > 1:
+        candidates = _assign_probes_blas(
+            assigned.select(id_col, vec_col), centroids, assign_probes,
+            id_col, vec_col,
+        )
     else:
-        left = assigned.select(
+        candidates = assigned
+    if pair_method == "blas":
+        edges = _cluster_edges_blas(candidates, id_col, vec_col, float(threshold))
+    else:
+        left = candidates.select(
             F.col("list_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
         )
-        right = assigned.select(
+        right = candidates.select(
             F.col("list_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
         )
         edges = (
@@ -719,6 +786,10 @@ def semantic_dedup(
             .where(dot(F.col("__va"), F.col("__vb")) >= F.lit(float(threshold)))
             .select("id_a", "id_b")
         )
+    if assign_probes > 1:
+        # a pair sharing two probe cells is found twice — edge identity
+        # is (id_a, id_b), dedup before components
+        edges = edges.distinct()
     comp = connected_components(edges, "id_a", "id_b")
     if keep == "min_id":
         out = (

@@ -49,6 +49,7 @@ def pagerank(
     weight_col: str | None = None,
     reset: DataFrame | None = None,
     check_every: int = 5,
+    on_superstep=None,
 ) -> DataFrame:
     """PageRank over the directed graph ``edges``. Returns
     ``(node_col, rank_col)`` for every node appearing as a source or
@@ -92,7 +93,7 @@ def pagerank(
         raise ValueError(f"check_every must be >= 1, got {check_every}")
     return _pagerank_impl(
         edges, src, dst, n_iter, damping, node_col, rank_col, tol, weight_col,
-        reset, check_every,
+        reset, check_every, on_superstep,
     )
 
 
@@ -139,6 +140,7 @@ def _pagerank_impl(
     weight_col: str | None,
     reset: DataFrame | None,
     check_every: int = 5,
+    on_superstep=None,
 ) -> DataFrame:
     if weight_col is None:
         e = (
@@ -267,9 +269,13 @@ def _pagerank_impl(
                 )
                 state = new_state
                 if delta is not None and delta < tol:
+                    if on_superstep is not None:
+                        on_superstep(it)
                     break
             else:
                 state = new_state
+            if on_superstep is not None:
+                on_superstep(it)
     finally:
         # release the edge cache on EVERY path — including the designed
         # raise_error for an all-off-graph reset and tol-loop errors;

@@ -18,7 +18,15 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def get_spark(app_name: str = "terrorblade_spark", master: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "terrorblade_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """``extra_conf`` overrides/extends the defaults below — the scale
+    probes use it to re-enable the UI REST API for shuffle/storage
+    accounting (off by default: the UI thread is dead weight in tests
+    and the driver harness)."""
     cpus = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
@@ -51,4 +59,6 @@ def get_spark(app_name: str = "terrorblade_spark", master: str | None = None) ->
         .config("spark.executor.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

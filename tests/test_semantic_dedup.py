@@ -125,6 +125,63 @@ def test_blas_and_join_pair_methods_agree(spark, geometry):
     assert a == b
 
 
+def test_multi_probe_finds_boundary_straddling_twins(spark):
+    """A twin pair split across two k-means cells is invisible at
+    assign_probes=1 (each cell sees one member) but found at
+    assign_probes=2 (each member's second-nearest cell covers its
+    twin's home cell). Two tight blobs + a twin pair on the midline."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    # blob around axis 0 and blob around axis 1 (ids 0..19 / 100..119)
+    for i in range(20):
+        rows.append((i, [1.0, 0.02 * float(rng.standard_normal()), 0.0, 0.0]))
+        rows.append((100 + i, [0.02 * float(rng.standard_normal()), 1.0, 0.0, 0.0]))
+    # midline twins: one leans to blob A, the other to blob B, cosine
+    # between them ~0.9998 — k=2 k-means puts them in DIFFERENT cells
+    a = math.sqrt(0.5)
+    rows.append((500, [a + 0.02, a - 0.02, 0.0, 0.0]))
+    rows.append((501, [a - 0.02, a + 0.02, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    single = semantic_dedup(df, threshold=0.99, n_clusters=2, assign_probes=1)
+    multi = semantic_dedup(df, threshold=0.99, n_clusters=2, assign_probes=2)
+    s = {r.vec_id: r for r in single.collect()}
+    m = {r.vec_id: r for r in multi.collect()}
+    # the straddling pair: missed without probes, caught with
+    assert s[500].canonical_id != s[501].canonical_id
+    assert m[500].canonical_id == m[501].canonical_id
+    assert m[500].is_duplicate != m[501].is_duplicate  # exactly one kept
+    # blob members are untouched either way (no spurious merges)
+    for vid in (0, 1, 100, 101):
+        assert not m[vid].is_duplicate
+
+
+def test_multi_probe_noop_when_no_straddling(spark, geometry):
+    """On well-separated geometry, probes=2 returns exactly the
+    probes=1 result (extra cells add candidates, never pairs below
+    threshold) — the q82 determinism contract is probe-invariant."""
+    base = sorted(
+        (r.vec_id, r.canonical_id, r.is_duplicate)
+        for r in semantic_dedup(geometry, threshold=0.95, n_clusters=3).collect()
+    )
+    probed = sorted(
+        (r.vec_id, r.canonical_id, r.is_duplicate)
+        for r in semantic_dedup(
+            geometry, threshold=0.95, n_clusters=3, assign_probes=2
+        ).collect()
+    )
+    assert base == probed
+
+
+def test_assign_probes_rejects_bad_values(spark, geometry):
+    with pytest.raises(ValueError, match="assign_probes"):
+        semantic_dedup(geometry, n_clusters=3, assign_probes=0)
+    with pytest.raises(ValueError, match="assign_probes"):
+        semantic_dedup(geometry, n_clusters=3, assign_probes=9)
+
+
 def test_blas_blocking_matches_unblocked(spark):
     """Many vectors in one cluster with block_rows smaller than the
     cluster: the blocked matmul must find the same pairs."""
