@@ -643,6 +643,7 @@ def _assign_probes_blas(
     rows = centroids.orderBy("list_id").collect()  # k x d, model-sized
     cmat = np.stack([np.asarray(r["centroid"], dtype="float64") for r in rows])
     lids = np.array([r["list_id"] for r in rows], dtype="int64")
+    p = min(p, len(lids))  # can't probe more cells than exist
     cnorm2 = (cmat * cmat).sum(axis=1)
     b = unit.sparkSession.sparkContext.broadcast((cmat, lids, cnorm2))
 
@@ -655,7 +656,10 @@ def _assign_probes_blas(
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype("float64", copy=False)
             d2 = cn2[None, :] - 2.0 * (x @ cm.T)
-            idx = np.argpartition(d2, p - 1, axis=1)[:, :p]
+            if p < len(li):
+                idx = np.argpartition(d2, p - 1, axis=1)[:, :p]
+            else:
+                idx = np.tile(np.arange(len(li)), (len(pdf), 1))
             yield pd.DataFrame(
                 {
                     id_col: np.repeat(pdf[id_col].to_numpy(), p),
@@ -664,8 +668,10 @@ def _assign_probes_blas(
                 }
             )
 
+    # carry the INPUT's id/vector types through (string ids work too)
+    fields = {f.name: f.dataType.simpleString() for f in unit.schema.fields}
     return unit.mapInPandas(
-        topp, f"{id_col} long, list_id int, {vec_col} array<double>"
+        topp, f"{id_col} {fields[id_col]}, list_id int, {vec_col} {fields[vec_col]}"
     )
 
 

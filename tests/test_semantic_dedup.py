@@ -126,36 +126,45 @@ def test_blas_and_join_pair_methods_agree(spark, geometry):
 
 
 def test_multi_probe_finds_boundary_straddling_twins(spark):
-    """A twin pair split across two k-means cells is invisible at
-    assign_probes=1 (each cell sees one member) but found at
-    assign_probes=2 (each member's second-nearest cell covers its
-    twin's home cell). Two tight blobs + a twin pair on the midline."""
-    import numpy as np
+    """The candidate-expansion mechanism itself, with HAND-SPECIFIED
+    centroids (a k-means fit would make the boundary placement
+    run-dependent): a twin pair whose members lean to opposite sides
+    of a Voronoi boundary shares no cell at p=1 (pair invisible) but
+    shares both cells at p=2 (pair found). Deterministic by
+    construction — pure matmul assignment."""
+    from terrorblade_spark.operators.dedup import (
+        _assign_probes_blas,
+        _cluster_edges_blas,
+    )
 
-    rng = np.random.default_rng(3)
-    rows = []
-    # blob around axis 0 and blob around axis 1 (ids 0..19 / 100..119)
-    for i in range(20):
-        rows.append((i, [1.0, 0.02 * float(rng.standard_normal()), 0.0, 0.0]))
-        rows.append((100 + i, [0.02 * float(rng.standard_normal()), 1.0, 0.0, 0.0]))
-    # midline twins: one leans to blob A, the other to blob B, cosine
-    # between them ~0.9998 — k=2 k-means puts them in DIFFERENT cells
     a = math.sqrt(0.5)
-    rows.append((500, [a + 0.02, a - 0.02, 0.0, 0.0]))
-    rows.append((501, [a - 0.02, a + 0.02, 0.0, 0.0]))
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = spark.createDataFrame(
+        [
+            (500, [a + 0.02, a - 0.02, 0.0, 0.0]),  # leans to axis-0 cell
+            (501, [a - 0.02, a + 0.02, 0.0, 0.0]),  # leans to axis-1 cell
+            (1, [1.0, 0.0, 0.0, 0.0]),              # axis-0 anchor
+            (2, [0.0, 1.0, 0.0, 0.0]),              # axis-1 anchor
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "list_id int, centroid array<double>",
+    )
+    # cos(500, 501) ~ 0.9992, well above the 0.99 threshold
+    p1 = _assign_probes_blas(df, cents, 1, "vec_id", "embedding")
+    cells = {r.vec_id: r.list_id for r in p1.collect()}
+    assert cells[500] != cells[501]  # the straddle premise, asserted
+    e1 = _cluster_edges_blas(p1, "vec_id", "embedding", 0.99).collect()
+    assert (500, 501) not in {(r.id_a, r.id_b) for r in e1}
 
-    single = semantic_dedup(df, threshold=0.99, n_clusters=2, assign_probes=1)
-    multi = semantic_dedup(df, threshold=0.99, n_clusters=2, assign_probes=2)
-    s = {r.vec_id: r for r in single.collect()}
-    m = {r.vec_id: r for r in multi.collect()}
-    # the straddling pair: missed without probes, caught with
-    assert s[500].canonical_id != s[501].canonical_id
-    assert m[500].canonical_id == m[501].canonical_id
-    assert m[500].is_duplicate != m[501].is_duplicate  # exactly one kept
-    # blob members are untouched either way (no spurious merges)
-    for vid in (0, 1, 100, 101):
-        assert not m[vid].is_duplicate
+    p2 = _assign_probes_blas(df, cents, 2, "vec_id", "embedding")
+    assert p2.count() == 8  # every vector in both cells
+    e2 = _cluster_edges_blas(p2, "vec_id", "embedding", 0.99).distinct().collect()
+    assert (500, 501) in {(r.id_a, r.id_b) for r in e2}
+    # anchors never pair with anything (cos vs twins ~ 0.71)
+    ids_in_pairs = {r.id_a for r in e2} | {r.id_b for r in e2}
+    assert ids_in_pairs == {500, 501}
 
 
 def test_multi_probe_noop_when_no_straddling(spark, geometry):
@@ -180,6 +189,20 @@ def test_assign_probes_rejects_bad_values(spark, geometry):
         semantic_dedup(geometry, n_clusters=3, assign_probes=0)
     with pytest.raises(ValueError, match="assign_probes"):
         semantic_dedup(geometry, n_clusters=3, assign_probes=9)
+
+
+def test_assign_probes_clamped_to_cluster_count(spark, geometry):
+    """probes > n_clusters degrades to all-cells candidacy (every pair
+    compared) instead of crashing — same groups as the exact answer."""
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            geometry, threshold=0.95, n_clusters=3, assign_probes=8
+        ).collect()
+    }
+    assert out[5].canonical_id == out[10].canonical_id
+    assert out[19].canonical_id == out[20].canonical_id
+    assert sum(r.is_duplicate for r in out.values()) == 2
 
 
 def test_blas_blocking_matches_unblocked(spark):
