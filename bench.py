@@ -183,6 +183,8 @@ def main() -> None:
     spark.catalog.clearCache()
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    if repeats < 1:
+        raise ValueError(f"SPARK_GRAFT_BENCH_REPEATS must be >= 1, got {repeats}")
     timings: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = queries[name]

@@ -636,8 +636,15 @@ def _assign_probes_blas(
     the candidate-generation side of multi-probe SemDeDup. The
     centroid matrix is model-sized (k x d), collected once and
     broadcast; nearest-by-Euclidean ranks via ||c||^2 - 2 x.c (unit
-    x makes ||x||^2 a constant), so probe 0 agrees with the KMeans
-    transform's own assignment."""
+    x makes ||x||^2 a constant). The p cells per vector are emitted
+    UNORDERED (argpartition) — the SET matches the p nearest, but a
+    consumer wanting the single nearest cell must use the KMeans
+    assignment, not the first emitted row.
+
+    Returns ``(candidates, broadcast)``: the caller owns the broadcast
+    and should ``unpersist()`` it once every job reading the candidate
+    relation has run (a per-ingest-batch caller that never releases it
+    accumulates dead k x d matrices on the executors)."""
     import numpy as np
 
     rows = centroids.orderBy("list_id").collect()  # k x d, model-sized
@@ -670,9 +677,10 @@ def _assign_probes_blas(
 
     # carry the INPUT's id/vector types through (string ids work too)
     fields = {f.name: f.dataType.simpleString() for f in unit.schema.fields}
-    return unit.mapInPandas(
+    out = unit.mapInPandas(
         topp, f"{id_col} {fields[id_col]}, list_id int, {vec_col} {fields[vec_col]}"
     )
+    return out, b
 
 
 def semantic_dedup(
@@ -770,8 +778,9 @@ def semantic_dedup(
     # the PAIR stage's candidate relation: the nearest-cell assignment,
     # or the top-p multi-probe expansion (p rows per vector) so pairs
     # straddling a Voronoi boundary still co-occur in some cell
+    probe_bc = None
     if assign_probes > 1:
-        candidates = _assign_probes_blas(
+        candidates, probe_bc = _assign_probes_blas(
             assigned.select(id_col, vec_col), centroids, assign_probes,
             id_col, vec_col,
         )
@@ -827,6 +836,10 @@ def semantic_dedup(
         )
     out = out.localCheckpoint(eager=True)
     assigned.unpersist()
+    if probe_bc is not None:
+        # every job reading the candidate relation has run (the eager
+        # checkpoint above forced the full pipeline)
+        probe_bc.unpersist()
     return out
 
 

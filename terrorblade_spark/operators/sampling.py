@@ -96,6 +96,36 @@ def weighted_corpus_mix(
     return out
 
 
+def _temperature_fracs(
+    counts: DataFrame,
+    total_rows: int,
+    alpha: float,
+    round_fracs: int | None,
+    keep_cols: Sequence[str],
+) -> DataFrame:
+    """The ONE canonical keep-fraction derivation both temperature-mix
+    forms share: ``counts`` is a k-row relation with a bigint ``n``
+    column; returns ``keep_cols`` + ``__f``. The fraction expression is
+    left-associated exactly as the q85 oracle SQL parses
+    (total * wgt / S / n): a different association can differ by an ulp
+    pre-round, and the 6-dp rounding only equalizes engines that
+    computed the SAME op sequence — keeping it in one place means a
+    future change cannot silently diverge the two public forms."""
+    weights = counts.select(
+        *keep_cols,
+        "n",
+        F.pow(F.col("n").cast("double"), F.lit(float(alpha))).alias("__w"),
+    )
+    tot = weights.agg(F.sum("__w").alias("__S"))
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(float(total_rows)) * F.col("__w") / F.col("__S") / F.col("n"),
+    )
+    if round_fracs is not None:
+        frac = F.round(frac, round_fracs)
+    return weights.crossJoin(F.broadcast(tot)).select(*keep_cols, frac.alias("__f"))
+
+
 def temperature_mix(
     sources: list[DataFrame],
     id_col: str,
@@ -141,25 +171,15 @@ def temperature_mix(
         for i, df in enumerate(sources)
     ]
     all_counts = reduce(lambda a, b: a.unionByName(b), counts)
-    weights = all_counts.select(
-        "__src", "n", F.pow(F.col("n").cast("double"), F.lit(float(alpha))).alias("__w")
+    fracs = _temperature_fracs(
+        all_counts, total_rows, alpha, round_fracs, ["__src"]
     )
-    tot = weights.agg(F.sum("__w").alias("__S"))
-    # left-associated exactly as the q85 oracle SQL parses
-    # (total * wgt / S / n): a different association can differ by an
-    # ulp pre-round, and the 6-dp rounding only equalizes engines that
-    # computed the SAME op sequence
-    frac = F.least(
-        F.lit(1.0),
-        F.lit(float(total_rows)) * F.col("__w") / F.col("__S") / F.col("n"),
-    )
-    if round_fracs is not None:
-        frac = F.round(frac, round_fracs)
-    fracs = weights.crossJoin(F.broadcast(tot)).select("__src", frac.alias("__f"))
     parts = []
     for i, df in enumerate(sources):
         fi = F.broadcast(fracs.where(F.col("__src") == i).select("__f"))
-        draw = seeded_uniform(id_col, f"{seed}/src{i}")
+        # trailing '/' isolates the index: without it, (src 1, id 23)
+        # and (src 12, id 3) would hash the same string and share a draw
+        draw = seeded_uniform(id_col, f"{seed}/src{i}/")
         parts.append(
             df.crossJoin(fi)
             .where(draw < F.col("__f"))
@@ -203,27 +223,17 @@ def temperature_mix_by(
     idx = counts.withColumn(
         "__src", F.row_number().over(Window.orderBy("__sv")) - 1
     )
-    weights = idx.select(
-        "__sv",
-        "__src",
-        "n",
-        F.pow(F.col("n").cast("double"), F.lit(float(alpha))).alias("__w"),
+    fracs = _temperature_fracs(
+        idx, total_rows, alpha, round_fracs, ["__sv", "__src"]
     )
-    tot = weights.agg(F.sum("__w").alias("__S"))
-    # left-associated exactly as the oracle SQL parses (total * w / S / n)
-    frac = F.least(
-        F.lit(1.0),
-        F.lit(float(total_rows)) * F.col("__w") / F.col("__S") / F.col("n"),
-    )
-    if round_fracs is not None:
-        frac = F.round(frac, round_fracs)
-    fracs = weights.crossJoin(F.broadcast(tot)).select(
-        "__sv", "__src", frac.alias("__f")
-    )
+    # trailing '/' after the index: same draw string as the list form's
+    # seeded_uniform(id, f"{seed}/src{i}/") — and without it, (src 1,
+    # id 23) and (src 12, id 3) would share a draw
     draw = hash64(
         F.concat(
             F.lit(f"{seed}/src"),
             F.col("__src").cast("string"),
+            F.lit("/"),
             F.col(id_col).cast("string"),
         )
     ) / F.lit(_HASH_SPAN)

@@ -416,7 +416,7 @@ _Q85_SEED = "q85mix"
     )
     SELECT d.doc_id, d.lang, f.src AS mix_source
     FROM documents d JOIN f ON d.lang = f.lang
-    WHERE ('0x' || substring(md5('{_Q85_SEED}/src' || f.src::VARCHAR || d.doc_id::VARCHAR), 1, 15))::BIGINT
+    WHERE ('0x' || substring(md5('{_Q85_SEED}/src' || f.src::VARCHAR || '/' || d.doc_id::VARCHAR), 1, 15))::BIGINT
             / 1152921504606846976.0 < f.frac
     ORDER BY d.doc_id
     """,

@@ -686,6 +686,9 @@ class TxnTable:
             if not name.startswith(".tmp."):
                 continue
             full = os.path.join(self._log, name)
-            if now - os.path.getmtime(full) >= min_age_s:
-                os.unlink(full)
+            try:
+                if now - os.path.getmtime(full) >= min_age_s:
+                    os.unlink(full)
+            except FileNotFoundError:
+                pass  # a live committer's finally-unlink won the race
         return {"data_dirs": deleted_dirs, "manifests": deleted_manifests}

@@ -152,13 +152,13 @@ def test_multi_probe_finds_boundary_straddling_twins(spark):
         "list_id int, centroid array<double>",
     )
     # cos(500, 501) ~ 0.9992, well above the 0.99 threshold
-    p1 = _assign_probes_blas(df, cents, 1, "vec_id", "embedding")
+    p1, _bc1 = _assign_probes_blas(df, cents, 1, "vec_id", "embedding")
     cells = {r.vec_id: r.list_id for r in p1.collect()}
     assert cells[500] != cells[501]  # the straddle premise, asserted
     e1 = _cluster_edges_blas(p1, "vec_id", "embedding", 0.99).collect()
     assert (500, 501) not in {(r.id_a, r.id_b) for r in e1}
 
-    p2 = _assign_probes_blas(df, cents, 2, "vec_id", "embedding")
+    p2, _bc2 = _assign_probes_blas(df, cents, 2, "vec_id", "embedding")
     assert p2.count() == 8  # every vector in both cells
     e2 = _cluster_edges_blas(p2, "vec_id", "embedding", 0.99).distinct().collect()
     assert (500, 501) in {(r.id_a, r.id_b) for r in e2}

@@ -165,7 +165,7 @@ def main() -> None:
     t0 = time.time()
     out["probes"] = args.probes
     if args.probes > 1:
-        candidates = _assign_probes_blas(
+        candidates, _bc = _assign_probes_blas(
             assigned.select("vec_id", "embedding"), centroids, args.probes,
             "vec_id", "embedding",
         )
