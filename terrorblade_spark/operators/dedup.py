@@ -843,6 +843,246 @@ def semantic_dedup(
     return out
 
 
+def _cluster_edges_blas_new(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    new_col: str = "__new",
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Within-cell near-dup pairs INVOLVING AT LEAST ONE NEW ROW:
+    the incremental twin of :func:`_cluster_edges_blas`. Per cell, the
+    matmul is (new members) x (all members) — state-vs-state pairs are
+    never recomputed, so a daily ingest batch costs O(new x members)
+    per cell, not O(members^2). Emits ``(id_a, id_b, other_is_new)``
+    with id_a < id_b, deduped across probe cells by the caller;
+    ``other_is_new=false`` marks a pair against the persisted state.
+    Assumes unit-norm vectors (the operator normalizes)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "id_a": np.array([], dtype="int64"),
+            "id_b": np.array([], dtype="int64"),
+            "other_is_new": np.array([], dtype="bool"),
+        }
+    )
+
+    def find(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        is_new = pdf[new_col].to_numpy().astype(bool)
+        m = len(ids)
+        new_rows = np.flatnonzero(is_new)
+        if m < 2 or len(new_rows) == 0:
+            return empty
+        mat = np.stack(pdf[vec_col].to_numpy()).astype("float64", copy=False)
+        out = []
+        for lo in range(0, len(new_rows), block_rows):
+            blk = new_rows[lo : lo + block_rows]
+            sims = mat[blk] @ mat.T  # (block, m)
+            bi, gj = np.nonzero(sims >= threshold)
+            gi = blk[bi]
+            mask = gi != gj  # drop self-pairs (global row identity)
+            gi, gj = gi[mask], gj[mask]
+            if len(gi) == 0:
+                continue
+            out.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ids[gi], ids[gj]),
+                        "id_b": np.maximum(ids[gi], ids[gj]),
+                        "other_is_new": is_new[gj],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return (
+        candidates.select(
+            "list_id", F.col(id_col).cast("long").alias(id_col), vec_col, new_col
+        )
+        .groupBy("list_id")
+        .applyInPandas(find, "id_a long, id_b long, other_is_new boolean")
+    )
+
+
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    canonicals: DataFrame | None,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_probes: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest-time SemDeDup: admit only batch vectors that are not
+    near-duplicates of (a) the already-admitted canonical set or
+    (b) an earlier-id member of the batch itself — the semantic member
+    of the incremental family (exact: :func:`incremental_dedup`;
+    MinHash: the streaming band gate; rollup/count-min/quantile folds
+    in their modules).
+
+    ``centroids`` is the FIXED coarse quantizer from the initial
+    :func:`~terrorblade_spark.operators.vector.ivf_build` fit — like
+    the IVF index and the DSIR hash buckets, the quantizer is fitted
+    once and reused so assignments are stable across batches (refit on
+    drift is a rebuild, not a fold). ``canonicals`` is the persisted
+    state: ``(id_col, list_id, vec_col)`` rows, one per PROBE CELL per
+    admitted canonical (p rows each, L2-normalized) — pass None on the
+    first batch.
+
+    Returns ``(admitted, new_state)``: the batch's admitted rows
+    (id + normalized vector), and their probe-cell state rows to
+    append. Determinism: with fixed centroids the whole decision is a
+    pure function of (state, batch) — a replayed batch admits nothing
+    new (its content pairs with its own admitted twins), so the append
+    stays idempotent under at-least-once delivery when ids are stable.
+
+    Scale: the batch assigns via one broadcast k x d matmul; the pair
+    kernel is (new x members) per cell, never members^2 — state only
+    ever participates as the matmul's right-hand side. Components run
+    over pair edges only (batch-sized, not state-sized). Duplicate
+    semantics match the batch operator: any connected group touching
+    an existing canonical is wholly duplicate; new-only groups keep
+    their min-id member (the idempotent-ingest keep — centroid-based
+    farthest keep needs the whole group, which an incremental gate by
+    definition never re-sees).
+    """
+    from terrorblade_spark.operators.components import connected_components
+    from terrorblade_spark.operators.vector import norm
+
+    if not 1 <= assign_probes <= 8:
+        raise ValueError(f"assign_probes must be in 1..8, got {assign_probes}")
+    unit = (
+        batch.select(id_col, vec_col)
+        .withColumn("__n", norm(F.col(vec_col)))
+        .select(
+            id_col,
+            F.when(
+                F.col("__n") > 0,
+                F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n")),
+            )
+            .otherwise(F.col(vec_col).cast("array<double>"))
+            .alias(vec_col),
+        )
+    )
+    new_cells, probe_bc = _assign_probes_blas(
+        unit, centroids, assign_probes, id_col, vec_col
+    )
+    new_cells = new_cells.withColumn("__new", F.lit(True))
+    if canonicals is not None:
+        cand = new_cells.unionByName(
+            canonicals.select(id_col, "list_id", vec_col).withColumn(
+                "__new", F.lit(False)
+            )
+        )
+    else:
+        cand = new_cells
+    pairs = _cluster_edges_blas_new(
+        cand, id_col, vec_col, float(threshold)
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # a pair with id_a == id_b against state is a REPLAYED row (the
+        # same id's admitted copy matched it); self-loops never survive
+        # connected_components, so reject them directly
+        replayed = (
+            pairs.where((F.col("id_a") == F.col("id_b")) & ~F.col("other_is_new"))
+            .select(F.col("id_a").alias("node"))
+            .distinct()
+        )
+        edges = pairs.where(F.col("id_a") != F.col("id_b")).select("id_a", "id_b")
+        comp = connected_components(edges, "id_a", "id_b")
+        # a component is tainted iff it contains a state node — state
+        # nodes only enter via other_is_new=false pairs
+        old_nodes = (
+            pairs.where(~F.col("other_is_new"))
+            .select(F.col("id_b").alias("node"))
+            .unionByName(
+                pairs.where(~F.col("other_is_new")).select(
+                    F.col("id_a").alias("node")
+                )
+            )
+            .distinct()
+        )
+        # old_nodes overshoots (it includes the pair's new side too when
+        # ids interleave) — intersect with the actual state id set
+        if canonicals is not None:
+            state_ids = canonicals.select(
+                F.col(id_col).cast("long").alias("node")
+            ).distinct()
+            old_nodes = old_nodes.join(state_ids, "node", "semi")
+        else:
+            old_nodes = old_nodes.limit(0)
+        tainted = comp.join(old_nodes, "node", "semi").select("component").distinct()
+        rejected = (
+            comp.join(F.broadcast(tainted), "component", "semi")
+            .select("node")
+            .unionByName(
+                comp.join(F.broadcast(tainted), "component", "left_anti")
+                .where(F.col("node") != F.col("component"))
+                .select("node")
+            )
+            .unionByName(replayed)
+            .distinct()
+        )
+        admitted = unit.join(
+            rejected, F.col(id_col).cast("long") == F.col("node"), "left_anti"
+        ).localCheckpoint(eager=True)
+        # the admitted rows' probe cells were already computed — reuse
+        # them instead of a second matmul pass
+        new_state = (
+            new_cells.join(admitted.select(id_col), id_col, "semi")
+            .select(id_col, "list_id", vec_col)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        pairs.unpersist()
+        probe_bc.unpersist()
+    return admitted, new_state
+
+
+def semantic_ingest_txn(
+    table,
+    batch: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_probes: int = 2,
+    applied_id: str | None = None,
+) -> DataFrame:
+    """Exactly-once transactional form of
+    :func:`semantic_dedup_incremental`: reads the canonical-state table
+    (``txn.TxnTable``), gates ``batch`` against it, and appends the
+    admitted rows' probe-cell state in one atomic manifest swap with
+    the ``applied_id`` marker — the countmin/rollup fold recipe for
+    the semantic gate. Returns the ADMITTED batch rows (empty on a
+    replayed ``applied_id``: those rows were admitted by the first
+    delivery and are already in state).
+
+    Concurrency caveat (inherent to any dedup gate, the MinHash
+    streaming gate shares it): two concurrent batches carrying mutual
+    near-duplicates can both admit — the gate is exactly-once per
+    batch, not serializable across writers. Run ingest folds from one
+    writer, or accept the (replay-stable) duplicates.
+    """
+    spark = batch.sparkSession
+    if applied_id is not None and table.applied(applied_id):
+        return batch.select(id_col, vec_col).limit(0)
+    try:
+        state = table.read(spark)
+    except FileNotFoundError:
+        state = None
+    admitted, new_state = semantic_dedup_incremental(
+        batch, state, centroids, threshold=threshold, id_col=id_col,
+        vec_col=vec_col, assign_probes=assign_probes,
+    )
+    table.append(new_state, applied_id=applied_id)
+    return admitted
+
+
 def semantic_neardup_pairs_lsh(
     vectors: DataFrame,
     threshold: float,

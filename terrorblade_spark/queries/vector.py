@@ -354,6 +354,150 @@ def q82_semantic_neardup_components(spark: SparkSession, sf_dir: str) -> DataFra
     return connected_components(pairs, "id_a", "id_b").orderBy("node")
 
 
+# --- q130: incremental semantic ingest gate, fully oracled -------------------
+# The round-6 gate operator (dedup.semantic_dedup_incremental) under a
+# full value oracle: state = every base embedding as an admitted
+# canonical at its top-2 probe cells over FIXED one-hot centroids (the
+# quantizer is literal, so cell assignment is pure coordinate
+# comparison — identical doubles on both engines); batch = an exact
+# re-ingest (vec_id + OFF, must ALL reject against state) plus the
+# negated vectors (vec_id + 2*OFF, cosine -1 to everything, must ALL
+# admit). The oracle replicates the gate's decision rule generally —
+# pairs vs state, batch-internal pair closure (q82's recursive-CTE
+# components), taint propagation, min-id keep — not just the expected
+# outcome, so a semantics drift on either side hash-mismatches.
+# Robustness: twin pairs sit at cosine exactly 1 (identical unit
+# vectors) and everything else far below 0.999, so last-ulp matmul vs
+# sequential-fold dot differences cannot flip a pair.
+
+_Q130_OFF = 5_000_000
+_Q130_K = 8
+_Q130_TH = 0.999
+
+_Q130_UNIT = """
+      SELECT vec_id,
+             CASE WHEN list_dot_product(v, v) > 0
+                  THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                  ELSE v END AS u
+      FROM base
+"""
+
+
+@query(
+    "q130_semantic_ingest_gate",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    ub AS ({_Q130_UNIT}),
+    dims AS (SELECT unnest(range(0, {_Q130_K})) AS dim),
+    scells AS (
+      SELECT vec_id, dim FROM (
+        SELECT s.vec_id, d.dim,
+               row_number() OVER (
+                 PARTITION BY s.vec_id ORDER BY s.u[d.dim + 1] DESC, d.dim
+               ) AS rn
+        FROM ub s, dims d
+      ) WHERE rn <= 2
+    ),
+    batch AS (
+      SELECT vec_id + {_Q130_OFF} AS vec_id, u FROM ub
+      UNION ALL
+      SELECT vec_id + {2 * _Q130_OFF} AS vec_id,
+             list_transform(u, x -> -x) AS u
+      FROM ub
+    ),
+    bcells AS (
+      SELECT vec_id, dim FROM (
+        SELECT b.vec_id, d.dim,
+               row_number() OVER (
+                 PARTITION BY b.vec_id ORDER BY b.u[d.dim + 1] DESC, d.dim
+               ) AS rn
+        FROM batch b, dims d
+      ) WHERE rn <= 2
+    ),
+    p_old AS (
+      SELECT DISTINCT b.vec_id
+      FROM batch b
+      JOIN bcells bc ON bc.vec_id = b.vec_id
+      JOIN scells sc ON sc.dim = bc.dim
+      JOIN ub s ON s.vec_id = sc.vec_id
+      WHERE list_dot_product(b.u, s.u) >= {_Q130_TH}
+    ),
+    e0 AS (
+      SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+      FROM batch a
+      JOIN bcells ca ON ca.vec_id = a.vec_id
+      JOIN bcells cb ON cb.dim = ca.dim AND cb.vec_id > ca.vec_id
+      JOIN batch b ON b.vec_id = cb.vec_id
+      WHERE list_dot_product(a.u, b.u) >= {_Q130_TH}
+    ),
+    edges AS (
+      SELECT ia AS s, ib AS t FROM e0 UNION SELECT ib, ia FROM e0
+    ),
+    reach(node, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.r FROM edges e JOIN reach r ON e.t = r.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    tainted AS (
+      SELECT DISTINCT c.component FROM comp c JOIN p_old p ON p.vec_id = c.node
+    ),
+    rejected AS (
+      SELECT node FROM comp WHERE component IN (SELECT component FROM tainted)
+      UNION
+      SELECT node FROM comp
+      WHERE component NOT IN (SELECT component FROM tainted) AND node <> component
+      UNION
+      SELECT vec_id AS node FROM p_old
+    )
+    SELECT b.vec_id FROM batch b
+    WHERE b.vec_id NOT IN (SELECT node FROM rejected)
+    ORDER BY b.vec_id
+    """,
+)
+def q130_semantic_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terrorblade_spark.operators.dedup import (
+        _assign_probes_blas,
+        semantic_dedup_incremental,
+    )
+    from terrorblade_spark.operators.vector import norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(64)]) for i in range(_Q130_K)],
+        "list_id int, centroid array<double>",
+    )
+    # state: every base vector admitted, at its top-2 probe cells over
+    # the normalized vectors (the gate's persisted state shape)
+    unit = emb.withColumn("__n", norm(F.col("embedding"))).select(
+        "vec_id",
+        F.when(
+            F.col("__n") > 0,
+            F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("__n")),
+        )
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+    state, state_bc = _assign_probes_blas(unit, cents, 2, "vec_id", "embedding")
+    batch = emb.select(
+        (F.col("vec_id") + _Q130_OFF).alias("vec_id"), "embedding"
+    ).unionByName(
+        emb.select(
+            (F.col("vec_id") + 2 * _Q130_OFF).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: -x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+    )
+    admitted, _state_out = semantic_dedup_incremental(
+        batch, state, cents, threshold=_Q130_TH, assign_probes=2
+    )
+    state_bc.unpersist()
+    return admitted.select("vec_id").orderBy("vec_id")
+
+
 # --- q83: per-dimension embedding moments (PCA's distributed stats) ---------
 # The value-oracled surface of operators/pca.py: the same per-dimension
 # mean/variance the Arrow Gram partials produce (cross-checked in

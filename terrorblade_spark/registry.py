@@ -133,6 +133,9 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q127_custkey_concentration",
     "q128_session_concurrency",
     "q129_global_percentiles",
+    # round-6: incremental semantic ingest gate (full value oracle over
+    # fixed one-hot centroids + q82-style recursive-CTE closure)
+    "q130_semantic_ingest_gate",
     # engine-specific HLL / rank-sketch estimates — would only ever get
     # the weaker rows-only check, so it cedes its slot
     "q65_sketch_profile",

@@ -268,3 +268,123 @@ def test_lsh_pairs_threshold_excludes_moderate_similarity(spark):
     # nearby directions and 4 planes the twin usually shares the bucket
     loose = semantic_neardup_pairs_lsh(df, threshold=0.9, planes=1).collect()
     assert [(r.id_a, r.id_b) for r in loose] == [(1, 2)]
+
+
+# --- incremental semantic gate -------------------------------------------------
+
+from terrorblade_spark.operators.dedup import semantic_dedup_incremental
+
+
+def _cents(spark):
+    return spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "list_id int, centroid array<double>",
+    )
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_incremental_gate_blocks_state_and_batch_dups(spark):
+    """Batch 1: internal twin collapses to min id. Batch 2: a twin of
+    an admitted canonical is rejected, fresh content admits, and a new
+    internal twin pair keeps one member."""
+    cents = _cents(spark)
+    b1 = _vecs(spark, [
+        (1, _rot(0.00, 0, 1)),
+        (2, _rot(0.40, 0, 1)),   # distinct from 1 (cos 0.92 < 0.95)
+        (3, _rot(0.00, 1, 2)),
+        (4, _rot(0.05, 1, 2)),   # twin of 3
+    ])
+    adm1, state1 = semantic_dedup_incremental(b1, None, cents, threshold=0.95)
+    assert sorted(r.vec_id for r in adm1.collect()) == [1, 2, 3]
+    srows = state1.collect()
+    assert {r.vec_id for r in srows} == {1, 2, 3}
+    assert len(srows) == 6  # 3 canonicals x 2 probe cells
+
+    b2 = _vecs(spark, [
+        (10, _rot(0.03, 0, 1)),  # twin of admitted 1 -> rejected
+        (11, _rot(0.80, 0, 1)),  # fresh direction -> admitted
+        (12, _rot(0.50, 1, 2)),  # twin pair with 13, distinct from 3
+        (13, _rot(0.55, 1, 2)),
+    ])
+    adm2, state2 = semantic_dedup_incremental(b2, state1, cents, threshold=0.95)
+    assert sorted(r.vec_id for r in adm2.collect()) == [11, 12]
+    assert {r.vec_id for r in state2.collect()} == {11, 12}
+
+
+def test_incremental_replay_is_noop(spark):
+    """At-least-once delivery: re-feeding an already-folded batch
+    admits nothing (every row pairs with its own admitted twin in
+    state, including via the id_a == id_b self-edge)."""
+    cents = _cents(spark)
+    b1 = _vecs(spark, [(1, _rot(0.00, 0, 1)), (3, _rot(0.00, 1, 2))])
+    adm1, state1 = semantic_dedup_incremental(b1, None, cents)
+    assert adm1.count() == 2
+    adm_replay, state_replay = semantic_dedup_incremental(b1, state1, cents)
+    assert adm_replay.count() == 0
+    assert state_replay.count() == 0
+
+
+def test_incremental_chain_through_new_member_rejects_both(spark):
+    """Transitive duplicates: new A pairs an old canonical, new B
+    pairs only A — the component touches state, so BOTH are rejected
+    (same semantics as the batch operator's connected components)."""
+    cents = _cents(spark)
+    b1 = _vecs(spark, [(1, _rot(0.00, 0, 1))])
+    _, state1 = semantic_dedup_incremental(b1, None, cents)
+    b2 = _vecs(spark, [
+        (20, _rot(0.04, 0, 1)),  # pairs with old 1 (cos 0.9992)
+        (21, _rot(0.35, 0, 1)),  # pairs with 20 (cos 0.952), NOT with 1 (0.939)
+    ])
+    adm2, _ = semantic_dedup_incremental(b2, state1, cents, threshold=0.95)
+    assert adm2.count() == 0
+
+
+def test_incremental_first_batch_matches_batch_operator_min_id(spark, geometry):
+    """On one batch with no prior state, the gate's admit set equals
+    the batch operator's keep='min_id' canonical set (same pairs, same
+    components, same keep rule)."""
+    cents = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "list_id int, centroid array<double>",
+    )
+    adm, _ = semantic_dedup_incremental(geometry, None, cents, threshold=0.95)
+    got = sorted(r.vec_id for r in adm.collect())
+    batch = semantic_dedup(geometry, threshold=0.95, n_clusters=3, keep="min_id")
+    want = sorted(
+        r.vec_id for r in batch.collect() if not r.is_duplicate
+    )
+    assert got == want
+
+
+def test_semantic_ingest_txn_exactly_once(spark, tmp_path):
+    """The transactional fold: state lands atomically with the
+    applied-batch marker; a replayed batch admits nothing and leaves
+    state untouched; a new batch gates against the folded state."""
+    from terrorblade_spark.operators.dedup import semantic_ingest_txn
+    from terrorblade_spark.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "sem_state"))
+    cents = _cents(spark)
+    b1 = _vecs(spark, [(1, _rot(0.00, 0, 1)), (3, _rot(0.00, 1, 2))])
+    adm1 = semantic_ingest_txn(t, b1, cents, threshold=0.95, applied_id="b1")
+    assert sorted(r.vec_id for r in adm1.collect()) == [1, 3]
+    v1 = t.latest().version
+    assert t.read(spark).count() == 4  # 2 canonicals x 2 probe cells
+
+    # replayed applied_id: no admits, no new manifest state rows
+    replay = semantic_ingest_txn(t, b1, cents, threshold=0.95, applied_id="b1")
+    assert replay.count() == 0
+    assert t.latest().version == v1
+
+    # second batch: twin of 1 rejected, fresh row admitted
+    b2 = _vecs(spark, [(10, _rot(0.03, 0, 1)), (11, _rot(0.80, 0, 1))])
+    adm2 = semantic_ingest_txn(t, b2, cents, threshold=0.95, applied_id="b2")
+    assert sorted(r.vec_id for r in adm2.collect()) == [11]
+    assert {r.vec_id for r in t.read(spark).collect()} == {1, 3, 11}
