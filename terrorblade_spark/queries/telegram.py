@@ -26,7 +26,8 @@ from pathlib import Path
 FIXTURE = str(Path(__file__).resolve().parents[2] / "tests" / "data" / "export.json")
 
 # DuckDB twin of sources.telegram_json.load_telegram_export
-_NORMALIZED_SQL = f"""
+# (rf-string: the regex below carries \s escapes that must reach DuckDB)
+_NORMALIZED_SQL = rf"""
       WITH chats AS (
         SELECT unnest(chats.list) AS chat
         FROM read_json('{FIXTURE}', maximum_object_size=104857600)

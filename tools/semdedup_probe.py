@@ -93,6 +93,15 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.95)
     ap.add_argument("--n-clusters", type=int, default=1_024)
     ap.add_argument("--probes", type=int, default=2)
+    ap.add_argument(
+        "--incremental-batch",
+        type=int,
+        default=0,
+        help="after the batch run, gate a batch of this many vectors "
+        "(half twins of state canonicals, half fresh) against the "
+        "admitted state via semantic_dedup_incremental and report "
+        "gate wall time + admit correctness",
+    )
     args = ap.parse_args()
 
     from pyspark import StorageLevel
@@ -209,9 +218,75 @@ def main() -> None:
     )
     out["largest_component"] = int(biggest)
 
+    # --- incremental-gate leg: daily-ingest shape against the state ---
+    if args.incremental_batch > 0:
+        from terrorblade_spark.operators.dedup import (
+            _assign_probes_blas,
+            semantic_dedup_incremental,
+        )
+
+        half = args.incremental_batch // 2
+        # canonical state = min-id keep over the components found above
+        rejected_ids = comp.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias("vec_id")
+        )
+        canon_vecs = assigned.select("vec_id", "embedding").join(
+            rejected_ids, "vec_id", "left_anti"
+        )
+        state, st_bc = _assign_probes_blas(
+            canon_vecs, centroids, args.probes, "vec_id", "embedding"
+        )
+        state = state.persist(StorageLevel.MEMORY_AND_DISK)
+        out["inc_state_rows"] = state.count()
+
+        # half twins of canonical bases 0..half-1 (same generator, so
+        # the twin reproduces its base + fresh small noise), half fresh
+        # random directions (near nothing)
+        inc_twins = make_corpus(
+            spark, args.n, args.dim, args.centers, half
+        ).where(F.col("vec_id") >= args.n).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+
+        def gen_fresh(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                rng = np.random.default_rng(90_000 + int(pdf["id"].iloc[0]))
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["id"].to_numpy() + 20_000_000,
+                        "embedding": [
+                            rng.standard_normal(args.dim).tolist()
+                            for _ in range(len(pdf))
+                        ],
+                    }
+                )
+
+        fresh = spark.range(half).repartition(8).mapInPandas(
+            gen_fresh, "vec_id long, embedding array<double>"
+        )
+        inc_batch = inc_twins.unionByName(fresh)
+        t0 = time.time()
+        adm, _new_state = semantic_dedup_incremental(
+            inc_batch, state, centroids,
+            threshold=float(args.threshold), assign_probes=args.probes,
+        )
+        adm_ids = {r.vec_id for r in adm.select("vec_id").collect()}
+        out["inc_gate_s"] = round(time.time() - t0, 1)
+        out["inc_batch"] = args.incremental_batch
+        out["inc_fresh_admitted"] = sum(1 for i in adm_ids if i >= 20_000_000)
+        n_twin_adm = sum(1 for i in adm_ids if 10_000_000 <= i < 20_000_000)
+        out["inc_twin_reject_rate"] = round(1 - n_twin_adm / half, 4)
+        st_bc.unpersist()
+        state.unpersist()
+
     print(json.dumps(out))
     assert out["twin_recall"] >= 0.95, out
     assert out["peak_cluster_pop"] < 50_000, out
+    if args.incremental_batch > 0:
+        assert out["inc_twin_reject_rate"] >= 0.95, out
+        assert out["inc_fresh_admitted"] >= 0.99 * (args.incremental_batch // 2), out
     spark.stop()
 
 
