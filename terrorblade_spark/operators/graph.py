@@ -708,6 +708,7 @@ def kcore(
     dst: str = "dst",
     node_col: str = "node",
     max_rounds: int = 64,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Members of the k-core of the UNDIRECTED simple graph induced by
     ``edges`` (direction/self-loops dropped): the maximal subgraph in
@@ -724,9 +725,24 @@ def kcore(
     single count of the PEELED node set — never a collect of nodes.
     Raises after ``max_rounds`` (a pathological chain can need many
     rounds; partial results would silently include non-core nodes).
+
+    ``checkpoint_every``: materialize (localCheckpoint) the surviving
+    edge relation only every N-th peel round instead of every round.
+    Late rounds peel few nodes, so the per-round full rewrite of a
+    barely-shrinking relation is the dominant cost at scale; between
+    checkpoints the anti-join lineage stacks (bounded at N rounds) and
+    peel relations stay pinned so re-execution reads cached state.
+    Results are identical for any value (unit-gated). Measured at 20M
+    edges (fits in memory): a wash (65.8 s vs 64.1 s at N=3) — the
+    stacked-join re-execution offsets the saved writes; the knob pays
+    when per-round checkpoints SPILL (the 100M-edge probe's regime),
+    where write volume, not compute, is the bottleneck. Default 1
+    keeps the write-every-round behavior.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     cur = (
         edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
@@ -734,25 +750,34 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
-        deg = (
-            cur.select(F.col("u").alias(node_col))
-            .unionByName(cur.select(F.col("v").alias(node_col)))
-            .groupBy(node_col)
-            .agg(F.count(F.lit(1)).alias("__deg"))
-        )
-        peel = deg.where(F.col("__deg") < k).persist()
-        try:
+    # peels since the last checkpoint stay pinned: the stacked anti-join
+    # lineage references them on every action until materialized
+    pinned: list[DataFrame] = []
+    try:
+        for rnd in range(max_rounds):
+            deg = (
+                cur.select(F.col("u").alias(node_col))
+                .unionByName(cur.select(F.col("v").alias(node_col)))
+                .groupBy(node_col)
+                .agg(F.count(F.lit(1)).alias("__deg"))
+            )
+            peel = deg.where(F.col("__deg") < k).persist()
             n_peel = peel.count()
             if n_peel == 0:
+                peel.unpersist()
                 return deg.withColumnRenamed("__deg", "core_degree")
-            cur = (
-                cur.join(peel, cur["u"] == peel[node_col], "left_anti")
-                .join(peel, cur["v"] == peel[node_col], "left_anti")
-                .localCheckpoint(eager=True)
+            pinned.append(peel)
+            cur = cur.join(peel, cur["u"] == peel[node_col], "left_anti").join(
+                peel, cur["v"] == peel[node_col], "left_anti"
             )
-        finally:
-            peel.unpersist()
+            if (rnd + 1) % checkpoint_every == 0:
+                cur = cur.localCheckpoint(eager=True)
+                for p in pinned:
+                    p.unpersist()
+                pinned = []
+    finally:
+        for p in pinned:
+            p.unpersist()
     raise ValueError(
         f"kcore did not converge in {max_rounds} rounds; raise max_rounds"
     )

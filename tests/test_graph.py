@@ -524,3 +524,22 @@ def test_lpa_zero_iters_identity_and_parallel_edges(spark):
     assert _labels(label_propagation(e, n_iter=0)) == {1: 1, 2: 2, 3: 3}
     # parallel 1-2 edges (total pull 2) beat the single 3-2 edge
     assert _labels(label_propagation(e, n_iter=1))[2] == 1
+
+
+def test_kcore_checkpoint_every_identical_results(spark):
+    """The amortized-checkpoint variant is a pure execution-strategy
+    knob: results are row-identical to the per-round default, including
+    when the loop ends between checkpoints."""
+    from terrorblade_spark.operators.graph import kcore
+
+    e = spark.createDataFrame(
+        [(i, j) for i in range(12) for j in range(12) if i < j and (i + j) % 3]
+        + [(100, 101), (101, 102)],  # a chain that peels over 2 rounds
+        "src long, dst long",
+    )
+    base = sorted(map(tuple, kcore(e, k=4).collect()))
+    for ce in (2, 3, 7):
+        got = sorted(map(tuple, kcore(e, k=4, checkpoint_every=ce).collect()))
+        assert got == base, ce
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        kcore(e, k=4, checkpoint_every=0)
