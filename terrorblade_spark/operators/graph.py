@@ -732,12 +732,14 @@ def kcore(
     barely-shrinking relation is the dominant cost at scale; between
     checkpoints the anti-join lineage stacks (bounded at N rounds) and
     peel relations stay pinned so re-execution reads cached state.
-    Results are identical for any value (unit-gated). Measured at 20M
-    edges (fits in memory): a wash (65.8 s vs 64.1 s at N=3) — the
-    stacked-join re-execution offsets the saved writes; the knob pays
-    when per-round checkpoints SPILL (the 100M-edge probe's regime),
-    where write volume, not compute, is the bottleneck. Default 1
-    keeps the write-every-round behavior.
+    Results are identical for any value (unit-gated). MEASURED A WASH
+    at both 20M edges in-memory (65.8 s vs 64.1 s at N=3) and 100M
+    edges in the spill regime (776.5 s vs 782.0 s): the stacked-join
+    re-execution offsets the saved writes everywhere probed — kcore's
+    scale cost is the per-round degree aggregate over the
+    barely-shrinking relation, not checkpoint I/O. The knob stays for
+    clusters whose storage/compute ratio differs from the probe box;
+    default 1 keeps the write-every-round behavior.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
