@@ -949,6 +949,16 @@ def semantic_dedup_incremental(
     their min-id member (the idempotent-ingest keep — centroid-based
     farthest keep needs the whole group, which an incremental gate by
     definition never re-sees).
+
+    ORDERING CONTRACT: run the exact hash gate
+    (:func:`incremental_dedup`) before this one, as CorpusPipeline
+    does. Pair volume is quadratic in near-dup GROUP SIZE (inherent to
+    every pair-based dedup here, like the LSH band self-join), so
+    exact-duplicate mega-groups — which the hash gate removes for the
+    cost of a groupBy — must not reach the semantic pair stage
+    (measured: a 100x-replicated 200k-vector fixture produces tens of
+    millions of pair edges; the same content exact-gated first is
+    2k distinct rows and sub-second).
     """
     from terrorblade_spark.operators.components import connected_components
     from terrorblade_spark.operators.vector import norm
