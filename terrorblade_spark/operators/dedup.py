@@ -636,10 +636,12 @@ def _assign_probes_blas(
     the candidate-generation side of multi-probe SemDeDup. The
     centroid matrix is model-sized (k x d), collected once and
     broadcast; nearest-by-Euclidean ranks via ||c||^2 - 2 x.c (unit
-    x makes ||x||^2 a constant). The p cells per vector are emitted
-    UNORDERED (argpartition) — the SET matches the p nearest, but a
-    consumer wanting the single nearest cell must use the KMeans
-    assignment, not the first emitted row.
+    x makes ||x||^2 a constant). The p cells are DETERMINISTIC: a
+    stable argsort over d2 breaks distance ties toward the lowest
+    list_id (the q130 oracle's ORDER BY d2, list_id twin) — sparse
+    encoders produce exact coordinate ties, and an arbitrary
+    (argpartition) tie order would make the candidate set
+    run/engine-dependent.
 
     Returns ``(candidates, broadcast)``: the caller owns the broadcast
     and should ``unpersist()`` it once every job reading the candidate
@@ -664,7 +666,10 @@ def _assign_probes_blas(
             x = np.stack(pdf[vec_col].to_numpy()).astype("float64", copy=False)
             d2 = cn2[None, :] - 2.0 * (x @ cm.T)
             if p < len(li):
-                idx = np.argpartition(d2, p - 1, axis=1)[:, :p]
+                # stable sort: ties resolve toward the lower column ==
+                # lower list_id (li is list_id-ordered), matching the
+                # SQL oracle's deterministic tie-break
+                idx = np.argsort(d2, axis=1, kind="stable")[:, :p]
             else:
                 idx = np.tile(np.arange(len(li)), (len(pdf), 1))
             yield pd.DataFrame(
@@ -738,7 +743,12 @@ def semantic_dedup(
         canonicalize_by_score,
         connected_components,
     )
-    from terrorblade_spark.operators.vector import cosine, dot, ivf_build, norm
+    from terrorblade_spark.operators.vector import (
+        cosine,
+        dot,
+        ivf_build,
+        unit_normalize,
+    )
 
     if keep not in ("farthest", "min_id"):
         raise ValueError(f"keep must be 'farthest' or 'min_id', got {keep!r}")
@@ -750,22 +760,7 @@ def semantic_dedup(
         # MLlib KMeans requires k >= 2; a 1-cluster semantic dedup is
         # an unbucketed all-pairs join — refuse rather than go quadratic
         raise ValueError("n_clusters must be >= 2 (all-pairs within one cluster does not scale)")
-    # the norm must be a COLUMN the lambda references, not an expression
-    # embedded in it — an embedded norm re-folds the whole array for
-    # every element (O(d^2) per vector; measured 16x at dim 1024)
-    unit = (
-        vectors.select(id_col, vec_col)
-        .withColumn("__n", norm(F.col(vec_col)))
-        .select(
-            id_col,
-            F.when(
-                F.col("__n") > 0,
-                F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n")),
-            )
-            .otherwise(F.col(vec_col).cast("array<double>"))
-            .alias(vec_col),
-        )
-    )
+    unit = unit_normalize(vectors.select(id_col, vec_col), id_col, vec_col)
     assigned, centroids = ivf_build(
         unit,
         n_lists=n_clusters,
@@ -884,7 +879,11 @@ def _cluster_edges_blas_new(
             sims = mat[blk] @ mat.T  # (block, m)
             bi, gj = np.nonzero(sims >= threshold)
             gi = blk[bi]
-            mask = gi != gj  # drop self-pairs (global row identity)
+            # drop self-pairs (row identity) and keep each new-new pair
+            # ONCE (both members are block rows, so (x,y) and (y,x)
+            # are both found — the row-index order picks one direction;
+            # new-old pairs only ever surface from the new side)
+            mask = (gi != gj) & (~is_new[gj] | (gi < gj))
             gi, gj = gi[mask], gj[mask]
             if len(gi) == 0:
                 continue
@@ -961,27 +960,21 @@ def semantic_dedup_incremental(
     2k distinct rows and sub-second).
     """
     from terrorblade_spark.operators.components import connected_components
-    from terrorblade_spark.operators.vector import norm
+    from terrorblade_spark.operators.vector import unit_normalize
 
     if not 1 <= assign_probes <= 8:
         raise ValueError(f"assign_probes must be in 1..8, got {assign_probes}")
-    unit = (
-        batch.select(id_col, vec_col)
-        .withColumn("__n", norm(F.col(vec_col)))
-        .select(
-            id_col,
-            F.when(
-                F.col("__n") > 0,
-                F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n")),
-            )
-            .otherwise(F.col(vec_col).cast("array<double>"))
-            .alias(vec_col),
-        )
-    )
+    unit = unit_normalize(batch.select(id_col, vec_col), id_col, vec_col)
     new_cells, probe_bc = _assign_probes_blas(
         unit, centroids, assign_probes, id_col, vec_col
     )
-    new_cells = new_cells.withColumn("__new", F.lit(True))
+    # PERSIST the assigned batch: everything downstream (pairs, the
+    # admitted relation, the state rows) derives from it, so without
+    # the pin the batch's source lineage would re-evaluate 3x and the
+    # assignment matmul 2x
+    new_cells = new_cells.withColumn("__new", F.lit(True)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if canonicals is not None:
         cand = new_cells.unionByName(
             canonicals.select(id_col, "list_id", vec_col).withColumn(
@@ -1037,9 +1030,15 @@ def semantic_dedup_incremental(
             .unionByName(replayed)
             .distinct()
         )
-        admitted = unit.join(
-            rejected, F.col(id_col).cast("long") == F.col("node"), "left_anti"
-        ).localCheckpoint(eager=True)
+        # admitted vectors come from the PERSISTED cells (p identical
+        # unit vectors per id — one dropDuplicates away), never from
+        # re-evaluating the batch's source lineage
+        admitted = (
+            new_cells.dropDuplicates([id_col])
+            .select(id_col, vec_col)
+            .join(rejected, F.col(id_col).cast("long") == F.col("node"), "left_anti")
+            .localCheckpoint(eager=True)
+        )
         # the admitted rows' probe cells were already computed — reuse
         # them instead of a second matmul pass
         new_state = (
@@ -1049,6 +1048,7 @@ def semantic_dedup_incremental(
         )
     finally:
         pairs.unpersist()
+        new_cells.unpersist()
         probe_bc.unpersist()
     return admitted, new_state
 

@@ -763,12 +763,21 @@ def kcore(
                 .groupBy(node_col)
                 .agg(F.count(F.lit(1)).alias("__deg"))
             )
+            # pin BEFORE the count: a failing action must still reach
+            # the finally-unpersist (a retrying long-lived session must
+            # not accumulate edge-sized cache entries)
             peel = deg.where(F.col("__deg") < k).persist()
+            pinned.append(peel)
             n_peel = peel.count()
             if n_peel == 0:
-                peel.unpersist()
-                return deg.withColumnRenamed("__deg", "core_degree")
-            pinned.append(peel)
+                out = deg.withColumnRenamed("__deg", "core_degree")
+                if len(pinned) > 1 or (rnd % checkpoint_every) != 0:
+                    # converged between checkpoints: the result still
+                    # carries the stacked anti-join lineage, which
+                    # multiplies per round once the pinned peels are
+                    # released — materialize the node-sized answer first
+                    out = out.localCheckpoint(eager=True)
+                return out
             cur = cur.join(peel, cur["u"] == peel[node_col], "left_anti").join(
                 peel, cur["v"] == peel[node_col], "left_anti"
             )

@@ -462,7 +462,7 @@ def q130_semantic_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _assign_probes_blas,
         semantic_dedup_incremental,
     )
-    from terrorblade_spark.operators.vector import norm
+    from terrorblade_spark.operators.vector import unit_normalize
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = spark.createDataFrame(
@@ -470,16 +470,10 @@ def q130_semantic_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "list_id int, centroid array<double>",
     )
     # state: every base vector admitted, at its top-2 probe cells over
-    # the normalized vectors (the gate's persisted state shape)
-    unit = emb.withColumn("__n", norm(F.col("embedding"))).select(
-        "vec_id",
-        F.when(
-            F.col("__n") > 0,
-            F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("__n")),
-        )
-        .otherwise(F.col("embedding").cast("array<double>"))
-        .alias("embedding"),
-    )
+    # the normalized vectors (the gate's persisted state shape);
+    # assignment tie-breaks toward the lower list_id (stable argsort)
+    # exactly as the oracle's ORDER BY d2, dim does
+    unit = unit_normalize(emb, "vec_id", "embedding")
     state, state_bc = _assign_probes_blas(unit, cents, 2, "vec_id", "embedding")
     batch = emb.select(
         (F.col("vec_id") + _Q130_OFF).alias("vec_id"), "embedding"
@@ -491,10 +485,12 @@ def q130_semantic_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    admitted, _state_out = semantic_dedup_incremental(
-        batch, state, cents, threshold=_Q130_TH, assign_probes=2
-    )
-    state_bc.unpersist()
+    try:
+        admitted, _state_out = semantic_dedup_incremental(
+            batch, state, cents, threshold=_Q130_TH, assign_probes=2
+        )
+    finally:
+        state_bc.unpersist()
     return admitted.select("vec_id").orderBy("vec_id")
 
 

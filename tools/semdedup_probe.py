@@ -111,7 +111,7 @@ def main() -> None:
         _assign_probes_blas,
         _cluster_edges_blas,
     )
-    from terrorblade_spark.operators.vector import ivf_build, norm
+    from terrorblade_spark.operators.vector import ivf_build, unit_normalize
     from terrorblade_spark.session import get_spark
 
     spark = get_spark("semdedup-probe")
@@ -130,22 +130,9 @@ def main() -> None:
     corpus.count()
     out["gen_s"] = round(time.time() - t0, 1)
 
-    # --- stage 1: normalize (the operator's first step, verbatim) ---
+    # --- stage 1: normalize (the operator's shared helper) ---
     t0 = time.time()
-    unit = (
-        corpus.withColumn("__n", norm(F.col("embedding")))
-        .select(
-            "vec_id",
-            F.when(
-                F.col("__n") > 0,
-                F.transform(
-                    F.col("embedding"), lambda x: x.cast("double") / F.col("__n")
-                ),
-            )
-            .otherwise(F.col("embedding").cast("array<double>"))
-            .alias("embedding"),
-        )
-    )
+    unit = unit_normalize(corpus, "vec_id", "embedding")
 
     # --- stage 2: k-means fit + assign (k ~ sqrt(N) contract) ---
     assigned, centroids = ivf_build(
@@ -241,11 +228,14 @@ def main() -> None:
 
         # half twins of canonical bases 0..half-1 (same generator, so
         # the twin reproduces its base + fresh small noise), half fresh
-        # random directions (near nothing)
+        # random directions (near nothing). Offsets derive from n so
+        # the twin and fresh id ranges can never collide at any --n
+        twin_off = max(10_000_000, 10 * args.n)
+        fresh_off = 2 * twin_off
         inc_twins = make_corpus(
             spark, args.n, args.dim, args.centers, half
         ).where(F.col("vec_id") >= args.n).select(
-            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+            (F.col("vec_id") + twin_off).alias("vec_id"), "embedding"
         )
 
         def gen_fresh(batches):
@@ -255,7 +245,7 @@ def main() -> None:
                 rng = np.random.default_rng(90_000 + int(pdf["id"].iloc[0]))
                 yield pd.DataFrame(
                     {
-                        "vec_id": pdf["id"].to_numpy() + 20_000_000,
+                        "vec_id": pdf["id"].to_numpy() + fresh_off,
                         "embedding": [
                             rng.standard_normal(args.dim).tolist()
                             for _ in range(len(pdf))
@@ -268,18 +258,20 @@ def main() -> None:
         )
         inc_batch = inc_twins.unionByName(fresh)
         t0 = time.time()
-        adm, _new_state = semantic_dedup_incremental(
-            inc_batch, state, centroids,
-            threshold=float(args.threshold), assign_probes=args.probes,
-        )
-        adm_ids = {r.vec_id for r in adm.select("vec_id").collect()}
+        try:
+            adm, _new_state = semantic_dedup_incremental(
+                inc_batch, state, centroids,
+                threshold=float(args.threshold), assign_probes=args.probes,
+            )
+            adm_ids = {r.vec_id for r in adm.select("vec_id").collect()}
+        finally:
+            st_bc.unpersist()
+            state.unpersist()
         out["inc_gate_s"] = round(time.time() - t0, 1)
         out["inc_batch"] = args.incremental_batch
-        out["inc_fresh_admitted"] = sum(1 for i in adm_ids if i >= 20_000_000)
-        n_twin_adm = sum(1 for i in adm_ids if 10_000_000 <= i < 20_000_000)
+        out["inc_fresh_admitted"] = sum(1 for i in adm_ids if i >= fresh_off)
+        n_twin_adm = sum(1 for i in adm_ids if twin_off <= i < fresh_off)
         out["inc_twin_reject_rate"] = round(1 - n_twin_adm / half, 4)
-        st_bc.unpersist()
-        state.unpersist()
 
     print(json.dumps(out))
     assert out["twin_recall"] >= 0.95, out
