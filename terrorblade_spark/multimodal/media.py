@@ -110,7 +110,8 @@ def decode_images(df: DataFrame, decoder: str = "fake") -> DataFrame:
     pixels from — SQL-reproducible, so the whole mapInPandas path sits
     under the oracle gate (q51) even though the pixel stats themselves
     are RNG-derived (unit-tested instead)."""
-    if decoder == "real":  # pragma: no cover - lib not in container
+    real = decoder == "real"
+    if real:
         try:
             import PIL  # noqa: F401
         except ImportError as e:
@@ -120,6 +121,10 @@ def decode_images(df: DataFrame, decoder: str = "fake") -> DataFrame:
             ) from e
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if real:  # executor-side import, gated above on the driver
+            import io
+
+            from PIL import Image
         for pdf in batches:
             n = len(pdf)
             # >=1 clamp (same corrupt-metadata guard as resize_images):
@@ -131,14 +136,26 @@ def decode_images(df: DataFrame, decoder: str = "fake") -> DataFrame:
             )
             means = np.empty(n, dtype=np.float64)
             stds = np.empty(n, dtype=np.float64)
-            # RNG draw is inherently per-row (per-seed); everything else
-            # is columnar numpy — no iterrows/Series-per-row overhead
-            for j in range(n):
-                px = np.random.default_rng(int(seeds[j])).integers(
-                    0, 256, size=(int(hs[j]), int(ws[j])), dtype=np.uint8
-                )
-                means[j] = px.mean()
-                stds[j] = px.std()
+            if real:
+                # true codec pass: pixel stats from the DECODED payload
+                # (grayscale plane, the same shape the fake path draws);
+                # metadata width/height are overridden by the real ones
+                for j, content in enumerate(pdf["content"]):
+                    img = Image.open(io.BytesIO(content)).convert("L")
+                    px = np.asarray(img, dtype=np.uint8)
+                    hs[j], ws[j] = px.shape
+                    means[j] = px.mean()
+                    stds[j] = px.std()
+            else:
+                # RNG draw is inherently per-row (per-seed); everything
+                # else is columnar numpy — no iterrows/Series-per-row
+                # overhead
+                for j in range(n):
+                    px = np.random.default_rng(int(seeds[j])).integers(
+                        0, 256, size=(int(hs[j]), int(ws[j])), dtype=np.uint8
+                    )
+                    means[j] = px.mean()
+                    stds[j] = px.std()
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
@@ -272,29 +289,46 @@ def perceptual_hash(df: DataFrame, decoder: str = "fake", hash_size: int = 8) ->
     image analog of SimHash for near-dup dedup. Fake decoder draws the
     pixel field from the payload's md5 seed at a fixed 32x32 (identical
     payloads -> identical hashes; the DCT path itself is exercised by
-    the pure-function unit tests with controlled noise). Real path
-    would decode + grayscale + resize via Pillow behind the same
-    signature."""
-    if decoder == "real":  # pragma: no cover - lib not in container
-        raise NotImplementedError(
-            "real perceptual hashing requires Pillow; use decoder='fake'"
-        )
+    the pure-function unit tests with controlled noise). Real decoder
+    (import-gated Pillow) decodes + grayscales + resizes to the same
+    32x32 plane, then runs the IDENTICAL DCT path — same schema, same
+    plan shape, and perturbation-tolerant the way pHash is supposed to
+    be (the import-gated test feeds real PNG bytes)."""
+    real = decoder == "real"
+    if real:
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "real perceptual hashing requires Pillow; use decoder='fake'"
+            ) from e
     if not 2 <= hash_size <= 8:
         # hash_size^2 - 1 bits must fit the declared 64-bit column
         raise ValueError("hash_size must be in [2, 8] for the long phash column")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if real:  # executor-side import, gated above on the driver
+            import io
+
+            from PIL import Image
         for pdf in batches:
             n = len(pdf)
-            seeds = np.fromiter(
-                (_decode_seed(c) for c in pdf["content"]), dtype=np.int64, count=n
-            )
             hashes = np.empty(n, dtype=np.int64)
-            for j in range(n):
-                px = np.random.default_rng(int(seeds[j])).integers(
-                    0, 256, size=(32, 32), dtype=np.uint8
+            if real:
+                for j, content in enumerate(pdf["content"]):
+                    img = Image.open(io.BytesIO(content)).convert("L").resize((32, 32))
+                    hashes[j] = _phash_pixels(
+                        np.asarray(img, dtype=np.uint8), hash_size
+                    )
+            else:
+                seeds = np.fromiter(
+                    (_decode_seed(c) for c in pdf["content"]), dtype=np.int64, count=n
                 )
-                hashes[j] = _phash_pixels(px, hash_size)
+                for j in range(n):
+                    px = np.random.default_rng(int(seeds[j])).integers(
+                        0, 256, size=(32, 32), dtype=np.uint8
+                    )
+                    hashes[j] = _phash_pixels(px, hash_size)
             yield pd.DataFrame({"media_id": pdf["media_id"].to_numpy(), "phash": hashes})
 
     imgs = df.where(F.col("kind") == "image").select("media_id", "content")

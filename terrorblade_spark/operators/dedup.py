@@ -630,7 +630,7 @@ def _assign_probes_blas(
     p: int,
     id_col: str,
     vec_col: str,
-) -> DataFrame:
+) -> "tuple[DataFrame, object]":
     """Top-p nearest-centroid assignment in one Arrow matmul pass:
     every vector appears once per probe cell (p rows per vector) —
     the candidate-generation side of multi-probe SemDeDup. The
@@ -680,7 +680,11 @@ def _assign_probes_blas(
                 }
             )
 
-    # carry the INPUT's id/vector types through (string ids work too)
+    # carry the INPUT's id/vector types through. NOTE: downstream pair
+    # kernels and the rejected anti-join cast ids to long, so the
+    # incremental gate VALIDATES integral ids at its boundary — a
+    # non-numeric string id would silently become NULL there and admit
+    # duplicates instead of erroring
     fields = {f.name: f.dataType.simpleString() for f in unit.schema.fields}
     out = unit.mapInPandas(
         topp, f"{id_col} {fields[id_col]}, list_id int, {vec_col} {fields[vec_col]}"
@@ -915,6 +919,7 @@ def semantic_dedup_incremental(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_probes: int = 2,
+    max_exact_group: int | None = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Ingest-time SemDeDup: admit only batch vectors that are not
     near-duplicates of (a) the already-admitted canonical set or
@@ -949,7 +954,7 @@ def semantic_dedup_incremental(
     farthest keep needs the whole group, which an incremental gate by
     definition never re-sees).
 
-    ORDERING CONTRACT: run the exact hash gate
+    ORDERING CONTRACT (enforced): run the exact hash gate
     (:func:`incremental_dedup`) before this one, as CorpusPipeline
     does. Pair volume is quadratic in near-dup GROUP SIZE (inherent to
     every pair-based dedup here, like the LSH band self-join), so
@@ -957,13 +962,50 @@ def semantic_dedup_incremental(
     cost of a groupBy — must not reach the semantic pair stage
     (measured: a 100x-replicated 200k-vector fixture produces tens of
     millions of pair edges; the same content exact-gated first is
-    2k distinct rows and sub-second).
+    2k distinct rows and sub-second). ``max_exact_group`` enforces it:
+    one map-side-combined count over xxhash64(vector) on the batch,
+    raising a named error when any exact-duplicate group exceeds the
+    cap instead of silently building a quadratic pair stage (a hash
+    collision inflating a group's count is possible in principle but
+    needs a 64-bit collision inside one batch). Pass None to skip the
+    probe job for batches already routed through the exact gate.
+
+    Ids must be an integral type: the pair kernels and the rejected
+    anti-join compare ids as long, where a non-numeric string would
+    cast to NULL and ADMIT duplicates silently — so the gate fails
+    fast at the boundary instead.
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     from terrorblade_spark.operators.components import connected_components
     from terrorblade_spark.operators.vector import unit_normalize
 
     if not 1 <= assign_probes <= 8:
         raise ValueError(f"assign_probes must be in 1..8, got {assign_probes}")
+    id_type = batch.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"semantic_dedup_incremental requires an integral {id_col!r} "
+            f"(got {id_type.simpleString()}): ids are compared as long in the "
+            "pair kernels, and a non-numeric id would become NULL and admit "
+            "duplicates silently"
+        )
+    if max_exact_group is not None:
+        top = (
+            batch.groupBy(F.xxhash64(vec_col).alias("__h"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.max("__n").alias("mx"))
+            .first()["mx"]
+        )
+        if top is not None and top > max_exact_group:
+            raise ValueError(
+                f"semantic_dedup_incremental: an exact-duplicate group of "
+                f"{top} identical vectors exceeds max_exact_group="
+                f"{max_exact_group}. Pair volume is quadratic in group size — "
+                "run the exact hash gate (incremental_dedup) before the "
+                "semantic gate (CorpusPipeline's ordering), or raise "
+                "max_exact_group/pass None if the group is intended"
+            )
     unit = unit_normalize(batch.select(id_col, vec_col), id_col, vec_col)
     new_cells, probe_bc = _assign_probes_blas(
         unit, centroids, assign_probes, id_col, vec_col
@@ -1062,6 +1104,7 @@ def semantic_ingest_txn(
     vec_col: str = "embedding",
     assign_probes: int = 2,
     applied_id: str | None = None,
+    max_exact_group: int | None = 64,
 ) -> DataFrame:
     """Exactly-once transactional form of
     :func:`semantic_dedup_incremental`: reads the canonical-state table
@@ -1088,6 +1131,7 @@ def semantic_ingest_txn(
     admitted, new_state = semantic_dedup_incremental(
         batch, state, centroids, threshold=threshold, id_col=id_col,
         vec_col=vec_col, assign_probes=assign_probes,
+        max_exact_group=max_exact_group,
     )
     table.append(new_state, applied_id=applied_id)
     return admitted

@@ -48,7 +48,7 @@ def pagerank(
     tol: float | None = None,
     weight_col: str | None = None,
     reset: DataFrame | None = None,
-    check_every: int = 5,
+    check_every: int = 1,
     on_superstep=None,
 ) -> DataFrame:
     """PageRank over the directed graph ``edges``. Returns
@@ -80,12 +80,14 @@ def pagerank(
     COST of ``tol``: each convergence check is a SYNCHRONOUS driver
     barrier (an extra node-sized join + aggregate + ``.first()``)
     that serializes the superstep pipeline — at cluster scale a
-    per-superstep check turns N async supersteps into N barriers. The
-    check therefore runs only every ``check_every`` supersteps
-    (default 5): the amortized cost is one barrier per ``check_every``
-    iterations, at worst ``check_every - 1`` extra supersteps past
-    convergence. ``tol=None`` (the default) runs zero driver-side
-    convergence actions — prefer it for fixed-budget production runs.
+    per-superstep check turns N async supersteps into N barriers.
+    ``check_every`` amortizes it to one barrier per that many
+    supersteps, at worst ``check_every - 1`` extra supersteps past
+    convergence (which also means slightly different ranks at
+    identical arguments vs check_every=1). The default is 1 —
+    exact tol semantics; OPT IN to amortization at scale by raising
+    it. ``tol=None`` (the default) runs zero driver-side convergence
+    actions — prefer it for fixed-budget production runs.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
@@ -554,14 +556,16 @@ def label_propagation(
     the argmax is engine-portable (the gate query uses lineitem counts;
     same rule as q110's weighted PageRank).
 
-    Plan: one symmetric weighted edge relation, repartitioned on ``u``
-    and persisted once; each round is join(labels) -> groupBy(u, label)
-    weight sum -> per-u argmax via one window (two node/label-sized
-    shuffles; edges never re-shuffle). ``localCheckpoint`` per round
-    keeps the plan flat. No driver-side data access at all.
+    Plan: one symmetric weighted edge relation, repartitioned on ``b``
+    (the per-round join key) + sorted + persisted once; each round is
+    join(labels) -> groupBy(node, label) weight sum -> per-node
+    ``max_by`` argmax (see :func:`_lpa_round`). Both aggregates are
+    map-side combined, so the per-round SHUFFLE is bounded by distinct
+    (node, label) pairs per partition — min(E, N x partitions), never
+    edge-sized — and the cached edge relation never re-shuffles or
+    re-sorts (plan-gated). ``localCheckpoint`` per round keeps the
+    plan flat. No driver-side data access at all.
     """
-    from pyspark.sql import Window
-
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
     w = (
@@ -584,13 +588,18 @@ def label_propagation(
     )
     spark = edges.sparkSession
     k = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # partitioned on "b" — the PER-ROUND JOIN KEY (labels attach to the
+    # neighbor side), and sorted within partitions so the iteration's
+    # sort-merge join never re-sorts the edge side: edges shuffle and
+    # sort exactly once, here
     sym = (
         half.unionByName(
             half.select(F.col("b").alias("a"), F.col("a").alias("b"), "__w")
         )
         .groupBy("a", "b")
         .agg(F.sum("__w").alias("__w"))
-        .repartition(k, "a")
+        .repartition(k, "b")
+        .sortWithinPartitions("b")
         .persist()
     )
     try:
@@ -598,29 +607,41 @@ def label_propagation(
         labels = sym.select(F.col("a").alias(node_col)).distinct().select(
             node_col, F.col(node_col).alias(label_col)
         ).localCheckpoint(eager=True)
-        by_pull = Window.partitionBy("a").orderBy(
-            F.col("__pull").desc(), F.col(label_col).asc()
-        )
         for _ in range(n_iter):
-            pulls = (
-                sym.join(
-                    labels.select(
-                        F.col(node_col).alias("b"), F.col(label_col)
-                    ),
-                    "b",
-                )
-                .groupBy("a", label_col)
-                .agg(F.sum("__w").alias("__pull"))
-            )
-            labels = (
-                pulls.withColumn("__rn", F.row_number().over(by_pull))
-                .where(F.col("__rn") == 1)
-                .select(F.col("a").alias(node_col), label_col)
-                .localCheckpoint(eager=True)
+            labels = _lpa_round(sym, labels, node_col, label_col).localCheckpoint(
+                eager=True
             )
     finally:
         sym.unpersist()
     return labels
+
+
+def _lpa_round(
+    sym: DataFrame, labels: DataFrame, node_col: str, label_col: str
+) -> DataFrame:
+    """One synchronous LPA round — the join+aggregate the plan gate
+    checks. The label join keys on ``b`` and must read the cached
+    ``sym`` partitioning with no Exchange (only node-sized labels
+    shuffle); both aggregates are hash aggregates with MAP-SIDE partial
+    combine, so the per-round shuffle is bounded by the distinct
+    (node, label) pairs per input partition — min(E, N x partitions),
+    the same bound pagerank's contribution aggregate exploits — never
+    the raw edge relation. The argmax is ``max_by`` over
+    ``struct(pull, -label)`` (largest pull, ties to the SMALLEST
+    label), not a window: no per-round sort of the pull relation."""
+    return (
+        sym.join(labels.select(F.col(node_col).alias("b"), F.col(label_col)), "b")
+        .groupBy("a", label_col)
+        .agg(F.sum("__w").alias("__pull"))
+        .groupBy("a")
+        .agg(
+            F.max_by(
+                F.col(label_col),
+                F.struct(F.col("__pull"), (-F.col(label_col)).alias("__nl")),
+            ).alias(label_col)
+        )
+        .select(F.col("a").alias(node_col), label_col)
+    )
 
 
 def triangle_count(
@@ -717,78 +738,106 @@ def kcore(
     pages survive). Returns ``(node_col, core_degree)`` where
     core_degree is the node's degree WITHIN the core.
 
-    Iterative peel: drop all nodes with current degree < k, repeat
-    until a fixpoint (converges in <= rounds-to-empty; each round is
-    one degree aggregate + one anti-join, with the edge relation
-    eagerly localCheckpointed so lineage stays flat and the surviving
-    relation shrinks monotonically). The per-round driver action is a
-    single count of the PEELED node set — never a collect of nodes.
+    DELTA-BASED peel (the round-6 probe measured the old from-scratch
+    per-round degree aggregate at 566 s / 100M edges with a ~1.45x
+    super-linear factor — the aggregate re-shuffled 2|E| rows every
+    round over a barely-shrinking relation): the symmetric adjacency is
+    built ONCE — neighbor-key partitioned, sorted, persisted, and NEVER
+    rewritten — and a node-sized degree relation is maintained by
+    decrements instead. Each round peels ``deg < k`` nodes, counts each
+    survivor's edges INTO the peel set (one join against the cached
+    adjacency on its own partitioning — only the node-sized peel
+    shuffles), and folds the decrements into the degree relation.
+
+    Why removal needs no edge rewrite: peel sets are DISJOINT across
+    rounds, so an edge contributes a decrement exactly once per
+    endpoint-peel, and decrements aimed at already-peeled nodes are
+    discarded by the degree anti-join — spurious but harmless. The
+    adjacency therefore stays immutable; per-round cost is one
+    map-side scan of the cache plus node-sized shuffles, with NO
+    edge-sized shuffle or checkpoint write at any round (plan-gated
+    via :func:`_kcore_decrements`). The per-round driver action is a
+    single emptiness probe of the peel set — never a collect of nodes.
     Raises after ``max_rounds`` (a pathological chain can need many
     rounds; partial results would silently include non-core nodes).
 
-    ``checkpoint_every``: materialize (localCheckpoint) the surviving
-    edge relation only every N-th peel round instead of every round.
-    Late rounds peel few nodes, so the per-round full rewrite of a
-    barely-shrinking relation is the dominant cost at scale; between
-    checkpoints the anti-join lineage stacks (bounded at N rounds) and
-    peel relations stay pinned so re-execution reads cached state.
-    Results are identical for any value (unit-gated). MEASURED A WASH
-    at both 20M edges in-memory (65.8 s vs 64.1 s at N=3) and 100M
-    edges in the spill regime (776.5 s vs 782.0 s): the stacked-join
-    re-execution offsets the saved writes everywhere probed — kcore's
-    scale cost is the per-round degree aggregate over the
-    barely-shrinking relation, not checkpoint I/O. The knob stays for
-    clusters whose storage/compute ratio differs from the probe box;
-    default 1 keeps the write-every-round behavior.
+    ``checkpoint_every`` is retained for API compatibility and ignored:
+    it throttled the surviving-edge-relation rewrite, which the delta
+    design removed entirely (the A/B at 20M and 100M edges had already
+    measured the knob a wash — checkpoint I/O was never the cost).
+    Results are identical for any value (unit-gated).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
-    cur = (
+    spark = edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = (
         edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
         .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    # peels since the last checkpoint stay pinned: the stacked anti-join
-    # lineage references them on every action until materialized
-    pinned: list[DataFrame] = []
+    # symmetric adjacency (a = self, b = neighbor), partitioned on "b"
+    # — the per-round peel-join key — and sorted so the round's
+    # sort-merge join never re-sorts the edge side; shuffled ONCE here
+    sym = (
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .repartition(nparts, "b")
+        .sortWithinPartitions("b")
+        .persist()
+    )
     try:
-        for rnd in range(max_rounds):
-            deg = (
-                cur.select(F.col("u").alias(node_col))
-                .unionByName(cur.select(F.col("v").alias(node_col)))
-                .groupBy(node_col)
-                .agg(F.count(F.lit(1)).alias("__deg"))
-            )
-            # pin BEFORE the count: a failing action must still reach
-            # the finally-unpersist (a retrying long-lived session must
-            # not accumulate edge-sized cache entries)
+        sym.count()  # materialize: every round must hit the cache
+        # initial degrees, computed ONCE (map-side-combined: the
+        # shuffle is bounded by distinct nodes per partition)
+        deg = (
+            sym.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .select(F.col("a").alias(node_col), "__deg")
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_rounds):
             peel = deg.where(F.col("__deg") < k).persist()
-            pinned.append(peel)
-            n_peel = peel.count()
-            if n_peel == 0:
-                out = deg.withColumnRenamed("__deg", "core_degree")
-                if len(pinned) > 1 or (rnd % checkpoint_every) != 0:
-                    # converged between checkpoints: the result still
-                    # carries the stacked anti-join lineage, which
-                    # multiplies per round once the pinned peels are
-                    # released — materialize the node-sized answer first
-                    out = out.localCheckpoint(eager=True)
-                return out
-            cur = cur.join(peel, cur["u"] == peel[node_col], "left_anti").join(
-                peel, cur["v"] == peel[node_col], "left_anti"
-            )
-            if (rnd + 1) % checkpoint_every == 0:
-                cur = cur.localCheckpoint(eager=True)
-                for p in pinned:
-                    p.unpersist()
-                pinned = []
+            try:
+                if peel.isEmpty():
+                    return deg.select(
+                        node_col, F.col("__deg").cast("long").alias("core_degree")
+                    )
+                dec = _kcore_decrements(sym, peel, node_col)
+                deg = (
+                    deg.join(peel.select(node_col), node_col, "left_anti")
+                    .join(dec, node_col, "left")
+                    .select(
+                        node_col,
+                        (F.col("__deg") - F.coalesce("__dec", F.lit(0))).alias("__deg"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            finally:
+                # deg is eagerly materialized above, so nothing still
+                # references the peel cache on any path
+                peel.unpersist()
     finally:
-        for p in pinned:
-            p.unpersist()
+        sym.unpersist()
     raise ValueError(
         f"kcore did not converge in {max_rounds} rounds; raise max_rounds"
+    )
+
+
+def _kcore_decrements(sym: DataFrame, peel: DataFrame, node_col: str) -> DataFrame:
+    """One peel round's degree decrements — the join+aggregate the plan
+    gate checks: each surviving node's count of edges whose NEIGHBOR is
+    being peeled. Joins the node-sized peel set against the cached
+    symmetric adjacency on its own ``b`` partitioning (no Exchange above
+    the cache scan — only peel shuffles) and map-side-combines the
+    counts, so the shuffled decrement relation is bounded by distinct
+    touched nodes per partition, never edge-sized."""
+    return (
+        sym.join(peel.select(F.col(node_col).alias("b")), "b")
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("__dec"))
+        .select(F.col("a").alias(node_col), "__dec")
     )

@@ -159,6 +159,14 @@ def temperature_mix(
     aggregate, and each source's fraction joins back in as a broadcast
     1-row scalar — fully lazy, no driver-side count(), no shuffle of
     any source (narrow filter + UNION ALL, as in weighted_corpus_mix).
+
+    COMPATIBILITY NOTE (round 6): the per-source draw string gained a
+    trailing '/' ("{seed}/src{i}" -> "{seed}/src{i}/") to remove a
+    (source, id) hash-collision aliasing draws across sources. This
+    CHANGES SAMPLE MEMBERSHIP for any pinned seed: the same seed now
+    selects a different (equally-distributed) row subset than pre-fix
+    versions. Re-pin downstream artifacts that depended on the exact
+    pre-fix sample.
     """
     from functools import reduce
 

@@ -627,6 +627,57 @@ def txn_content_dedup_writer(
     return stream.writeStream.foreachBatch(merge)
 
 
+def semantic_ingest_writer(
+    stream: DataFrame,
+    state_table,
+    centroids: DataFrame,
+    writer_id: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_probes: int = 2,
+    max_exact_group: int | None = 64,
+):
+    """Streaming form of the incremental SEMANTIC dedup gate
+    (operators/dedup.semantic_dedup_incremental), the embedding-space
+    sibling of ``txn_content_dedup_writer``: each micro-batch is gated
+    against the canonical state accumulated by every PRIOR batch —
+    near-duplicates of admitted canonicals (or of an earlier-id row in
+    the same batch) are dropped; survivors' probe-cell state rows land
+    in ONE atomic ``txn.TxnTable`` commit carrying the batch marker,
+    so a replayed batch (restart after a crash anywhere around the
+    write) folds exactly once. ``centroids`` is the FIXED coarse
+    quantizer (fit once via ivf_build; refit on drift is a rebuild,
+    not a fold). ``writer_id``: see ``txn_append_writer`` — REQUIRED
+    so distinct queries or a fresh checkpoint never collide on
+    query-local batch ids.
+
+    State growth is one row per probe cell per ADMITTED canonical —
+    watermark-free by design (semantic dedup has no time horizon; the
+    state table is the product, not operator state), the same contract
+    as the content-hash corpus table. The exact-duplicate mega-group
+    guard (``max_exact_group``) applies per micro-batch: route streams
+    with heavy exact duplication through ``txn_content_dedup_writer``
+    (or the hash gate) first, per the ordering contract.
+    """
+    from terrorblade_spark.operators.dedup import semantic_ingest_txn
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        semantic_ingest_txn(
+            state_table,
+            batch_df,
+            centroids,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            assign_probes=assign_probes,
+            applied_id=f"{writer_id}/batch_{batch_id}",
+            max_exact_group=max_exact_group,
+        )
+
+    return stream.writeStream.foreachBatch(gate)
+
+
 def drift_monitor_writer(
     stream: DataFrame,
     reference_lm,

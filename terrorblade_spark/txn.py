@@ -631,6 +631,7 @@ class TxnTable:
         self,
         retain_versions: int = 1,
         min_age_s: float = 7 * 24 * 3600.0,
+        tmp_age_floor_s: float = 60.0,
     ) -> dict[str, int]:
         """Reclaim storage: delete data directories referenced by NO
         retained manifest, and manifests older than the retention
@@ -644,7 +645,11 @@ class TxnTable:
         already written its data files but not yet committed its
         manifest, and deleting under it would fail its commit's
         durability; the default 7-day guard makes that race practically
-        impossible (pass 0 only in tests). Deletion is driver-side
+        impossible (pass 0 only in tests). Orphan ``.tmp.*`` manifests
+        are reclaimed under ``max(min_age_s, tmp_age_floor_s)`` — the
+        separate always-positive floor keeps a min_age_s=0 maintenance
+        run from unlinking a live committer's tmp file mid-commit;
+        ``tmp_age_floor_s`` must exceed worst-case commit latency. Deletion is driver-side
         filesystem IO over the table root — O(live data dirs), no
         Spark job; on object stores this is the same LIST + DELETE
         sweep every log-structured format runs."""
@@ -681,13 +686,20 @@ class TxnTable:
                 deleted_manifests += 1
         # a writer killed inside _commit (tmp manifest written, link not
         # taken) leaves an orphan .tmp.* file; readers ignore them, but
-        # reclaim the stale ones under the same age guard
+        # reclaim the stale ones. The age guard here has its OWN floor
+        # (``tmp_age_floor_s``), independent of min_age_s: callers pass
+        # min_age_s=0 in tests/offline maintenance, but unlinking a LIVE
+        # committer's tmp file inside its tmp-write -> atomic-link
+        # window would fail that commit (retryable, not corrupting) —
+        # the 60 s default exceeds any plausible commit latency while
+        # still reclaiming genuinely dead files
+        tmp_age_floor = max(min_age_s, tmp_age_floor_s)
         for name in sorted(os.listdir(self._log)) if os.path.isdir(self._log) else []:
             if not name.startswith(".tmp."):
                 continue
             full = os.path.join(self._log, name)
             try:
-                if now - os.path.getmtime(full) >= min_age_s:
+                if now - os.path.getmtime(full) >= tmp_age_floor:
                     os.unlink(full)
             except FileNotFoundError:
                 pass  # a live committer's finally-unlink won the race

@@ -527,9 +527,10 @@ def test_lpa_zero_iters_identity_and_parallel_edges(spark):
 
 
 def test_kcore_checkpoint_every_identical_results(spark):
-    """The amortized-checkpoint variant is a pure execution-strategy
-    knob: results are row-identical to the per-round default, including
-    when the loop ends between checkpoints."""
+    """checkpoint_every is retained-for-compat and inert under the
+    round-7 delta-peel design (the adjacency is never rewritten, so
+    there is nothing to amortize): any value must be accepted,
+    validated, and return row-identical results."""
     from terrorblade_spark.operators.graph import kcore
 
     e = spark.createDataFrame(

@@ -70,6 +70,53 @@ def test_decode_real_is_gated(media):
         decode_images(media, decoder="real")
 
 
+def test_real_decoder_matches_fake_contract(spark):
+    """Import-gated real-codec path (VERDICT r6 task 8, the
+    sentence-transformers pattern): when Pillow exists, decode a
+    handful of REAL PNG bytes and check the real path honors the fake
+    decoder's contract — same output schema, stats equal to a direct
+    PIL reference, identical payloads -> identical pHashes, and a
+    mild perturbation stays within pHash hamming tolerance."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from terrorblade_spark.multimodal.media import perceptual_hash
+
+    def png_bytes(arr):
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode="L").save(buf, format="PNG")
+        return buf.getvalue()
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    shifted = np.clip(base.astype(np.int16) + 4, 0, 255).astype(np.uint8)
+    rows = [
+        (0, "image", png_bytes(base)),
+        (1, "image", png_bytes(base)),     # identical payload
+        (2, "image", png_bytes(shifted)),  # mild global shift
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+
+    dec = {r["media_id"]: r for r in decode_images(df, decoder="real").collect()}
+    fake = decode_images(df, decoder="fake")
+    # contract: same columns/types as the fake path
+    assert dec[0].asDict().keys() == fake.collect()[0].asDict().keys()
+    # real dims come from the PNG itself, not metadata
+    assert (dec[0]["width"], dec[0]["height"]) == (40, 24)
+    assert abs(dec[0]["mean_px"] - base.mean()) < 1e-9
+    assert abs(dec[0]["std_px"] - base.std()) < 1e-9
+    assert dec[0]["mean_px"] != dec[2]["mean_px"]
+
+    ph = {r["media_id"]: r["phash"] for r in
+          perceptual_hash(df, decoder="real").collect()}
+    assert ph[0] == ph[1]  # identical payloads -> identical hash
+    ham = bin(ph[0] ^ ph[2]).count("1")
+    assert ham <= 10  # perturbation tolerance (the pHash point)
+
+
 def test_features_normalized_and_stable(media):
     import math
 

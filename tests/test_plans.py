@@ -502,6 +502,79 @@ def test_pagerank_superstep_reads_edges_from_cache_unshuffled(spark):
 
 
 
+def _assert_cached_side_unshuffled(plan: str) -> None:
+    """The cached big side must feed its join as an InMemoryTableScan
+    with no Exchange between them — only the node-sized side moves."""
+    assert "InMemoryTableScan" in plan, plan
+    lines = plan.splitlines()
+    scan_i = next(i for i, ln in enumerate(lines) if "InMemoryTableScan" in ln)
+    join_i = max(i for i, ln in enumerate(lines) if "Join" in ln and i < scan_i)
+    between = "\n".join(lines[join_i:scan_i])
+    assert "Exchange" not in between, plan
+
+
+def test_kcore_decrement_round_reads_adjacency_cache_unshuffled(spark):
+    """The delta-kcore scale claim, gated on the PRODUCTION helper
+    (operators/graph._kcore_decrements): the symmetric adjacency
+    shuffles ONCE (b-partitioned sorted persist) and every peel round's
+    decrement join reads it from cache with no Exchange above the scan
+    — only the node-sized peel set moves, and the count aggregate is
+    map-side combined (partial_count below the exchange)."""
+    from pyspark.sql import functions as F
+
+    from terrorblade_spark.operators.graph import _kcore_decrements
+
+    k = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = spark.range(4000).select(
+        (F.col("id") % 400).alias("a"), ((F.col("id") * 7 + 1) % 400).alias("b")
+    )
+    sym = e.repartition(k, "b").sortWithinPartitions("b").persist()
+    try:
+        sym.count()
+        peel = spark.range(40).select(F.col("id").alias("node"))
+        dec = _kcore_decrements(sym, peel, "node")
+        dec.collect()
+        plan = _plan(dec)
+        _assert_cached_side_unshuffled(plan)
+        assert "partial_count" in plan, plan  # map-side combine
+    finally:
+        sym.unpersist()
+
+
+def test_lpa_round_cache_unshuffled_and_windowless(spark):
+    """label_propagation's per-round scale claim, gated on the
+    PRODUCTION helper (operators/graph._lpa_round): the cached
+    symmetric relation is read with no Exchange (only node-sized labels
+    shuffle), BOTH aggregates are map-side combined (the per-round
+    shuffle is bounded by distinct (node, label) pairs per partition,
+    never edge-sized), and the argmax is an aggregate — no Window (a
+    window would sort the pull relation every round)."""
+    from pyspark.sql import functions as F
+
+    from terrorblade_spark.operators.graph import _lpa_round
+
+    k = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = spark.range(4000).select(
+        (F.col("id") % 400).alias("a"),
+        ((F.col("id") * 7 + 1) % 400).alias("b"),
+        F.lit(1.0).alias("__w"),
+    )
+    sym = e.repartition(k, "b").sortWithinPartitions("b").persist()
+    try:
+        sym.count()
+        labels = spark.range(400).select(
+            F.col("id").alias("node"), F.col("id").alias("community")
+        )
+        nxt = _lpa_round(sym, labels, "node", "community")
+        nxt.collect()
+        plan = _plan(nxt)
+        _assert_cached_side_unshuffled(plan)
+        assert "Window" not in plan, plan
+        assert "partial_sum" in plan, plan  # map-side combined pulls
+    finally:
+        sym.unpersist()
+
+
 def test_association_rules_pairs_are_fused_row_local(spark, sf_dir):
     """q116's pair counts come from the in-row HOF expansion (Generate
     over the basket array) — never a basket-key self-join. The only

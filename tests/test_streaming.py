@@ -431,6 +431,73 @@ def test_txn_content_dedup_writer_closes_replay_window(spark, tmp_path):
     assert sorted(r["doc_id"] for r in t.read(spark).collect()) == [1, 2, 5]
 
 
+def test_semantic_ingest_writer_gates_across_batches(spark, tmp_path):
+    """The semantic ingest gate wired into foreachBatch (VERDICT r6
+    task 4): batch 2 REPLAYS batch 1's content (admits nothing — every
+    row pairs with its own admitted twin in state), batch 3 carries a
+    near-dup twin of a batch-1 canonical (rejected) plus fresh content
+    (admitted). Final state matches the one-shot incremental gate run
+    on the distinct union."""
+    import math
+    import os
+
+    from terrorblade_spark.operators.dedup import semantic_dedup_incremental
+    from terrorblade_spark.streaming.pipeline import semantic_ingest_writer
+    from terrorblade_spark.txn import TxnTable
+
+    def rot(theta, i, j):
+        v = [0.0] * 4
+        v[i] = math.cos(theta)
+        v[j] = math.sin(theta)
+        return v
+
+    vschema = "vec_id long, embedding array<double>"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = [(1, rot(0.00, 0, 1)), (2, rot(0.00, 1, 2))]  # two canonicals
+    b3 = [(10, rot(0.03, 0, 1)),  # twin of admitted 1 -> rejected
+          (11, rot(0.80, 0, 1))]  # fresh direction -> admitted
+    spark.createDataFrame(b1, vschema).coalesce(1).write.parquet(f"{src}/f0.parquet")
+    spark.createDataFrame(b1, vschema).coalesce(1).write.parquet(f"{src}/f1.parquet")
+    spark.createDataFrame(b3, vschema).coalesce(1).write.parquet(f"{src}/f2.parquet")
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "list_id int, centroid array<double>",
+    )
+    t = TxnTable(str(tmp_path / "state"))
+    stream = (
+        spark.readStream.schema(vschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = semantic_ingest_writer(stream, t, cents, "w1", threshold=0.95).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    state = t.read(spark)
+    got_ids = sorted({r["vec_id"] for r in state.collect()})
+    assert got_ids == [1, 2, 11]
+    # one state row per probe cell per canonical
+    assert state.count() == 3 * 2
+
+    # equivalence with the batch-operator run on the distinct union
+    union = spark.createDataFrame(b1 + b3, vschema)
+    adm, st = semantic_dedup_incremental(union, None, cents, threshold=0.95)
+    assert sorted(r["vec_id"] for r in adm.collect()) == got_ids
+    assert st.count() == state.count()
+
+    # crash-replay of batch 0 via the txn marker: a no-op
+    from terrorblade_spark.operators.dedup import semantic_ingest_txn
+
+    readd = semantic_ingest_txn(
+        t, spark.createDataFrame(b1, vschema), cents, applied_id="w1/batch_0"
+    )
+    assert readd.count() == 0
+    assert t.read(spark).count() == 6
+
+
 def test_stateful_update_handles_timeout_and_late_events(spark):
     """Review repros: (a) a timed-out state invocation arrives with no
     data — the handler must evict and emit nothing, not crash on an

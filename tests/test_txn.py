@@ -366,6 +366,22 @@ def test_vacuum_age_guard_spares_fresh_uncommitted_files(spark, tmp_path):
     assert os.path.exists(orphan[0]["path"])
 
 
+def test_vacuum_tmp_floor_spares_fresh_tmp_manifest(spark, tmp_path):
+    """A live committer's just-written .tmp.* manifest must survive a
+    min_age_s=0 vacuum: the tmp reclaim has its own always-positive age
+    floor (tmp_age_floor_s, ADVICE r6) so an aggressive maintenance run
+    can't fail a commit inside its tmp-write -> atomic-link window."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 10)]))
+    tmp = os.path.join(t._log, ".tmp.inflight")
+    with open(tmp, "w") as f:
+        f.write("{}")
+    t.vacuum(retain_versions=1, min_age_s=0.0)  # default floor: spared
+    assert os.path.exists(tmp)
+    t.vacuum(retain_versions=1, min_age_s=0.0, tmp_age_floor_s=0.0)
+    assert not os.path.exists(tmp)
+
+
 def test_vacuum_keeps_partitioned_entries_of_retained_versions(spark, tmp_path):
     t = TxnTable(str(tmp_path / "t"))
     t.replace_partitions(

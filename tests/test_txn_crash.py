@@ -137,7 +137,7 @@ def test_replace_partitions_crash_keeps_old_partitions(spark, tmp_path):
     assert sorted(r["v"] for r in t.read(spark).collect()) == [20, 70]
 
     # vacuum clears both the orphan data dir and the stale tmp manifest
-    t.vacuum(retain_versions=1, min_age_s=0)
+    t.vacuum(retain_versions=1, min_age_s=0, tmp_age_floor_s=0)
     assert not any(n.startswith(".tmp.") for n in os.listdir(log_dir))
     assert sorted(r["v"] for r in t.read(spark).collect()) == [20, 70]
 
