@@ -110,38 +110,105 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``top_bigram_char_frac``: fraction of text characters covered by
       the most frequent word 2-gram (count * gram length / n_chars).
 
-    Each is a fold over the row's own line/gram arrays (O(len^2) per
-    doc, bounded by document size); nothing leaves the row, so the
-    operator is a pure map — no shuffle at any scale.
+    Each is a SORT + LINEAR FOLD over the row's own line/gram arrays
+    (O(n log n) per doc); nothing leaves the row, so the operator is a
+    pure map — no shuffle at any scale. The original shape was a
+    nested filter-inside-fold — O(n^2) per doc, fine at gate scale but
+    the dominant cost of the 1M-doc pipeline probe (the bigram scan is
+    quadratic in WORD COUNT, so one ``max_words``-sized doc is 10^10
+    comparisons); equal-element RUNS of the sorted array give the same
+    occurrence counts in one pass, value-identical (oracle-gated:
+    q67/q95).
     """
     lines = _lines(text_col)
     line_chars = F.aggregate(lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
-    dup_chars = F.aggregate(
-        lines,
-        F.lit(0).cast("long"),
-        lambda a, x: a
-        + F.when(F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)).otherwise(F.lit(0)),
+    # one pass over the sorted lines: runs of equal lines replace the
+    # per-occurrence count(filter) scan. When a run reaches 2 both
+    # occurrences' chars become duplicate chars at once (+2*len), each
+    # further occurrence adds its own (+len) — total c*len per line
+    # with c >= 2, exactly the old numerator. max repeat = longest run.
+    line_stats = F.aggregate(
+        F.array_sort(lines),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).cast("long").alias("dup"),
+            F.lit(0).alias("mx"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            # NULL prev (first element) compares NULL -> otherwise(1)
+            F.when(a["prev"] == x, a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            (
+                a["dup"]
+                + F.when(
+                    (a["prev"] == x) & (a["run"] == 1), 2 * F.length(x)
+                )
+                .when(a["prev"] == x, F.length(x))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("dup"),
+            F.greatest(
+                a["mx"],
+                F.when(a["prev"] == x, a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("mx"),
+        ),
     )
-    max_rep = F.aggregate(
-        F.array_distinct(lines),
-        F.lit(0),
-        lambda a, x: F.greatest(a, F.size(F.filter(lines, lambda y: y == x))),
-    )
+    dup_chars = line_stats["dup"]
+    max_rep = line_stats["mx"]
 
     grams = _grams(text_col, 2)
     n_chars = F.length(F.col(text_col)).cast("long")
-    # (covered chars, count, gram) per distinct gram; array_max picks the
-    # winner by covered chars with a deterministic gram tiebreak.
-    best = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.struct(
-                (F.size(F.filter(grams, lambda h: h == g)) * F.length(g))
-                .cast("long")
-                .alias("covered"),
-                g.alias("gram"),
-            ),
-        )
+    # winner by covered chars (count * gram length) with the gram
+    # string as the deterministic tiebreak — the same (covered, gram)
+    # struct-max order as the old array_max over distinct grams, but
+    # computed from equal-gram runs of the sorted array. Updating the
+    # best at every step of a run is safe: a run's covered value only
+    # grows, so the final step wins any comparison an intermediate one
+    # did.
+    gram_best = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).cast("long").alias("cov"),
+            F.lit(None).cast("string").alias("gram"),
+        ),
+        lambda a, g: F.struct(
+            g.alias("prev"),
+            F.when(a["prev"] == g, a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["cov"],
+                (
+                    F.when(a["prev"] == g, a["run"] + 1).otherwise(F.lit(1))
+                    * F.length(g)
+                ).cast("long"),
+            ).alias("cov"),
+            F.when(
+                (
+                    F.when(a["prev"] == g, a["run"] + 1).otherwise(F.lit(1))
+                    * F.length(g)
+                ).cast("long")
+                > a["cov"],
+                g,
+            )
+            .when(
+                (
+                    (
+                        F.when(a["prev"] == g, a["run"] + 1).otherwise(F.lit(1))
+                        * F.length(g)
+                    ).cast("long")
+                    == a["cov"]
+                )
+                & (a["gram"].isNull() | (g > a["gram"])),
+                g,
+            )
+            .otherwise(a["gram"])
+            .alias("gram"),
+        ),
+    )
+    best = F.when(
+        gram_best["gram"].isNotNull(),
+        F.struct(gram_best["cov"].alias("covered"), gram_best["gram"].alias("gram")),
     )
     return (
         df.withColumn(

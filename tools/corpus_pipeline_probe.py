@@ -220,6 +220,11 @@ def main() -> None:
         threshold=args.threshold,
         n_clusters=args.n_clusters,
         assign_probes=2,
+        # the 100 TB recipe (and the direct 1M semdedup probe): k-means
+        # FIT is sample-sized, assignment is the only full pass — the
+        # default fit-on-everything measured 655 s of the first 1M
+        # pipeline run's semantic stage
+        train_fraction=0.1,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     out["sem_canonicals"] = sem.where("NOT is_duplicate").count()
     out["semantic_s"] = round(time.time() - t0, 1)

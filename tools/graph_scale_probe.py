@@ -16,7 +16,13 @@ across superstep boundaries is the "peak localCheckpoint footprint".
 Usage:
     python tools/graph_scale_probe.py [--nodes 10000000] [--avg-deg 10]
         [--supersteps 10] [--bfs-hops 4] [--lpa-rounds 2] [--kcore-k 10]
-        [--skip-kcore] [--skip-lpa] [--skip-bfs]
+        [--skip-kcore] [--skip-lpa] [--skip-bfs] [--skip-pagerank]
+
+Legs share one JVM, so a full run measures later legs under the GC
+pressure of earlier ones' accumulated cache/checkpoint blocks (the
+round-7 full run inflated bfs 4x vs its round-6 number). For a
+comparable per-leg wall time, run the leg alone in a fresh session
+via the skip flags.
 
 Prints one JSON line; paste into COVERAGE.md.
 """
@@ -70,6 +76,7 @@ def main() -> None:
     ap.add_argument("--lpa-rounds", type=int, default=2)
     ap.add_argument("--kcore-k", type=int, default=10)
     ap.add_argument("--skip-bfs", action="store_true")
+    ap.add_argument("--skip-pagerank", action="store_true")
     ap.add_argument("--skip-lpa", action="store_true")
     ap.add_argument("--skip-kcore", action="store_true")
     args = ap.parse_args()
@@ -99,44 +106,45 @@ def main() -> None:
     out["gen_s"] = round(time.time() - t0, 1)
 
     # --- pagerank, per-superstep instrumentation ---
-    marks: list[dict[str, float]] = []
-    last = {"t": time.time(), "w": shuffle_write_bytes(spark)}
-    peak = {"storage": 0}
+    if not args.skip_pagerank:
+        marks: list[dict[str, float]] = []
+        last = {"t": time.time(), "w": shuffle_write_bytes(spark)}
+        peak = {"storage": 0}
 
-    def cb(i: int) -> None:
-        now = time.time()
-        w = shuffle_write_bytes(spark)
-        st = storage_bytes(spark)
-        peak["storage"] = max(peak["storage"], st)
-        marks.append(
-            {
-                "superstep": i,
-                "wall_s": round(now - last["t"], 1),
-                "shuffle_write_mb": round((w - last["w"]) / 1e6, 1),
-                "storage_mb": round(st / 1e6, 1),
-            }
+        def cb(i: int) -> None:
+            now = time.time()
+            w = shuffle_write_bytes(spark)
+            st = storage_bytes(spark)
+            peak["storage"] = max(peak["storage"], st)
+            marks.append(
+                {
+                    "superstep": i,
+                    "wall_s": round(now - last["t"], 1),
+                    "shuffle_write_mb": round((w - last["w"]) / 1e6, 1),
+                    "storage_mb": round(st / 1e6, 1),
+                }
+            )
+            last["t"], last["w"] = now, w
+
+        t0 = time.time()
+        pr = pagerank(edges, n_iter=args.supersteps, on_superstep=cb)
+        agg = pr.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("pagerank").alias("mass")
+        ).collect()[0]
+        out["pagerank_total_s"] = round(time.time() - t0, 1)
+        out["pagerank_nodes"] = int(agg["n"])
+        out["pagerank_mass"] = round(float(agg["mass"]), 9)
+        # superstep 0 includes the one-time link build + init checkpoint;
+        # the steady-state cost is the tail supersteps
+        steady = [m["wall_s"] for m in marks[1:]]
+        out["superstep_s"] = [m["wall_s"] for m in marks]
+        out["superstep_shuffle_mb"] = [m["shuffle_write_mb"] for m in marks]
+        out["steady_superstep_s"] = round(sum(steady) / max(len(steady), 1), 1)
+        out["peak_storage_mb"] = round(peak["storage"] / 1e6, 1)
+        out["edge_visits_per_s"] = int(
+            n_edges * args.supersteps / out["pagerank_total_s"]
         )
-        last["t"], last["w"] = now, w
-
-    t0 = time.time()
-    pr = pagerank(edges, n_iter=args.supersteps, on_superstep=cb)
-    agg = pr.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("pagerank").alias("mass")
-    ).collect()[0]
-    out["pagerank_total_s"] = round(time.time() - t0, 1)
-    out["pagerank_nodes"] = int(agg["n"])
-    out["pagerank_mass"] = round(float(agg["mass"]), 9)
-    # superstep 0 includes the one-time link build + init checkpoint;
-    # the steady-state cost is the tail supersteps
-    steady = [m["wall_s"] for m in marks[1:]]
-    out["superstep_s"] = [m["wall_s"] for m in marks]
-    out["superstep_shuffle_mb"] = [m["shuffle_write_mb"] for m in marks]
-    out["steady_superstep_s"] = round(sum(steady) / max(len(steady), 1), 1)
-    out["peak_storage_mb"] = round(peak["storage"] / 1e6, 1)
-    out["edge_visits_per_s"] = int(
-        n_edges * args.supersteps / out["pagerank_total_s"]
-    )
-    assert abs(float(agg["mass"]) - 1.0) < 1e-6, out
+        assert abs(float(agg["mass"]) - 1.0) < 1e-6, out
 
     # --- bfs from 10 low-id seeds (the planted hubs) ---
     if not args.skip_bfs:
