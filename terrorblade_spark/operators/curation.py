@@ -2,9 +2,12 @@
 Gopher-style quality rules, PII redaction.
 
 These are the filters a training-data pipeline runs between ingest and
-packing. All hot paths are Catalyst expressions or broadcast joins —
-no Python UDFs — so they stay inside whole-stage codegen and scale with
-input bytes, not row count x Python overhead.
+packing. Hot paths are Catalyst expressions or broadcast joins — with
+ONE measured exception: ``repetition_signals`` defaults to an
+Arrow-batched pandas kernel, because its per-row array folds are
+CodegenFallback (interpreted) expressions whose struct allocation
+churn dominates at corpus scale (see the operator docstring; a pure
+Catalyst ``impl="jvm"`` is kept and equivalence-gated).
 
 Scale notes
 -----------
@@ -12,14 +15,15 @@ Scale notes
   are thousands of documents); its distinct shingle set is broadcast, so
   the 100 TB train side is never shuffled — each scan task probes the
   broadcast hash table and only (doc_id, hit) pairs move.
-- ``repetition_signals`` is per-row arithmetic over the line/gram arrays
-  of ONE document (quadratic in lines-per-doc, bounded by document
-  length, embarrassingly parallel across docs).
+- ``repetition_signals`` is per-row hash counting over the lines/grams
+  of ONE document (linear in document length, embarrassingly parallel
+  across docs; Arrow-batched by default).
 - ``redact_pii`` is a constant chain of regexp_replace ops.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -101,7 +105,9 @@ def _grams(text_col: str, n: int) -> Column:
     return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
-def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", impl: str = "arrow"
+) -> DataFrame:
     """Per-document repetition features:
 
     - ``dup_line_char_frac``: fraction of line characters sitting in
@@ -110,15 +116,132 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``top_bigram_char_frac``: fraction of text characters covered by
       the most frequent word 2-gram (count * gram length / n_chars).
 
-    Each is a SORT + LINEAR FOLD over the row's own line/gram arrays
-    (O(n log n) per doc); nothing leaves the row, so the operator is a
-    pure map — no shuffle at any scale. The original shape was a
-    nested filter-inside-fold — O(n^2) per doc, fine at gate scale but
-    the dominant cost of the 1M-doc pipeline probe (the bigram scan is
-    quadratic in WORD COUNT, so one ``max_words``-sized doc is 10^10
-    comparisons); equal-element RUNS of the sorted array give the same
-    occurrence counts in one pass, value-identical (oracle-gated:
-    q67/q95).
+    Everything is row-local (a pure map, no shuffle at any scale); the
+    two ``impl``s compute identical values and differ only in engine:
+
+    - ``"arrow"`` (default): one Arrow-batched pandas UDF evaluating
+      all three signals in a single pass with hash counting — the
+      blocked-BLAS-kernel pattern. This is the hot path ON PURPOSE,
+      an exception to the stay-JVM rule earned by measurement:
+      higher-order array functions are CodegenFallback in Spark —
+      every fold step runs on the INTERPRETED expression path and a
+      struct-accumulator step allocates a fresh named struct, so at
+      1M docs the allocation churn alone saturated a 48 GB heap
+      (thread dumps: ArrayAggregate.eval -> CreateNamedStruct ->
+      List.map). ~doc-count x ~50 us beats that by orders of
+      magnitude.
+    - ``"jvm"``: pure Catalyst expressions (array_sort + one linear
+      run-length fold per signal), for sessions without Python
+      workers. Fine at test scale; interpreted-eval-bound at corpus
+      scale.
+
+    Engine-parity caveat: the arrow kernel replicates the JVM
+    semantics exactly for the oracle-gated corpus (Java ``\\s`` is
+    ASCII-only — the kernel splits on ``[ \\t\\n\\x0b\\f\\r]+``, trims
+    SPACE only, compares grams by code point = UTF-8 byte order);
+    exotic Unicode case-mapping may diverge between Python
+    ``str.lower`` and the JVM. Equivalence is unit-gated on an
+    adversarial fixture (tests/test_curation.py) and oracle-gated at
+    sf0.01 (q67/q95).
+    """
+    if impl == "arrow":
+        return _repetition_signals_arrow(df, text_col)
+    if impl == "jvm":
+        return _repetition_signals_jvm(df, text_col)
+    raise ValueError(f"impl must be 'arrow' or 'jvm', got {impl!r}")
+
+
+def _repetition_signals_arrow(df: DataFrame, text_col: str) -> DataFrame:
+    """The Arrow kernel: one pandas UDF -> struct of the three signals
+    (extracted ONCE — Python UDFs are pulled into a dedicated
+    ArrowEvalPython node, so the three field references share a single
+    evaluation, unlike inlined Catalyst expressions)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_type = StructType(
+        [
+            StructField("dup_line_char_frac", DoubleType()),
+            StructField("max_line_repeat", LongType()),
+            StructField("top_bigram_char_frac", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _signals(texts: pd.Series) -> pd.DataFrame:
+        import re
+        from collections import Counter
+
+        # Java \s is ASCII-only; Python \s is Unicode — match the JVM
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        rows = []
+        for s in texts:
+            if s is None:
+                rows.append((0.0, 0, 0.0))
+                continue
+            # _lines: split on \n, keep lines non-blank after
+            # SPACE-only trim (F.trim semantics)
+            lines = [ln for ln in s.split("\n") if ln.strip(" ")]
+            line_chars = 0
+            lc: Counter = Counter()
+            for ln in lines:
+                line_chars += len(ln)
+                lc[ln] += 1
+            dup = sum(len(k) * c for k, c in lc.items() if c > 1)
+            mx = max(lc.values(), default=0)
+            dlf = dup / line_chars if line_chars > 0 else 0.0
+            # tokens(): filter(split(trim(text), \s+), != ''), lowered
+            t = s.strip(" ")
+            toks = [w.lower() for w in ws.split(t) if w] if t else []
+            best_cov, best_gram = 0, None
+            if len(toks) >= 2:
+                gc: Counter = Counter()
+                prev = toks[0]
+                for w in toks[1:]:
+                    gc[prev + " " + w] += 1
+                    prev = w
+                for g, c in gc.items():
+                    cov = c * len(g)
+                    # max by (covered, gram); str order == UTF-8 byte
+                    # order, the JVM struct-max tiebreak
+                    if cov > best_cov or (
+                        cov == best_cov and (best_gram is None or g > best_gram)
+                    ):
+                        best_cov, best_gram = cov, g
+            n_chars = len(s)
+            tbf = (
+                best_cov / n_chars
+                if (n_chars > 0 and best_gram is not None)
+                else 0.0
+            )
+            rows.append((dlf, mx, tbf))
+        return pd.DataFrame(
+            rows,
+            columns=["dup_line_char_frac", "max_line_repeat", "top_bigram_char_frac"],
+        )
+
+    rep = _signals(F.col(text_col))
+    return (
+        df.withColumn("__rep", rep)
+        .withColumn("dup_line_char_frac", F.col("__rep.dup_line_char_frac"))
+        .withColumn("max_line_repeat", F.col("__rep.max_line_repeat"))
+        .withColumn("top_bigram_char_frac", F.col("__rep.top_bigram_char_frac"))
+        .drop("__rep")
+    )
+
+
+def _repetition_signals_jvm(df: DataFrame, text_col: str) -> DataFrame:
+    """The Catalyst-expression path: array_sort + one linear
+    run-length fold per signal (the original shape was a nested
+    filter-inside-fold — O(n^2) per doc in LINE and WORD count; the
+    1M-doc pipeline probe measured it as the dominant curate cost and
+    a ``max_words``-sized doc is 10^10 comparisons). Equal-element
+    runs of the sorted array give the same occurrence counts in one
+    pass, value-identical.
     """
     lines = _lines(text_col)
     line_chars = F.aggregate(lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x))

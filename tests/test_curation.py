@@ -295,3 +295,68 @@ def test_dedup_lines_hot_line_skew(spark):
     assert sum(r["n_removed_lines"] for r in out.values()) == n - 1
     plan = dedup_lines(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_repetition_signals_jvm_impl_hand_computed(spark):
+    """The Catalyst fallback path (impl='jvm') computes the same
+    hand-checked values as the default Arrow kernel."""
+    df = spark.createDataFrame(
+        [(1, "dup dup\ndup dup\nunique1"), (2, "a b c d"), (3, "")],
+        "id long, text string",
+    )
+    got = {r["id"]: r for r in repetition_signals(df, impl="jvm").collect()}
+    assert got[1]["dup_line_char_frac"] == pytest.approx(14 / 21)
+    assert got[1]["max_line_repeat"] == 2
+    assert got[1]["top_bigram_char_frac"] == pytest.approx(21 / 23)
+    assert got[2]["max_line_repeat"] == 1
+    assert got[3]["max_line_repeat"] == 0
+
+
+def test_repetition_signals_arrow_jvm_equivalence(spark):
+    """Bit-for-bit engine parity between the Arrow kernel and the
+    Catalyst expression path on an adversarial fixture: seeded random
+    docs with forced duplicate lines, NULL/empty/blank-only text,
+    Java-whitespace-class separators (\\t \\x0b \\f \\r), SPACE-only
+    trim edges, case-mixing, and covered-chars ties (the struct-max
+    gram tiebreak). Guards the engine-substitution risk named in the
+    operator docstring."""
+    import random
+
+    rng = random.Random(7)
+    words = ["a", "bb", "ccc", "dd", "e", "zz", "yy", "#", "...", "Tab\there", "MiXeD"]
+    docs = []
+    for i in range(120):
+        lines = []
+        for _ in range(rng.randint(0, 10)):
+            lines.append(" ".join(rng.choice(words) for _ in range(rng.randint(0, 8))))
+        if lines and rng.random() < 0.7:
+            lines += [rng.choice(lines)] * rng.randint(1, 3)
+        docs.append((i, "\n".join(lines)))
+    docs += [
+        (9001, ""),
+        (9002, None),
+        (9003, "\n\n\n"),
+        (9004, "same same same same"),
+        (9005, "x\nx\nx\ny"),
+        (9006, "tie aa tie bb tie aa tie bb"),
+        (9007, "  leading  spaces \n\t\n  "),
+        (9008, "A a A a\nA a"),
+        (9009, "word\tword\x0bword\fword\rword"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cols = ["dup_line_char_frac", "max_line_repeat", "top_bigram_char_frac"]
+    a = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in repetition_signals(df, impl="arrow").select("doc_id", *cols).collect()
+    }
+    j = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in repetition_signals(df, impl="jvm").select("doc_id", *cols).collect()
+    }
+    assert a == j
+
+
+def test_repetition_signals_rejects_unknown_impl(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(ValueError, match="impl"):
+        repetition_signals(df, impl="pandas")
