@@ -135,14 +135,15 @@ def repetition_signals(
       workers. Fine at test scale; interpreted-eval-bound at corpus
       scale.
 
-    Engine-parity caveat: the arrow kernel replicates the JVM
-    semantics exactly for the oracle-gated corpus (Java ``\\s`` is
-    ASCII-only — the kernel splits on ``[ \\t\\n\\x0b\\f\\r]+``, trims
-    SPACE only, compares grams by code point = UTF-8 byte order);
-    exotic Unicode case-mapping may diverge between Python
-    ``str.lower`` and the JVM. Equivalence is unit-gated on an
-    adversarial fixture (tests/test_curation.py) and oracle-gated at
-    sf0.01 (q67/q95).
+    Engine-parity: the arrow kernel replicates the JVM semantics
+    exactly (Java ``\\s`` is ASCII-only — the kernel splits on
+    ``[ \\t\\n\\x0b\\f\\r]+``, trims SPACE only, compares grams by
+    code point = UTF-8 byte order). Unicode case-mapping parity
+    (Python ``str.lower`` vs JVM ``lower()``) is unit-gated on
+    İ/ı/ß/ẞ/final-sigma/full-width/Cherokee/titlecase-digraph/astral
+    adversaries plus NBSP and ideographic-space non-separators
+    (tests/test_curation.py — 0 divergences measured on Java 17 /
+    CPython 3.11) and oracle-gated at sf0.01 (q67/q95).
     """
     if impl == "arrow":
         return _repetition_signals_arrow(df, text_col)
@@ -276,9 +277,6 @@ def _repetition_signals_jvm(df: DataFrame, text_col: str) -> DataFrame:
             ).alias("mx"),
         ),
     )
-    dup_chars = line_stats["dup"]
-    max_rep = line_stats["mx"]
-
     grams = _grams(text_col, 2)
     n_chars = F.length(F.col(text_col)).cast("long")
     # winner by covered chars (count * gram length) with the gram
@@ -329,25 +327,36 @@ def _repetition_signals_jvm(df: DataFrame, text_col: str) -> DataFrame:
             .alias("gram"),
         ),
     )
-    best = F.when(
-        gram_best["gram"].isNotNull(),
-        F.struct(gram_best["cov"].alias("covered"), gram_best["gram"].alias("gram")),
-    )
+    # materialize each fold ONCE in its own projection and extract
+    # fields from the materialized struct: inlining line_stats /
+    # gram_best per field reference re-evaluates the interpreted
+    # ArrayAggregate 2x / ~4x (CollapseProject keeps separate Projects
+    # only because a multi-referenced non-cheap expression blocks the
+    # collapse — the explicit staging makes that guaranteed, and the
+    # plan gate below it checkable)
     return (
-        df.withColumn(
+        df.withColumn("__rep_lines", line_stats)
+        .withColumn("__rep_gram", gram_best)
+        .withColumn("__rep_lc", line_chars)
+        .withColumn(
             "dup_line_char_frac",
-            F.when(line_chars > 0, dup_chars.cast("double") / line_chars.cast("double")).otherwise(
-                F.lit(0.0)
-            ),
+            F.when(
+                F.col("__rep_lc") > 0,
+                F.col("__rep_lines.dup").cast("double") / F.col("__rep_lc").cast("double"),
+            ).otherwise(F.lit(0.0)),
         )
-        .withColumn("max_line_repeat", F.coalesce(max_rep, F.lit(0)).cast("long"))
+        .withColumn(
+            "max_line_repeat",
+            F.coalesce(F.col("__rep_lines.mx"), F.lit(0)).cast("long"),
+        )
         .withColumn(
             "top_bigram_char_frac",
             F.when(
-                (n_chars > 0) & best.isNotNull(),
-                best["covered"].cast("double") / n_chars.cast("double"),
+                (n_chars > 0) & F.col("__rep_gram.gram").isNotNull(),
+                F.col("__rep_gram.cov").cast("double") / n_chars.cast("double"),
             ).otherwise(F.lit(0.0)),
         )
+        .drop("__rep_lines", "__rep_gram", "__rep_lc")
     )
 
 
@@ -365,6 +374,7 @@ def gopher_filter(
     max_mean_word_len: float = 12.0,
     max_symbol_word_ratio: float = 0.1,
     max_dup_line_char_frac: float = 0.3,
+    rep_impl: str = "arrow",
 ) -> DataFrame:
     """Rule-based quality gate (Gopher §A1.1 shape, thresholds relaxed
     for short-text corpora): word-count band, mean-word-length band,
@@ -373,6 +383,11 @@ def gopher_filter(
     Adds ``quality_reasons`` (array of failed rule names, empty = keep)
     and ``keep`` — filtering is the caller's choice so rejects can be
     audited. One pass of row-local expressions; no shuffle.
+
+    ``rep_impl`` passes through to :func:`repetition_signals`: the
+    default Arrow kernel needs pandas/pyarrow Python workers at
+    runtime; ``rep_impl="jvm"`` keeps the whole gate pure-Catalyst for
+    sessions without them (value-identical, equivalence-gated).
     """
     # coalesce: NULL text must fail too_few_words like '' does — raw
     # NULL makes every check condition NULL, which filters to an empty
@@ -392,7 +407,7 @@ def gopher_filter(
         F.lit(0.0)
     )
 
-    with_rep = repetition_signals(df, text_col)
+    with_rep = repetition_signals(df, text_col, impl=rep_impl)
     checks = [
         (F.col("__n_words") < F.lit(min_words), "too_few_words"),
         (F.col("__n_words") > F.lit(max_words), "too_many_words"),

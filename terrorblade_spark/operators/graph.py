@@ -533,6 +533,8 @@ def label_propagation(
     weight_col: str | None = None,
     node_col: str = "node",
     label_col: str = "community",
+    stop_when_stable: bool = False,
+    check_every: int = 1,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation over the
     UNDIRECTED graph induced by ``edges`` (direction dropped, parallel
@@ -565,9 +567,21 @@ def label_propagation(
     edge-sized — and the cached edge relation never re-shuffles or
     re-sorts (plan-gated). ``localCheckpoint`` per round keeps the
     plan flat. No driver-side data access at all.
+
+    ``stop_when_stable`` (opt-in; default off preserves the exact
+    fixed-round gate semantics): synchronous LPA is memoryless — a
+    round whose output equals its input is a fixpoint, so every later
+    round is the identity and stopping early is EXACT, not an
+    approximation. The probe is one node-sized join + emptiness check
+    of two checkpointed label relations, amortized to every
+    ``check_every``-th round (the pagerank ``tol``/``check_every``
+    pattern — converged graphs asked for n_iter=20 stop paying
+    per-round barriers at the first clean probe).
     """
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     w = (
         F.col(weight_col).cast("double")
         if weight_col is not None
@@ -607,10 +621,20 @@ def label_propagation(
         labels = sym.select(F.col("a").alias(node_col)).distinct().select(
             node_col, F.col(node_col).alias(label_col)
         ).localCheckpoint(eager=True)
-        for _ in range(n_iter):
-            labels = _lpa_round(sym, labels, node_col, label_col).localCheckpoint(
+        for i in range(n_iter):
+            nxt = _lpa_round(sym, labels, node_col, label_col).localCheckpoint(
                 eager=True
             )
+            if stop_when_stable and (i + 1) % check_every == 0:
+                changed = nxt.join(
+                    labels.select(
+                        F.col(node_col), F.col(label_col).alias("__prev")
+                    ),
+                    node_col,
+                ).where(F.col(label_col) != F.col("__prev"))
+                if changed.isEmpty():
+                    return nxt  # fixpoint: remaining rounds are identity
+            labels = nxt
     finally:
         sym.unpersist()
     return labels
@@ -728,8 +752,10 @@ def kcore(
     src: str = "src",
     dst: str = "dst",
     node_col: str = "node",
-    max_rounds: int = 64,
+    max_rounds: int = 100_000,
     checkpoint_every: int = 1,
+    fold_every: int = 16,
+    local_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Members of the k-core of the UNDIRECTED simple graph induced by
     ``edges`` (direction/self-loops dropped): the maximal subgraph in
@@ -738,39 +764,70 @@ def kcore(
     pages survive). Returns ``(node_col, core_degree)`` where
     core_degree is the node's degree WITHIN the core.
 
-    DELTA-BASED peel (the round-6 probe measured the old from-scratch
-    per-round degree aggregate at 566 s / 100M edges with a ~1.45x
-    super-linear factor — the aggregate re-shuffled 2|E| rows every
-    round over a barely-shrinking relation): the symmetric adjacency is
-    built ONCE — neighbor-key partitioned, sorted, persisted, and NEVER
-    rewritten — and a node-sized degree relation is maintained by
-    decrements instead. Each round peels ``deg < k`` nodes, counts each
-    survivor's edges INTO the peel set (one join against the cached
-    adjacency on its own partitioning — only the node-sized peel
-    shuffles), and folds the decrements into the degree relation.
+    DELTA-CASCADE peel (round 8; the round-7 delta design rebuilt and
+    checkpointed the FULL node-sized degree relation every round and
+    hard-capped rounds at 64 — a pathological path graph, whose peel
+    depth is O(n), would raise): the symmetric adjacency is built ONCE
+    — neighbor-key partitioned, sorted, persisted, NEVER rewritten —
+    and the cascade advances one FRONTIER (the nodes newly below k)
+    per step. Between folds the full degree relation is immutable;
+    each step touches only frontier-sized state:
 
-    Why removal needs no edge rewrite: peel sets are DISJOINT across
-    rounds, so an edge contributes a decrement exactly once per
+    - decrements from the current frontier join the cached adjacency
+      on its own partitioning (only the frontier shuffles, map-side
+      combined — plan-gated via :func:`_kcore_decrements`) and fold
+      into a small pending-decrement relation;
+    - the next frontier is recovered from PENDING alone: between
+      folds, every un-peeled node outside the pending set still has
+      its folded degree >= k, so only pending-touched nodes can have
+      dropped below k (one small-side broadcast probe of the degree
+      relation — the big side streams, nothing node-sized shuffles);
+    - every ``fold_every`` steps the pending decrements and peeled
+      frontiers fold into the degree relation (the only node-sized
+      checkpoint), amortizing the old per-round rebuild 1/fold_every.
+
+    Per-step driver cost is two small checkpoints and one emptiness
+    probe; per-step cluster cost is one map-side scan of the cached
+    adjacency — each adjacency join can advance the peel wave exactly
+    one hop, the information-theoretic floor, so a deep cascade costs
+    one cheap step per hop. ``max_rounds`` remains as a runaway
+    safety valve only.
+
+    LOCAL FINISHER (what actually bounds round COUNT): a tiny-frontier
+    cascade is inherently sequential — a path graph peels two nodes
+    per hop, and no bulk-synchronous engine can shortcut that wave.
+    So whenever the SURVIVING subgraph fits ``local_max_edges``
+    (checked from the degree relation at every fold boundary — its
+    edge count is sum(deg)/2, no extra scan of the adjacency), the
+    remaining edges are collected and the cascade finishes driver-side
+    with the textbook O(E) queue peel. Distributed rounds therefore
+    run only while the remainder is genuinely large: a 1M-node path
+    never runs a distributed step at all (1M edges <= the 2M default),
+    while a web-scale graph peels distributed until its dense core
+    region — which no driver could hold — is decided, and typically
+    converges to empty-frontier long before the remainder fits. The
+    collect is bounded by the threshold (2M edges ~ 32 MB), the same
+    contract as the codebook/manifest collects elsewhere in this
+    package.
+
+    Why removal needs no edge rewrite: frontiers are DISJOINT across
+    steps, so an edge contributes a decrement exactly once per
     endpoint-peel, and decrements aimed at already-peeled nodes are
-    discarded by the degree anti-join — spurious but harmless. The
-    adjacency therefore stays immutable; per-round cost is one
-    map-side scan of the cache plus node-sized shuffles, with NO
-    edge-sized shuffle or checkpoint write at any round (plan-gated
-    via :func:`_kcore_decrements`). The per-round driver action is a
-    single emptiness probe of the peel set — never a collect of nodes.
-    Raises after ``max_rounds`` (a pathological chain can need many
-    rounds; partial results would silently include non-core nodes).
+    discarded (anti-join against the recent frontiers between folds,
+    the fold's anti-join after) — spurious but harmless.
 
-    ``checkpoint_every`` is retained for API compatibility and ignored:
-    it throttled the surviving-edge-relation rewrite, which the delta
-    design removed entirely (the A/B at 20M and 100M edges had already
-    measured the knob a wash — checkpoint I/O was never the cost).
-    Results are identical for any value (unit-gated).
+    ``checkpoint_every`` is retained for API compatibility and ignored
+    (its surviving-edge rewrite was removed in round 7; results are
+    identical for any value, unit-gated).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    if fold_every < 1:
+        raise ValueError(f"fold_every must be >= 1, got {fold_every}")
+    if local_max_edges < 0:
+        raise ValueError(f"local_max_edges must be >= 0, got {local_max_edges}")
     spark = edges.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     und = (
@@ -780,7 +837,7 @@ def kcore(
         .distinct()
     )
     # symmetric adjacency (a = self, b = neighbor), partitioned on "b"
-    # — the per-round peel-join key — and sorted so the round's
+    # — the per-step peel-join key — and sorted so the step's
     # sort-merge join never re-sorts the edge side; shuffled ONCE here
     sym = (
         und.select(F.col("u").alias("a"), F.col("v").alias("b"))
@@ -789,8 +846,72 @@ def kcore(
         .sortWithinPartitions("b")
         .persist()
     )
+
+    def _surv_edges(deg: DataFrame) -> int:
+        """Surviving-subgraph edge count from the degree relation alone
+        (every applied decrement removed both endpoints' counts, so
+        sum(deg)/2 is exact — no adjacency scan)."""
+        total = deg.agg(F.sum("__deg").alias("s")).collect()[0]["s"]
+        return int(total or 0) // 2
+
+    def _local_finish(deg: DataFrame) -> DataFrame:
+        """Collect the surviving subgraph (bounded by local_max_edges)
+        and run the textbook O(E) queue peel driver-side — the only
+        way to bound ROUND count on a tiny-frontier cascade, which is
+        inherently sequential."""
+        from collections import Counter, defaultdict, deque
+
+        surv_a = deg.select(F.col(node_col).alias("a"))
+        surv_b = deg.select(F.col(node_col).alias("b"))
+        pairs = (
+            sym.join(surv_b, "b")  # cached b-partitioning, frontier-style probe
+            .join(surv_a, "a")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .collect()
+        )
+        adj: dict = defaultdict(list)
+        degc: Counter = Counter()
+        for r in pairs:
+            a, b = r["a"], r["b"]
+            adj[a].append(b)
+            adj[b].append(a)
+            degc[a] += 1
+            degc[b] += 1
+        queue = deque(n for n, d in degc.items() if d < k)
+        removed: set = set()
+        while queue:
+            n = queue.popleft()
+            if n in removed:
+                continue
+            removed.add(n)
+            for m in adj[n]:
+                if m not in removed:
+                    degc[m] -= 1
+                    if degc[m] == k - 1:  # just dropped below k: enqueue once
+                        queue.append(m)
+        rows = [(n, degc[n]) for n in degc if n not in removed]
+        schema = f"{node_col} long, core_degree long"
+        return spark.createDataFrame(rows, schema)
+
+    def _fold(deg: DataFrame, recents: list[DataFrame], pend: DataFrame | None) -> DataFrame:
+        """Apply the peeled frontiers + pending decrements to the
+        degree relation — the only node-sized checkpoint, amortized."""
+        out = deg
+        if recents:
+            recent = recents[0]
+            for r in recents[1:]:
+                recent = recent.unionByName(r)
+            out = out.join(recent, node_col, "left_anti")
+        if pend is not None:
+            out = out.join(pend, node_col, "left").select(
+                node_col,
+                (F.col("__deg") - F.coalesce("__dec", F.lit(0))).alias("__deg"),
+            )
+        return out.localCheckpoint(eager=True)
+
     try:
-        sym.count()  # materialize: every round must hit the cache
+        sym.count()  # materialize: every step must hit the cache
         # initial degrees, computed ONCE (map-side-combined: the
         # shuffle is bounded by distinct nodes per partition)
         deg = (
@@ -799,31 +920,53 @@ def kcore(
             .select(F.col("a").alias(node_col), "__deg")
             .localCheckpoint(eager=True)
         )
-        for _ in range(max_rounds):
-            peel = deg.where(F.col("__deg") < k).persist()
-            try:
-                if peel.isEmpty():
-                    return deg.select(
-                        node_col, F.col("__deg").cast("long").alias("core_degree")
-                    )
-                dec = _kcore_decrements(sym, peel, node_col)
-                deg = (
-                    deg.join(peel.select(node_col), node_col, "left_anti")
-                    .join(dec, node_col, "left")
-                    .select(
-                        node_col,
-                        (F.col("__deg") - F.coalesce("__dec", F.lit(0))).alias("__deg"),
-                    )
-                    .localCheckpoint(eager=True)
+        if _surv_edges(deg) <= local_max_edges:
+            return _local_finish(deg)
+        frontier = deg.where(F.col("__deg") < k).select(node_col).localCheckpoint(
+            eager=True
+        )
+        pend: DataFrame | None = None
+        recents: list[DataFrame] = []
+        for step in range(max_rounds):
+            if frontier.isEmpty():
+                if recents:
+                    deg = _fold(deg, recents, pend)
+                return deg.select(
+                    node_col, F.col("__deg").cast("long").alias("core_degree")
                 )
-            finally:
-                # deg is eagerly materialized above, so nothing still
-                # references the peel cache on any path
-                peel.unpersist()
+            dec = _kcore_decrements(sym, frontier, node_col)
+            pend = (
+                dec
+                if pend is None
+                else pend.unionByName(dec)
+                .groupBy(node_col)
+                .agg(F.sum("__dec").alias("__dec"))
+            ).localCheckpoint(eager=True)
+            recents.append(frontier)
+            recent = recents[0]
+            for r in recents[1:]:
+                recent = recent.unionByName(r)
+            # between folds only pending-touched nodes can be newly
+            # below k; already-peeled ones are anti'd out (pre-fold
+            # peels are gone from deg itself, so the inner join drops
+            # them)
+            frontier = (
+                pend.join(deg, node_col)
+                .where(F.col("__deg") - F.col("__dec") < k)
+                .join(recent, node_col, "left_anti")
+                .select(node_col)
+                .localCheckpoint(eager=True)
+            )
+            if (step + 1) % fold_every == 0:
+                deg = _fold(deg, recents, pend)
+                pend = None
+                recents = []
+                if _surv_edges(deg) <= local_max_edges:
+                    return _local_finish(deg)
     finally:
         sym.unpersist()
     raise ValueError(
-        f"kcore did not converge in {max_rounds} rounds; raise max_rounds"
+        f"kcore did not converge in {max_rounds} cascade steps; raise max_rounds"
     )
 
 

@@ -319,11 +319,24 @@ def test_repetition_signals_arrow_jvm_equivalence(spark):
     Java-whitespace-class separators (\\t \\x0b \\f \\r), SPACE-only
     trim edges, case-mixing, and covered-chars ties (the struct-max
     gram tiebreak). Guards the engine-substitution risk named in the
-    operator docstring."""
+    operator docstring.
+
+    Round 8: non-ASCII case-mapping adversaries — Python ``str.lower``
+    vs JVM ``lower()`` divergence would silently change gopher
+    keep/reject decisions on non-ASCII corpora. Covers İ (U+0130 →
+    i + combining dot, a LENGTHENING lowercase), dotless ı, ß/ẞ,
+    final-sigma context (Σ/ς), full-width forms, combining marks,
+    Cherokee case pairs (late-Unicode case additions), titlecase
+    digraphs (ǅ), astral math letters, and non-ASCII whitespace
+    (NBSP U+00A0, ideographic space U+3000 — NOT separators for
+    either engine's ASCII-only ``\\s``)."""
     import random
 
     rng = random.Random(7)
-    words = ["a", "bb", "ccc", "dd", "e", "zz", "yy", "#", "...", "Tab\there", "MiXeD"]
+    words = [
+        "a", "bb", "ccc", "dd", "e", "zz", "yy", "#", "...", "Tab\there", "MiXeD",
+        "İstanbul", "straße", "ΟΔΟΣ", "Ꭰꭰ", "ｗｉｄｔｈ", "café",
+    ]
     docs = []
     for i in range(120):
         lines = []
@@ -342,6 +355,22 @@ def test_repetition_signals_arrow_jvm_equivalence(spark):
         (9007, "  leading  spaces \n\t\n  "),
         (9008, "A a A a\nA a"),
         (9009, "word\tword\x0bword\fword\rword"),
+        # --- non-ASCII case-mapping / whitespace adversaries ---
+        (9010, "İstanbul İSTANBUL\nİstanbul İSTANBUL"),  # U+0130 dotted I
+        (9011, "STRASSE straße STRASSE straße"),         # sharp s
+        (9012, "ẞHARP ẞHARP ẞHARP ẞHARP"),               # capital sharp s
+        (9013, "ΟΔΟΣ οδος ΟΔΟΣ οδος"),                   # final-sigma context
+        (9014, "ΣΙΓΜΑ ΣΙΓΜΑ τέλοΣ τέλοΣ"),               # sigma at word end
+        (9015, "ＦＵＬＬ ｗｉｄｔｈ ＦＵＬＬ ｗｉｄｔｈ"),  # full-width forms
+        (9016, "café CAFÉ café CAFÉ"),   # combining acute
+        (9017, "a b a b c"),                   # NBSP inside tokens
+        (9018, "x　y x　y z"),                   # ideographic space
+        (9019, "Ꭰ ꭰ Ꭰ ꭰ\nᎠ ꭰ"),                          # Cherokee case pair
+        (9020, "ǅungla ǆungla ǅungla ǆungla"),           # titlecase digraph
+        (9021, "ıI ıI İi İi"),                           # dotless i mixes
+        (9022, "𝔘𝔫𝔦 𝔘𝔫𝔦 ascii ascii"),                   # astral math letters
+        (9023, "ΑΣ ΒΣ ΑΣ ΒΣ"),                           # final sigma at end
+        (9024, "İ\nİ\ni̇\ni̇"),                           # dup lines, dotted I
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     cols = ["dup_line_char_frac", "max_line_repeat", "top_bigram_char_frac"]
@@ -354,6 +383,50 @@ def test_repetition_signals_arrow_jvm_equivalence(spark):
         for r in repetition_signals(df, impl="jvm").select("doc_id", *cols).collect()
     }
     assert a == j
+
+
+def test_repetition_signals_jvm_folds_evaluated_once(spark):
+    """The jvm impl materializes each ArrayAggregate fold in its own
+    projection before field extraction: inlining them per field
+    reference re-evaluates the INTERPRETED (CodegenFallback) fold 2x
+    (line stats) / ~4x (gram argmax). Gate: the optimized plan carries
+    exactly the three folds (line chars, line stats, gram argmax) —
+    a collapse regression would duplicate them."""
+    df = spark.createDataFrame([(1, "a b\na b\nc")], "id long, text string")
+    plan = (
+        repetition_signals(df, impl="jvm")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("aggregate(") == 3, plan
+    assert plan.count("array_sort") == 2, plan
+
+
+def test_gopher_filter_rep_impl_passthrough(spark):
+    """gopher_filter(rep_impl='jvm') keeps the whole gate pure-Catalyst
+    (no Python eval in the plan) and computes the same keep/reasons as
+    the default Arrow path."""
+    from terrorblade_spark.operators.curation import gopher_filter
+
+    docs = [
+        (1, "a good enough document with several plain words here"),
+        (2, "dup dup\ndup dup\ndup dup\ndup dup\nunique tail line"),
+        (3, "## ### #### too # symbolic # for # its # word # count"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = {
+        r["doc_id"]: (r["keep"], tuple(r["quality_reasons"]))
+        for r in gopher_filter(df).collect()
+    }
+    j_df = gopher_filter(df, rep_impl="jvm")
+    j = {
+        r["doc_id"]: (r["keep"], tuple(r["quality_reasons"]))
+        for r in j_df.collect()
+    }
+    assert a == j
+    plan = j_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
 
 
 def test_repetition_signals_rejects_unknown_impl(spark):

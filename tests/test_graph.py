@@ -412,6 +412,58 @@ def test_kcore_matches_bruteforce(spark):
         assert got == _py_kcore(und, k), k
 
 
+def test_kcore_path_graph_converges(spark):
+    """The round-7 design RAISED on deep peel cascades (max_rounds=64;
+    a path graph's peel depth is O(n)). The local finisher bounds round
+    count: a 1k-node path (999 edges <= local_max_edges) never runs a
+    distributed step and fully peels to the empty 2-core."""
+    from terrorblade_spark.operators.graph import kcore
+
+    n = 1000
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    assert kcore(e, 2).count() == 0
+
+
+def test_kcore_distributed_cascade_matches_local(spark):
+    """local_max_edges=0 forces the distributed frontier-cascade on a
+    graph with both a surviving core (K5) and a deep-ish peel tail;
+    results are identical to the default local path, and a pure path
+    converges to empty instead of raising (the pre-round-8 behavior
+    at depth > max_rounds)."""
+    from terrorblade_spark.operators.graph import kcore
+
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)] + [
+        (4, 10), (10, 11), (11, 12), (12, 13), (13, 14),
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    dflt = sorted(map(tuple, kcore(e, 3).collect()))
+    dist = sorted(map(tuple, kcore(e, 3, local_max_edges=0).collect()))
+    assert dflt == dist == [(0, 4), (1, 4), (2, 4), (3, 4), (4, 4)]
+
+    p = spark.createDataFrame([(i, i + 1) for i in range(12)], "src long, dst long")
+    assert kcore(p, 2, local_max_edges=0).count() == 0
+
+
+def test_kcore_distributed_fold_every_identical(spark):
+    """fold_every only changes when pending decrements fold into the
+    degree relation — never the result (gated across the cascade's
+    fold boundary)."""
+    from terrorblade_spark.operators.graph import kcore
+
+    e = spark.createDataFrame(
+        [((i * 5 + 1) % 97, (i * 11 + 3) % 97) for i in range(300)],
+        "src long, dst long",
+    )
+    base = sorted(map(tuple, kcore(e, k=4).collect()))
+    for fe in (1, 3):
+        got = sorted(
+            map(tuple, kcore(e, k=4, local_max_edges=0, fold_every=fe).collect())
+        )
+        assert got == base, fe
+
+
 def test_kcore_rejects_bad_k(spark):
     from terrorblade_spark.operators.graph import kcore
 
@@ -524,6 +576,63 @@ def test_lpa_zero_iters_identity_and_parallel_edges(spark):
     assert _labels(label_propagation(e, n_iter=0)) == {1: 1, 2: 2, 3: 3}
     # parallel 1-2 edges (total pull 2) beat the single 3-2 edge
     assert _labels(label_propagation(e, n_iter=1))[2] == 1
+
+
+def test_lpa_stop_when_stable_exact_and_early(spark):
+    """Two triangles + bridge converge in a few rounds; with
+    stop_when_stable a 20-round budget returns the SAME labels as the
+    fixed 20-round run while running far fewer jobs (counted via job
+    groups) — the early stop is exact because synchronous LPA is
+    memoryless at a fixpoint."""
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(4, 5), (5, 6), (4, 6)]
+    e = spark.createDataFrame(tri1 + tri2 + [(3, 4)], "src long, dst long")
+    sc = spark.sparkContext
+
+    def run(group, **kw):
+        sc.setJobGroup(group, group)
+        try:
+            got = _labels(label_propagation(e, n_iter=20, **kw))
+            return got, len(sc.statusTracker().getJobIdsForGroup(group))
+        finally:
+            sc.setJobGroup("", "")
+
+    fixed, fixed_jobs = run("lpa-fixed")
+    early, early_jobs = run("lpa-early", stop_when_stable=True)
+    assert early == fixed
+    # converged by ~round 3; 20 fixed rounds must cost well over the
+    # early-stopped run even counting the probe jobs
+    assert early_jobs < fixed_jobs
+
+
+def test_lpa_stop_when_stable_check_every_amortized(spark):
+    """The convergence probe fires every check_every rounds: on a
+    graph that does NOT converge within the budget, check_every=5 runs
+    fewer probe jobs than check_every=1, and both return the exact
+    fixed-round labels (probing never changes results)."""
+    # a 6-cycle oscillates/rotates labels for many rounds
+    cyc = [(i, (i % 6) + 1) for i in range(1, 7)]
+    e = spark.createDataFrame(cyc, "src long, dst long")
+    sc = spark.sparkContext
+
+    def run(group, **kw):
+        sc.setJobGroup(group, group)
+        try:
+            got = _labels(label_propagation(e, n_iter=5, **kw))
+            return got, len(sc.statusTracker().getJobIdsForGroup(group))
+        finally:
+            sc.setJobGroup("", "")
+
+    fixed, _ = run("lpa-ce-fixed")
+    g1, j1 = run("lpa-ce1", stop_when_stable=True, check_every=1)
+    g5, j5 = run("lpa-ce5", stop_when_stable=True, check_every=5)
+    assert g1 == fixed and g5 == fixed
+    assert j5 < j1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="check_every"):
+        label_propagation(e, n_iter=2, stop_when_stable=True, check_every=0)
 
 
 def test_kcore_checkpoint_every_identical_results(spark):
