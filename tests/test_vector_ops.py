@@ -416,6 +416,42 @@ def test_ivfpq_residual_build_and_search(spark, sf_dir):
     assert len(approx & exact) / k >= 0.5
 
 
+def test_ivfpq_server_identical_to_topk(spark, sf_dir):
+    """ivfpq_server holds the model resident (centroids + codebooks
+    collected once, zero per-query model jobs) and must return
+    BIT-IDENTICAL rows to per-query ivfpq_topk(residual=True) for the
+    same knobs — both run _ivfpq_query_resident."""
+    from terrorblade_spark.operators.vector import (
+        ivfpq_build,
+        ivfpq_server,
+        ivfpq_topk,
+    )
+    from terrorblade_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    k, m = 10, 16
+    enc, cents, cb = ivfpq_build(emb, n_lists=4, m=m, n_codes=16, seed=7)
+    enc = enc.persist()
+    enc.count()
+    serve = ivfpq_server(enc, cents, cb, m=m, nprobe=2)
+    for vid in [r["vec_id"] for r in emb.orderBy("vec_id").limit(3).collect()]:
+        qvec = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == vid).first()["embedding"]
+        ]
+        one_shot = [
+            (r["vec_id"], round(r["cosine_sim"], 9))
+            for r in ivfpq_topk(
+                enc, cents, cb, qvec, k, m=m, nprobe=2, residual=True
+            ).collect()
+        ]
+        served = [
+            (r["vec_id"], round(r["cosine_sim"], 9))
+            for r in serve(qvec, k).collect()
+        ]
+        assert served == one_shot, vid
+
+
 def test_ivfpq_save_load_roundtrip_serving(spark, sf_dir, tmp_path):
     """Persisted IVF-PQ: save, load, and serve — results identical to
     the in-memory index, and the loaded search reads only probed

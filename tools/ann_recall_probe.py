@@ -19,7 +19,17 @@ per batch, no driver materialization).
 Usage:
     python tools/ann_recall_probe.py [--n 1000000] [--dim 64]
         [--clusters 256] [--n-lists 256] [--nprobe 8] [--m 8]
-        [--n-codes 64] [--queries 5] [--k 10]
+        [--n-codes 64] [--queries 5] [--k 10] [--serving 0]
+
+``--serving N`` (round 8, VERDICT r7 task 6) adds a steady-state
+serving leg: N queries against an ivfpq_server session (model
+resident driver-side, encoded relation persisted — the deployment
+shape), reporting amortized per-query latency. The r7 probe's
+5.1-6.6 s/query at 10M was dominated by per-query model collects +
+first-touch plan/JIT, not the probed-cell scan; a held session
+amortizes both. Recall is spot-checked against brute force on the
+first 3 serving queries (must match the one-shot path — bit-identical
+plan, unit-gated in tests/test_vector_ops.py).
 
 Prints one JSON line with recall + wall times; paste into COVERAGE.md.
 """
@@ -78,9 +88,15 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=5)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--shortlist", type=int, default=1024)
+    ap.add_argument("--serving", type=int, default=0)
     args = ap.parse_args()
 
-    from terrorblade_spark.operators.vector import cosine, ivfpq_build, ivfpq_topk
+    from terrorblade_spark.operators.vector import (
+        cosine,
+        ivfpq_build,
+        ivfpq_server,
+        ivfpq_topk,
+    )
     from terrorblade_spark.session import get_spark
 
     spark = get_spark("ann-recall-probe")
@@ -159,6 +175,41 @@ def main() -> None:
             flush=True,
         )
 
+    serving = None
+    if args.serving > 0:
+        serve = ivfpq_server(
+            enc, cents, cb, m=args.m, nprobe=args.nprobe, shortlist=args.shortlist
+        )
+        lat = []
+        s_recalls = []
+        for si in range(args.serving):
+            c = qrng.integers(0, args.clusters)
+            qvec = (centers[c] + qrng.standard_normal(args.dim)).tolist()
+            t0 = time.time()
+            got = {r["vec_id"] for r in serve(qvec, args.k).collect()}
+            lat.append(time.time() - t0)
+            if si < 3:  # recall spot-check vs brute force
+                qlit = F.array(*[F.lit(float(x)) for x in qvec])
+                exact = {
+                    r["vec_id"]
+                    for r in corpus.select(
+                        "vec_id", cosine(F.col("embedding"), qlit).alias("s")
+                    )
+                    .orderBy(F.desc("s"), "vec_id")
+                    .limit(args.k)
+                    .collect()
+                }
+                s_recalls.append(len(got & exact) / args.k)
+            print(f"# serve{si}: {lat[-1]:.2f}s", flush=True)
+        lat.sort()
+        serving = {
+            "n_queries": args.serving,
+            "latency_median_s": round(lat[len(lat) // 2], 2),
+            "latency_min_s": round(lat[0], 2),
+            "latency_p90_s": round(lat[min(len(lat) - 1, int(len(lat) * 0.9))], 2),
+            "recall_spot": round(sum(s_recalls) / len(s_recalls), 2),
+        }
+
     out = {
         "probe": "ivfpq_recall",
         "n_vectors": n,
@@ -176,6 +227,8 @@ def main() -> None:
         "t_ann_per_query_s": round(t_ann_tot / args.queries, 2),
         "scan_fraction": round(sum(scanned_rows) / len(scanned_rows) / n, 4),
     }
+    if serving is not None:
+        out["serving"] = serving
     print(json.dumps(out))
 
 
