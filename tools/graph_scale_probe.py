@@ -15,7 +15,8 @@ across superstep boundaries is the "peak localCheckpoint footprint".
 
 Usage:
     python tools/graph_scale_probe.py [--nodes 10000000] [--avg-deg 10]
-        [--supersteps 10] [--bfs-hops 4] [--lpa-rounds 2] [--kcore-k 10]
+        [--supersteps 10] [--bfs-hops 4] [--lpa-rounds 2]
+        [--lpa-stable] [--lpa-check-every 1] [--kcore-k 10]
         [--skip-kcore] [--skip-lpa] [--skip-bfs] [--skip-pagerank]
 
 Legs share one JVM, so a full run measures later legs under the GC
@@ -74,6 +75,8 @@ def main() -> None:
     ap.add_argument("--supersteps", type=int, default=10)
     ap.add_argument("--bfs-hops", type=int, default=4)
     ap.add_argument("--lpa-rounds", type=int, default=2)
+    ap.add_argument("--lpa-stable", action="store_true")
+    ap.add_argument("--lpa-check-every", type=int, default=1)
     ap.add_argument("--kcore-k", type=int, default=10)
     ap.add_argument("--skip-bfs", action="store_true")
     ap.add_argument("--skip-pagerank", action="store_true")
@@ -160,12 +163,18 @@ def main() -> None:
     # --- label propagation ---
     if not args.skip_lpa:
         t0 = time.time()
-        lp = label_propagation(edges, n_iter=args.lpa_rounds)
+        lp = label_propagation(
+            edges,
+            n_iter=args.lpa_rounds,
+            stop_when_stable=args.lpa_stable,
+            check_every=args.lpa_check_every,
+        )
         stats = lp.agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("community").alias("k"),
         ).collect()[0]
         out["lpa_s"] = round(time.time() - t0, 1)
+        out["lpa_stable"] = bool(args.lpa_stable)
         out["lpa_nodes"] = int(stats["n"])
         out["lpa_communities"] = int(stats["k"])
 
