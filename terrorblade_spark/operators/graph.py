@@ -782,9 +782,19 @@ def kcore(
       its folded degree >= k, so only pending-touched nodes can have
       dropped below k (one small-side broadcast probe of the degree
       relation — the big side streams, nothing node-sized shuffles);
-    - every ``fold_every`` steps the pending decrements and peeled
-      frontiers fold into the degree relation (the only node-sized
-      checkpoint), amortizing the old per-round rebuild 1/fold_every.
+    - the pending decrements and peeled frontiers fold into the degree
+      relation (the only node-sized checkpoint) every ``fold_every``
+      steps — OR as soon as the pending relation has grown to a
+      meaningful fraction of the degree relation (1/8, measured from
+      the two already-checkpointed row counts). The size trigger is
+      what keeps BOTH graph regimes fast: a bulk wave (the first peel
+      rounds of any real graph, where most below-k nodes die at once)
+      makes pend near node-sized immediately, and maintaining it across
+      steps would cost MORE than the fold it was deferring — so the
+      fold happens now, degenerating exactly to the round-7
+      fold-per-round design that bulk waves want; a tiny-frontier
+      cascade (path graphs, long peel tails) never trips the ratio and
+      keeps the cheap delta path, folding 1/fold_every.
 
     Per-step driver cost is two small checkpoints and one emptiness
     probe; per-step cluster cost is one map-side scan of the cached
@@ -847,12 +857,14 @@ def kcore(
         .persist()
     )
 
-    def _surv_edges(deg: DataFrame) -> int:
-        """Surviving-subgraph edge count from the degree relation alone
-        (every applied decrement removed both endpoints' counts, so
-        sum(deg)/2 is exact — no adjacency scan)."""
-        total = deg.agg(F.sum("__deg").alias("s")).collect()[0]["s"]
-        return int(total or 0) // 2
+    def _deg_stats(deg: DataFrame) -> tuple[int, int]:
+        """(surviving edges, surviving nodes) from the degree relation
+        alone — every applied decrement removed both endpoints' counts,
+        so sum(deg)/2 is exact; no adjacency scan."""
+        row = deg.agg(
+            F.sum("__deg").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        return int(row["s"] or 0) // 2, int(row["n"])
 
     def _local_finish(deg: DataFrame) -> DataFrame:
         """Collect the surviving subgraph (bounded by local_max_edges)
@@ -920,7 +932,8 @@ def kcore(
             .select(F.col("a").alias(node_col), "__deg")
             .localCheckpoint(eager=True)
         )
-        if _surv_edges(deg) <= local_max_edges:
+        surv_edges, deg_n = _deg_stats(deg)
+        if surv_edges <= local_max_edges:
             return _local_finish(deg)
         frontier = deg.where(F.col("__deg") < k).select(node_col).localCheckpoint(
             eager=True
@@ -943,26 +956,41 @@ def kcore(
                 .agg(F.sum("__dec").alias("__dec"))
             ).localCheckpoint(eager=True)
             recents.append(frontier)
-            recent = recents[0]
-            for r in recents[1:]:
-                recent = recent.unionByName(r)
-            # between folds only pending-touched nodes can be newly
-            # below k; already-peeled ones are anti'd out (pre-fold
-            # peels are gone from deg itself, so the inner join drops
-            # them)
-            frontier = (
-                pend.join(deg, node_col)
-                .where(F.col("__deg") - F.col("__dec") < k)
-                .join(recent, node_col, "left_anti")
-                .select(node_col)
-                .localCheckpoint(eager=True)
-            )
-            if (step + 1) % fold_every == 0:
+            # size-triggered fold: once pend rivals the degree relation
+            # (1/8 by rows — both are checkpointed, the count is a
+            # cache scan), carrying it another step costs more than the
+            # fold it defers; bulk peel waves fold per-round (the r7
+            # design they want), tiny cascades never trip this
+            if (step + 1) % fold_every == 0 or pend.count() * 8 >= deg_n:
                 deg = _fold(deg, recents, pend)
                 pend = None
                 recents = []
-                if _surv_edges(deg) <= local_max_edges:
+                surv_edges, deg_n = _deg_stats(deg)
+                if surv_edges <= local_max_edges:
                     return _local_finish(deg)
+                # the folded relation holds every un-peeled node at its
+                # true degree, so the next frontier is a plain filter —
+                # no join, the bulk-wave fast path
+                frontier = (
+                    deg.where(F.col("__deg") < k)
+                    .select(node_col)
+                    .localCheckpoint(eager=True)
+                )
+            else:
+                recent = recents[0]
+                for r in recents[1:]:
+                    recent = recent.unionByName(r)
+                # between folds only pending-touched nodes can be newly
+                # below k; already-peeled ones are anti'd out (pre-fold
+                # peels are gone from deg itself, so the inner join
+                # drops them)
+                frontier = (
+                    pend.join(deg, node_col)
+                    .where(F.col("__deg") - F.col("__dec") < k)
+                    .join(recent, node_col, "left_anti")
+                    .select(node_col)
+                    .localCheckpoint(eager=True)
+                )
     finally:
         sym.unpersist()
     raise ValueError(
