@@ -746,6 +746,13 @@ def triangle_count(
     return out
 
 
+# kcore delta path: largest pend/recents relation the frontier-recovery
+# join may BROADCAST (rows; ~24 B/row -> ~50 MB at the cap). Larger
+# deltas fold instead — their recovery join would shuffle the
+# node-sized degree relation, the cost the delta path exists to avoid.
+_KCORE_BROADCAST_ROWS = 2_000_000
+
+
 def kcore(
     edges: DataFrame,
     k: int,
@@ -870,51 +877,73 @@ def kcore(
         """Collect the surviving subgraph (bounded by local_max_edges)
         and run the textbook O(E) queue peel driver-side — the only
         way to bound ROUND count on a tiny-frontier cascade, which is
-        inherently sequential."""
-        from collections import Counter, defaultdict, deque
+        inherently sequential. The collect is Arrow-batched into two
+        int64 numpy columns (~16 B/edge — 2M edges ~ 32 MB, matching
+        the documented bound) and peeled over a CSR adjacency; Python
+        Row objects / dict-of-list adjacency would cost 1-2 orders of
+        magnitude more driver memory at the threshold."""
+        from collections import deque
+
+        import numpy as np
 
         surv_a = deg.select(F.col(node_col).alias("a"))
         surv_b = deg.select(F.col(node_col).alias("b"))
-        pairs = (
+        pdf = (
             sym.join(surv_b, "b")  # cached b-partitioning, frontier-style probe
             .join(surv_a, "a")
             .where(F.col("a") < F.col("b"))
             .select("a", "b")
-            .collect()
+            .toPandas()
         )
-        adj: dict = defaultdict(list)
-        degc: Counter = Counter()
-        for r in pairs:
-            a, b = r["a"], r["b"]
-            adj[a].append(b)
-            adj[b].append(a)
-            degc[a] += 1
-            degc[b] += 1
-        queue = deque(n for n, d in degc.items() if d < k)
-        removed: set = set()
+        if len(pdf) == 0:
+            return spark.createDataFrame([], f"{node_col} long, core_degree long")
+        ea = pdf["a"].to_numpy(dtype=np.int64)
+        eb = pdf["b"].to_numpy(dtype=np.int64)
+        # dense-relabel nodes -> 0..n-1, then CSR over both directions
+        nodes_arr, idx = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+        n_nodes = len(nodes_arr)
+        src = np.concatenate([idx[: len(ea)], idx[len(ea) :]])
+        dst = np.concatenate([idx[len(ea) :], idx[: len(ea)]])
+        order = np.argsort(src, kind="stable")
+        dst = dst[order]
+        degc = np.bincount(src, minlength=n_nodes)
+        starts = np.zeros(n_nodes + 1, dtype=np.int64)
+        np.cumsum(degc, out=starts[1:])
+        degs = degc.copy()
+        removed = np.zeros(n_nodes, dtype=bool)
+        queue = deque(np.flatnonzero(degs < k).tolist())
         while queue:
-            n = queue.popleft()
-            if n in removed:
+            u = queue.popleft()
+            if removed[u]:
                 continue
-            removed.add(n)
-            for m in adj[n]:
-                if m not in removed:
-                    degc[m] -= 1
-                    if degc[m] == k - 1:  # just dropped below k: enqueue once
-                        queue.append(m)
-        rows = [(n, degc[n]) for n in degc if n not in removed]
-        schema = f"{node_col} long, core_degree long"
-        return spark.createDataFrame(rows, schema)
+            removed[u] = True
+            for v in dst[starts[u] : starts[u + 1]]:
+                if not removed[v]:
+                    degs[v] -= 1
+                    if degs[v] == k - 1:  # just dropped below k: enqueue once
+                        queue.append(int(v))
+        import pandas as pd
+
+        alive = ~removed
+        out_pdf = pd.DataFrame(
+            {node_col: nodes_arr[alive], "core_degree": degs[alive].astype(np.int64)}
+        )
+        return spark.createDataFrame(out_pdf, f"{node_col} long, core_degree long")
+
+    def _union_all(dfs: list[DataFrame]) -> DataFrame:
+        """The 'peeled since last fold' relation: union of the recent
+        frontiers (disjoint by construction)."""
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def _fold(deg: DataFrame, recents: list[DataFrame], pend: DataFrame | None) -> DataFrame:
         """Apply the peeled frontiers + pending decrements to the
         degree relation — the only node-sized checkpoint, amortized."""
         out = deg
         if recents:
-            recent = recents[0]
-            for r in recents[1:]:
-                recent = recent.unionByName(r)
-            out = out.join(recent, node_col, "left_anti")
+            out = out.join(_union_all(recents), node_col, "left_anti")
         if pend is not None:
             out = out.join(pend, node_col, "left").select(
                 node_col,
@@ -940,13 +969,16 @@ def kcore(
         )
         pend: DataFrame | None = None
         recents: list[DataFrame] = []
+        rec_n = 0  # total rows across recents (each frontier counted once)
         for step in range(max_rounds):
-            if frontier.isEmpty():
+            fn = frontier.count()
+            if fn == 0:
                 if recents:
                     deg = _fold(deg, recents, pend)
                 return deg.select(
                     node_col, F.col("__deg").cast("long").alias("core_degree")
                 )
+            rec_n += fn
             dec = _kcore_decrements(sym, frontier, node_col)
             pend = (
                 dec
@@ -960,11 +992,24 @@ def kcore(
             # (1/8 by rows — both are checkpointed, the count is a
             # cache scan), carrying it another step costs more than the
             # fold it defers; bulk peel waves fold per-round (the r7
-            # design they want), tiny cascades never trip this
-            if (step + 1) % fold_every == 0 or pend.count() * 8 >= deg_n:
+            # design they want), tiny cascades never trip this. A pend
+            # too large to BROADCAST (below) also folds: its recovery
+            # join would shuffle the node-sized deg, the very cost the
+            # delta path exists to avoid.
+            pn = pend.count()
+            if (
+                (step + 1) % fold_every == 0
+                or pn * 8 >= deg_n
+                or pn > _KCORE_BROADCAST_ROWS
+                # a huge frontier can emit a tiny pend (star graph: 3M
+                # leaves decrement one hub row) — the recents union
+                # must be broadcastable too
+                or rec_n > _KCORE_BROADCAST_ROWS
+            ):
                 deg = _fold(deg, recents, pend)
                 pend = None
                 recents = []
+                rec_n = 0
                 surv_edges, deg_n = _deg_stats(deg)
                 if surv_edges <= local_max_edges:
                     return _local_finish(deg)
@@ -977,17 +1022,21 @@ def kcore(
                     .localCheckpoint(eager=True)
                 )
             else:
-                recent = recents[0]
-                for r in recents[1:]:
-                    recent = recent.unionByName(r)
                 # between folds only pending-touched nodes can be newly
                 # below k; already-peeled ones are anti'd out (pre-fold
                 # peels are gone from deg itself, so the inner join
-                # drops them)
+                # drops them). pend/recent are explicitly BROADCAST:
+                # checkpointed relations carry no size statistics, so
+                # the static planner would otherwise sort-merge-shuffle
+                # the node-sized deg every delta step — the hint makes
+                # the documented "deg streams, nothing node-sized
+                # shuffles" plan guaranteed (pn is broadcast-bounded by
+                # the fold trigger above)
                 frontier = (
-                    pend.join(deg, node_col)
+                    F.broadcast(pend)
+                    .join(deg, node_col)
                     .where(F.col("__deg") - F.col("__dec") < k)
-                    .join(recent, node_col, "left_anti")
+                    .join(F.broadcast(_union_all(recents)), node_col, "left_anti")
                     .select(node_col)
                     .localCheckpoint(eager=True)
                 )

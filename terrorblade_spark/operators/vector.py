@@ -726,14 +726,31 @@ def ivfpq_topk(
         )
         cand = encoded.join(F.broadcast(probed), on=list_col, how="left_semi")
         dist = _adc_dist(codebooks, query_vec, m, code_col)
-    # stage 2: ADC shortlist over the probed lists only
+    return _adc_shortlist_rerank(encoded, cand, dist, qlit, k, short_n, id_col, vec_col)
+
+
+def _adc_shortlist_rerank(
+    encoded: DataFrame,
+    cand: DataFrame,
+    dist,
+    qlit,
+    k: int,
+    short_n: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Stages 2-3 shared by every IVF-PQ query path (one-shot raw,
+    one-shot residual, resident serving): ADC shortlist over the probed
+    candidates, then exact cosine re-rank of the shortlist's full
+    vectors. One place so shortlist semantics / tie-breaking cannot
+    drift between the paths (they are asserted bit-identical in
+    tests/test_vector_ops.py)."""
     short = (
         cand.select(F.col(id_col), dist.alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.col(id_col))
         .limit(short_n)
         .select(id_col)
     )
-    # stage 3: exact re-rank of the shortlist's full vectors
     rer = encoded.join(F.broadcast(short), on=id_col, how="left_semi").select(
         F.col(id_col), cosine(F.col(vec_col), qlit).alias("cosine_sim")
     )
@@ -840,16 +857,7 @@ def _ivfpq_query_resident(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    short = (
-        cand.select(F.col(id_col), dist.alias("adc_dist"))
-        .orderBy(F.asc("adc_dist"), F.col(id_col))
-        .limit(short_n)
-        .select(id_col)
-    )
-    rer = encoded.join(F.broadcast(short), on=id_col, how="left_semi").select(
-        F.col(id_col), cosine(F.col(vec_col), qlit).alias("cosine_sim")
-    )
-    return rer.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+    return _adc_shortlist_rerank(encoded, cand, dist, qlit, k, short_n, id_col, vec_col)
 
 
 def quantize_int8(

@@ -464,6 +464,30 @@ def test_kcore_distributed_fold_every_identical(spark):
         assert got == base, fe
 
 
+def test_kcore_delta_branch_cycle_with_tail(spark):
+    """Exercises the BETWEEN-FOLD recovery branch, which every other
+    fixture skips: their first pend trips the size trigger (pend*8 >=
+    deg rows) and folds immediately, so the pend-join + recents
+    anti-join path would be dead code under test. Here a 2,000-node
+    cycle (surviving 2-core) carries a 12-node pendant path whose peel
+    wave advances one node per step — pend is 1-2 rows against a
+    ~2,012-row degree relation, so with fold_every=64 the cascade runs
+    ~12 consecutive delta steps before any fold."""
+    from terrorblade_spark.operators.graph import kcore
+
+    n = 2000
+    cyc = [(i, (i + 1) % n) for i in range(n)]
+    tail = [(0, n), (n, n + 1)] + [(n + i, n + i + 1) for i in range(1, 11)]
+    und = {tuple(sorted(p)) for p in cyc + tail}
+    e = spark.createDataFrame(sorted(und), "src long, dst long")
+    got = {
+        r["node"]: r["core_degree"]
+        for r in kcore(e, 2, local_max_edges=0, fold_every=64).collect()
+    }
+    assert got == _py_kcore(und, 2)
+    assert len(got) == n  # the cycle survives, the whole tail peels
+
+
 def test_kcore_rejects_bad_k(spark):
     from terrorblade_spark.operators.graph import kcore
 
