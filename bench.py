@@ -1,6 +1,14 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and prints ONE JSON line:
+(default /root/testdata/sf0.1) and prints TWO JSON lines on stdout —
+a full-detail line first, then a COMPACT summary line LAST:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The summary line carries per-query MEDIANS only (floats, no calib
+detail) so it stays well under 2000 bytes: the driver records only the
+last 2000 bytes of stdout, and round 8's single fat line lost its own
+head (BENCH_r08.json `parsed: null`) when the calibration fields grew
+it to ~2.9 KB. Per-query calib/min/load detail lives on the FIRST line
+(metric "headline_queries_detail") and in the stderr log.
 
 Self-adjudicating timings: each headline query runs REPEATS (3) timed
 passes after the untimed compile-warm pass, and the per-query entry
@@ -29,6 +37,19 @@ external load and must not be read as regressions),
 and ``loadavg``. A flagged query's numbers answer "what did the box
 do", not "what does the plan cost" — compare against the previous
 round's UNFLAGGED medians only.
+
+Whole-run flag (round 9 — the round-8 judge demonstrated the blind
+spot live: under loadavg 17 every calib sample inflated TOGETHER, the
+p25 floor rose 0.371 -> 0.444, and per-query flagging stayed silent
+because each query's calib median matched the inflated floor): the
+run-relative floor cannot see load that covers the whole run. The fix
+is an ABSOLUTE anchor: ``BENCH_CALIB.json`` (committed beside
+BASELINE.md, measured once per box by ``tools/calibrate_bench_floor.py``
+on an idle box) stores the unloaded calib floor; the summary carries
+``run_flagged: true`` when this run's floor exceeds the committed
+unloaded floor by CALIB_FLAG_RATIO, or when start/end loadavg exceeds
+cpus/2 — either way, EVERY timing in the run was taken under sustained
+external load and the total must not be read as a regression.
 """
 
 from __future__ import annotations
@@ -318,20 +339,83 @@ def main() -> None:
         )
 
     total = round(sum(t["median"] for t in timings.values()), 3)
+    load_end = _loadavg()
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # whole-run adjudication against the committed per-box unloaded
+    # floor (absolute anchor — the run-relative p25 floor inflates with
+    # uniform load and stays silent)
+    ncpu = os.cpu_count() or 32
+    run_flagged = False
+    run_flag_why: list[str] = []
+    floor_unloaded = None
+    calib_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_CALIB.json")
+    try:
+        with open(calib_path) as f:
+            committed = json.load(f)
+        if committed.get("calib_rows") == CALIB_ROWS:
+            floor_unloaded = float(committed["calib_floor_unloaded"])
+    except (OSError, KeyError, ValueError):  # uncalibrated box: loadavg-only
+        pass
+    if floor_unloaded is not None and calib_floor > floor_unloaded * CALIB_FLAG_RATIO:
+        run_flagged = True
+        run_flag_why.append(
+            f"calib_floor {calib_floor:.3f} > {CALIB_FLAG_RATIO}x unloaded {floor_unloaded:.3f}"
+        )
+    load_limit = ncpu / 2
+    if max(load_start, load_end) > load_limit:
+        run_flagged = True
+        run_flag_why.append(
+            f"loadavg {max(load_start, load_end):.1f} > cpus/2 ({load_limit:.0f})"
+        )
+    if run_flagged:
+        print(
+            f"# RUN-FLAGGED (sustained external load for the whole run: "
+            f"{'; '.join(run_flag_why)}) — every timing is an upper bound, "
+            f"not a plan cost",
+            file=sys.stderr,
+        )
+
+    # line 1: full detail (may exceed the driver's 2000-byte stdout
+    # tail — that's fine, it's for humans/tools reading the whole log)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": "headline_queries_detail",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "calib_floor": round(calib_floor, 3),
+                "calib_floor_unloaded": floor_unloaded,
                 "load_flagged": load_flagged,
-                "loadavg": {"start": round(load_start, 2), "end": round(_loadavg(), 2)},
+                "run_flagged": run_flagged,
+                "run_flag_why": run_flag_why,
+                "loadavg": {"start": round(load_start, 2), "end": round(load_end, 2)},
             }
         )
     )
+    # line 2 (LAST): compact summary — per-query medians only. Must fit
+    # the driver's 2000-byte stdout tail; assert so a future field
+    # can't silently regrow it past the limit.
+    summary = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {name: t["median"] for name, t in timings.items()},
+            "sf": sf_val,
+            "calib_floor": round(calib_floor, 3),
+            "load_flagged": load_flagged,
+            "run_flagged": run_flagged,
+            "loadavg": {"start": round(load_start, 2), "end": round(load_end, 2)},
+        }
+    )
+    assert len(summary.encode()) < 1900, (
+        f"summary line {len(summary.encode())}B would overflow the "
+        f"driver's 2000-byte stdout tail"
+    )
+    print(summary)
 
 
 if __name__ == "__main__":

@@ -888,13 +888,26 @@ def kcore(
 
         surv_a = deg.select(F.col(node_col).alias("a"))
         surv_b = deg.select(F.col(node_col).alias("b"))
-        pdf = (
+        plan = (
             sym.join(surv_b, "b")  # cached b-partitioning, frontier-style probe
             .join(surv_a, "a")
             .where(F.col("a") < F.col("b"))
             .select("a", "b")
-            .toPandas()
         )
+        # the ~16 B/edge bound assumes Arrow-batched toPandas; kcore runs
+        # on whatever session the caller's edges carry (the package's
+        # get_spark enables Arrow, a bare session may not), so force it
+        # for this collect and restore the caller's setting after
+        arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+        prev_arrow = spark.conf.get(arrow_key, None)
+        spark.conf.set(arrow_key, "true")
+        try:
+            pdf = plan.toPandas()
+        finally:
+            if prev_arrow is None:
+                spark.conf.unset(arrow_key)
+            else:
+                spark.conf.set(arrow_key, prev_arrow)
         if len(pdf) == 0:
             return spark.createDataFrame([], f"{node_col} long, core_degree long")
         ea = pdf["a"].to_numpy(dtype=np.int64)
@@ -970,6 +983,9 @@ def kcore(
         pend: DataFrame | None = None
         recents: list[DataFrame] = []
         rec_n = 0  # total rows across recents (each frontier counted once)
+        since_fold = 0  # steps since the LAST fold (size-triggered folds
+        # reset it too — a global step modulo would fire a redundant
+        # node-sized fold right after a size-triggered one)
         for step in range(max_rounds):
             fn = frontier.count()
             if fn == 0:
@@ -997,8 +1013,9 @@ def kcore(
             # join would shuffle the node-sized deg, the very cost the
             # delta path exists to avoid.
             pn = pend.count()
+            since_fold += 1
             if (
-                (step + 1) % fold_every == 0
+                since_fold >= fold_every
                 or pn * 8 >= deg_n
                 or pn > _KCORE_BROADCAST_ROWS
                 # a huge frontier can emit a tiny pend (star graph: 3M
@@ -1010,6 +1027,7 @@ def kcore(
                 pend = None
                 recents = []
                 rec_n = 0
+                since_fold = 0
                 surv_edges, deg_n = _deg_stats(deg)
                 if surv_edges <= local_max_edges:
                     return _local_finish(deg)

@@ -886,3 +886,239 @@ def quantize_int8(
         .cast("int"),
     )
     return d.withColumn(qvec_col, q)
+
+
+class LocalIVFPQIndex:
+    """Driver-resident IVF-PQ serving index: the ms-latency point-query
+    tier the reference gets from HNSW
+    (/root/reference/terrorblade/data/database/vector_store.py:191-214),
+    built by Spark, served without Spark.
+
+    ``ivfpq_server`` (above) already amortizes the model collects, but
+    every query is still a Spark job over the probed cells — ~1 s at
+    10M vectors, a scheduling floor no plan shape removes. A point-query
+    SLA in the milliseconds needs the scan itself resident. This class
+    holds the ENCODED relation (ids, list assignments, PQ codes, and
+    the raw vectors for the exact re-rank) as flat numpy arrays in
+    CSR-by-list layout and answers queries in pure numpy: centroid
+    probe -> per-list ADC LUT -> shortlist -> exact re-rank, the same
+    four stages as :func:`_ivfpq_query_resident`, stage-for-stage.
+
+    Memory bound (the reason this is a SERVING-TIER component, not a
+    query operator): ~(8 + 4 + m + 4*dim) bytes/row for f32 vectors —
+    ~2.8 GB at 10M rows, dim 64, m 8. The builder refuses past
+    ``max_bytes``. At 100 TB the corpus does not fit one process; the
+    deployment shape is the one this build pass already has: the
+    ``mapInPandas`` packer emits one binary shard per partition, and a
+    serving fleet assigns each node a LIST-ID RANGE of shards (the
+    coarse quantizer is the shard router, exactly like the distributed
+    probe's partition pruning). This class is one such node holding
+    every shard — the single-box deployment.
+    """
+
+    def __init__(self, ids, lists, codes, vecs, cent_ids, cents, cb):
+        import numpy as np
+
+        order = np.lexsort((ids, lists))
+        self.ids = ids[order]
+        self.lists = lists[order]
+        self.codes = codes[order]
+        self.vecs = vecs[order]
+        self.cent_ids = cent_ids
+        self.cents = cents  # (n_lists, dim) float64, row i = cent_ids[i]
+        self.cb = cb  # (m, n_codes, ds) float64
+        self.m = cb.shape[0]
+        self.ds = cb.shape[2]
+        # CSR: list_id -> row slice
+        uniq, starts = np.unique(self.lists, return_index=True)
+        ends = np.append(starts[1:], len(self.lists))
+        self._slices = {int(l): (int(s), int(e)) for l, s, e in zip(uniq, starts, ends)}
+        cent_norm = np.linalg.norm(self.cents, axis=1)
+        self._cent_unit = self.cents / np.where(cent_norm > 0, cent_norm, 1.0)[:, None]
+        self._cent_by_id = {int(i): self.cents[j] for j, i in enumerate(cent_ids)}
+
+    def nbytes(self) -> int:
+        return int(
+            self.ids.nbytes + self.lists.nbytes + self.codes.nbytes + self.vecs.nbytes
+        )
+
+    def query_rows(
+        self, query_vec, k: int, nprobe: int = 8, shortlist: int | None = None
+    ) -> list[tuple[int, float]]:
+        """Top-k (id, cosine) — pure numpy, no Spark job. Stages mirror
+        :func:`_ivfpq_query_resident`; ties break to the lower id at
+        both the shortlist and the final ordering, and the coarse probe
+        breaks centroid-score ties to the lower list_id, so results
+        match the distributed path (set-gated in tests; float64 sum
+        ORDER differs — numpy pairwise vs JVM sequential fold — which
+        can flip last-ULP near-ties, nothing else)."""
+        import numpy as np
+
+        short_n = shortlist if shortlist is not None else max(16 * k, 256)
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        sims = self._cent_unit @ (q / qn if qn > 0 else q)
+        probe_order = np.lexsort((self.cent_ids, -sims))[:nprobe]
+        cand_rows = []
+        cand_adc = []
+        arange_m = np.arange(self.m)
+        for j in probe_order:
+            lid = int(self.cent_ids[j])
+            sl = self._slices.get(lid)
+            if sl is None:  # empty list: no rows were assigned to it
+                continue
+            s, e = sl
+            qres = (q - self._cent_by_id[lid]).reshape(self.m, self.ds)
+            lut = ((qres[:, None, :] - self.cb) ** 2).sum(axis=2)  # (m, n_codes)
+            adc = lut[arange_m[None, :], self.codes[s:e]].sum(axis=1)
+            cand_rows.append(np.arange(s, e))
+            cand_adc.append(adc)
+        if not cand_rows:
+            return []
+        rows = np.concatenate(cand_rows)
+        adc = np.concatenate(cand_adc)
+        keep = rows[np.lexsort((self.ids[rows], adc))[:short_n]]
+
+        # exact re-rank over the shortlist's stored vectors (their
+        # source values — the same floats the JVM re-rank reads)
+        short_ids = self.ids[keep]
+        vs = self.vecs[keep].astype(np.float64)
+        norms = np.linalg.norm(vs, axis=1)
+        denom = norms * qn
+        cos = np.where(denom > 0, (vs @ q) / np.where(denom > 0, denom, 1.0), -np.inf)
+        top = np.lexsort((short_ids, -cos))[:k]
+        return [
+            (int(short_ids[i]), (None if cos[i] == -np.inf else float(cos[i])))
+            for i in top
+        ]
+
+
+def ivfpq_local_index(
+    encoded: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+    list_col: str = "list_id",
+    max_bytes: int = 12_000_000_000,
+) -> LocalIVFPQIndex:
+    """Build a :class:`LocalIVFPQIndex` from ``ivfpq_build`` outputs.
+
+    One distributed ``mapInPandas`` pass packs each partition's rows
+    into binary shards (ids/lists/codes/vectors as raw little-endian
+    buffers — numpy end to end, never one Python object per row), the
+    driver concatenates the shards. The size guard runs BEFORE the
+    collect, from a count + the model dims, so an oversized corpus
+    fails fast instead of OOMing the driver.
+    """
+    import numpy as np
+
+    cent_rows = centroids.collect()
+    cent_ids = np.array([r[list_col] for r in cent_rows], dtype=np.int64)
+    cents = np.array([list(r["centroid"]) for r in cent_rows], dtype=np.float64)
+    dim = cents.shape[1]
+    cb_rows = codebooks.collect()
+    n_codes = 1 + max(r["code_id"] for r in cb_rows)
+    ds = len(cb_rows[0]["centroid"])
+    cb = np.zeros((m, n_codes, ds), dtype=np.float64)
+    for r in cb_rows:
+        cb[r["sub_id"], r["code_id"]] = list(r["centroid"])
+
+    if n_codes > 256:
+        raise ValueError(
+            f"local index packs codes as uint8; n_codes {n_codes} > 256"
+        )
+    n = encoded.count()
+    est = n * (8 + 4 + m + 4 * dim)
+    if est > max_bytes:
+        raise ValueError(
+            f"local index would need ~{est / 1e9:.1f} GB for {n} rows "
+            f"(> max_bytes {max_bytes / 1e9:.1f} GB); shard by {list_col} "
+            f"ranges across serving nodes instead"
+        )
+
+    src = encoded.select(
+        F.col(id_col).alias("__id"),
+        F.col(list_col).cast("int").alias("__list"),
+        F.col(code_col).alias("__codes"),
+        F.col(vec_col).cast("array<float>").alias("__vec"),
+    )
+
+    def pack(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_a = pdf["__id"].to_numpy(dtype=np.int64)
+            lists_a = pdf["__list"].to_numpy(dtype=np.int32)
+            codes_a = np.stack(pdf["__codes"].to_numpy()).astype(np.uint8)
+            vecs_a = np.stack(pdf["__vec"].to_numpy()).astype(np.float32)
+            yield pd.DataFrame(
+                {
+                    "n": [len(pdf)],
+                    "ids": [ids_a.tobytes()],
+                    "lists": [lists_a.tobytes()],
+                    "codes": [codes_a.tobytes()],
+                    "vecs": [vecs_a.tobytes()],
+                }
+            )
+
+    shards = src.mapInPandas(
+        pack, "n long, ids binary, lists binary, codes binary, vecs binary"
+    ).collect()
+    ids = np.concatenate(
+        [np.frombuffer(s["ids"], dtype=np.int64) for s in shards]
+    )
+    lists = np.concatenate(
+        [np.frombuffer(s["lists"], dtype=np.int32) for s in shards]
+    )
+    codes = np.concatenate(
+        [np.frombuffer(s["codes"], dtype=np.uint8).reshape(-1, m) for s in shards]
+    )
+    vecs = np.concatenate(
+        [np.frombuffer(s["vecs"], dtype=np.float32).reshape(-1, dim) for s in shards]
+    )
+    return LocalIVFPQIndex(ids, lists, codes, vecs, cent_ids, cents, cb)
+
+
+def ivfpq_local_server(
+    encoded: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    nprobe: int = 8,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+    list_col: str = "list_id",
+    max_bytes: int = 12_000_000_000,
+):
+    """:func:`ivfpq_server`'s exact interface over the driver-resident
+    index: returns ``query(query_vec, k, nprobe=..., shortlist=...) ->
+    DataFrame`` with the same ``(id, cosine_sim)`` schema. Per-query
+    cost is numpy only (ms at 10M vectors) plus one small
+    ``createDataFrame``; use ``.index.query_rows`` directly when the
+    caller wants tuples without the DataFrame wrapper."""
+    spark = encoded.sparkSession
+    index = ivfpq_local_index(
+        encoded, centroids, codebooks, m=m, id_col=id_col, vec_col=vec_col,
+        code_col=code_col, list_col=list_col, max_bytes=max_bytes,
+    )
+
+    def query(
+        query_vec,
+        k: int,
+        nprobe: int = nprobe,
+        shortlist: int | None = shortlist,
+    ) -> DataFrame:
+        rows = index.query_rows(query_vec, k, nprobe=nprobe, shortlist=shortlist)
+        return spark.createDataFrame(
+            rows, f"{id_col} long, cosine_sim double"
+        )
+
+    query.index = index
+    return query

@@ -68,6 +68,15 @@ GATE_OVERFLOW: tuple[str, ...] = (
     # history — it stays oracle-verified by the local check_oracle runs
     # (green at sf0.001, sf0.01, and the 10x sf1 dir)
     "q71_bm25_persisted_topk",
+    # round-9 rotation (judge task 7): q63/q64 cede their gate slots to
+    # q104_nation_trade_pagerank and q82_semantic_neardup_components so
+    # the graph + semantic-components families get driver-verified
+    # coverage; q63/q64's operator coverage is duplicated by q86/q94
+    # (packing/shuffle) and q84 (quantization) which hold gate slots.
+    # Both stay full-value-oracle-verified by the local check_oracle
+    # runs. Gate membership is otherwise unchanged since r01.
+    "q63_corpus_shuffle",
+    "q64_embedding_quantize",
     # round-5 additions: full-oracle queries for the previously
     # unit-only operators (as-of/range join, funnel, retention,
     # resample, stratified sampling, connected components). Same
@@ -83,7 +92,9 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q79_event_thread_roots",
     "q80_repeated_window_spans",
     "q81_dsir_sample",
-    "q82_semantic_neardup_components",
+    # q82 rotated INTO the gate in round 9 (judge task: the driver
+    # value-checks only the first 50 registered queries, and the
+    # semantic-components family previously lived entirely in overflow)
     "q83_embedding_moments",
     "q84_quantization_recall",
     "q85_temperature_mix",
@@ -105,7 +116,8 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q101_epoch_balance",
     "q102_curriculum_order",
     "q103_line_dedup",
-    "q104_nation_trade_pagerank",
+    # q104 rotated INTO the gate in round 9 (same judge task: iterative
+    # graph ops previously had zero driver-verified slots)
     "q105_trade_graph_walks",
     "q106_walk_context_pairs",
     "q107_trade_graph_triangles",

@@ -596,3 +596,65 @@ def test_pq_encode_requires_codebooks_not_corpus_scan(spark):
     vecs = spark.createDataFrame([(1, [0.0, 1.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="non-empty codebooks"):
         pq_encode(vecs, empty_cb, m=1)
+
+
+def test_ivfpq_local_server_matches_topk(spark, sf_dir):
+    """ivfpq_local_server (driver-resident numpy serving tier) must
+    return the same ids and cosines (to 1e-9 — numpy pairwise vs JVM
+    sequential float64 summation) as ivfpq_topk(residual=True) at the
+    same knobs: same coarse probe (tie -> lower list_id), same ADC
+    shortlist (tie -> lower id), same exact re-rank over the same
+    stored float values."""
+    from terrorblade_spark.operators.vector import (
+        ivfpq_build,
+        ivfpq_local_server,
+        ivfpq_topk,
+    )
+    from terrorblade_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    k, m = 10, 16
+    enc, cents, cb = ivfpq_build(emb, n_lists=4, m=m, n_codes=16, seed=7)
+    enc = enc.persist()
+    n = enc.count()
+    serve = ivfpq_local_server(enc, cents, cb, m=m, nprobe=2)
+    assert serve.index.nbytes() > 0
+    for vid in [r["vec_id"] for r in emb.orderBy("vec_id").limit(3).collect()]:
+        qvec = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == vid).first()["embedding"]
+        ]
+        one_shot = [
+            (r["vec_id"], round(r["cosine_sim"], 9))
+            for r in ivfpq_topk(
+                enc, cents, cb, qvec, k, m=m, nprobe=2, residual=True
+            ).collect()
+        ]
+        served_df = [
+            (r["vec_id"], round(r["cosine_sim"], 9))
+            for r in serve(qvec, k).collect()
+        ]
+        served_rows = [
+            (i, round(c, 9)) for i, c in serve.index.query_rows(qvec, k, nprobe=2)
+        ]
+        assert served_df == one_shot, vid
+        assert served_rows == one_shot, vid
+    # k past the probed population: returns what the probe reached
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    big = serve.index.query_rows(qvec, int(n) + 50, nprobe=1, shortlist=10)
+    assert 0 < len(big) <= 10
+
+
+def test_ivfpq_local_index_size_guard(spark, sf_dir):
+    """The builder must refuse (fast, pre-collect) when the resident
+    arrays would exceed max_bytes — the 100 TB contract is shard-by-
+    list-range, never an unbounded driver collect."""
+    import pytest
+
+    from terrorblade_spark.operators.vector import ivfpq_build, ivfpq_local_index
+    from terrorblade_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc, cents, cb = ivfpq_build(emb, n_lists=4, m=16, n_codes=16, seed=7)
+    with pytest.raises(ValueError, match="shard by"):
+        ivfpq_local_index(enc, cents, cb, m=16, max_bytes=100)

@@ -188,26 +188,35 @@ def main() -> None:
             t0 = time.time()
             got = {r["vec_id"] for r in serve(qvec, args.k).collect()}
             lat.append(time.time() - t0)
-            if si < 3:  # recall spot-check vs brute force
-                qlit = F.array(*[F.lit(float(x)) for x in qvec])
-                exact = {
-                    r["vec_id"]
-                    for r in corpus.select(
-                        "vec_id", cosine(F.col("embedding"), qlit).alias("s")
-                    )
-                    .orderBy(F.desc("s"), "vec_id")
-                    .limit(args.k)
-                    .collect()
-                }
-                s_recalls.append(len(got & exact) / args.k)
-            print(f"# serve{si}: {lat[-1]:.2f}s", flush=True)
+            # full recall scoring vs brute force on EVERY serving query
+            # (round 9, VERDICT r8 task 4 — the r8 artifact's 3-query
+            # spot-check under-sold serving recall, which equals the
+            # one-shot path's by unit-gated construction). Brute runs
+            # AFTER the latency stamp so it cannot pollute the timing.
+            qlit = F.array(*[F.lit(float(x)) for x in qvec])
+            exact = {
+                r["vec_id"]
+                for r in corpus.select(
+                    "vec_id", cosine(F.col("embedding"), qlit).alias("s")
+                )
+                .orderBy(F.desc("s"), "vec_id")
+                .limit(args.k)
+                .collect()
+            }
+            s_recalls.append(len(got & exact) / args.k)
+            print(
+                f"# serve{si}: {lat[-1]:.2f}s recall@{args.k}={s_recalls[-1]:.2f}",
+                flush=True,
+            )
         lat.sort()
         serving = {
             "n_queries": args.serving,
             "latency_median_s": round(lat[len(lat) // 2], 2),
             "latency_min_s": round(lat[0], 2),
             "latency_p90_s": round(lat[min(len(lat) - 1, int(len(lat) * 0.9))], 2),
-            "recall_spot": round(sum(s_recalls) / len(s_recalls), 2),
+            "serving_recall_at_k": round(sum(s_recalls) / len(s_recalls), 3),
+            "serving_recall_min": round(min(s_recalls), 2),
+            "n_scored": len(s_recalls),
         }
 
     out = {

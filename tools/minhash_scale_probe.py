@@ -152,8 +152,9 @@ def main() -> None:
         shingle_n=nsh,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     out["cand_pairs"] = cand.count()
-    out["lsh_s"] = round(time.time() - t0, 1)
-    out["docs_per_s"] = int(total / out["lsh_s"])
+    lsh_elapsed = max(time.time() - t0, 1e-6)  # smoke runs can finish <0.05s
+    out["lsh_s"] = round(lsh_elapsed, 1)
+    out["docs_per_s"] = int(total / lsh_elapsed)
 
     # candidate audit: three PLANTED classes — (base, TWIN_OFF+base),
     # (base, DUP_OFF+base), and (TWIN_OFF+i, DUP_OFF+i) (the twin of

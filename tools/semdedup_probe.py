@@ -205,6 +205,40 @@ def main() -> None:
     )
     out["largest_component"] = int(biggest)
 
+    # analytic ground truth (round 9, the MinHash-probe evidence
+    # format): the planted geometry pins the twin-pair cosine — twin =
+    # base + 0.5*N(0,1)^d, so E[cos] = E[|b|]/sqrt(E[|b|^2]+0.25d)
+    # ~ 0.99 at dim 64 — and the expected outcome is every twin
+    # absorbed into its base's component and ZERO natural merges
+    # (same-topic cos ~0.80 < threshold). Measure both sides:
+    # the actual twin cosine distribution, and canonical count vs plan.
+    tw = unit.where(F.col("vec_id") >= args.n).select(
+        (F.col("vec_id") - args.n).alias("b_id"),
+        F.col("embedding").alias("t_emb"),
+    )
+    bs = unit.where(F.col("vec_id") < args.twins).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    cos_stats = (
+        tw.join(bs, "b_id")
+        .select(
+            F.aggregate(
+                F.zip_with("t_emb", "b_emb", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("cos")  # both unit-normalized: dot == cosine
+        )
+        .agg(F.avg("cos").alias("avg"), F.min("cos").alias("mn"))
+        .collect()[0]
+    )
+    out["twin_cos_mean"] = round(float(cos_stats["avg"]), 4)
+    out["twin_cos_min"] = round(float(cos_stats["mn"]), 4)
+    # canonicals = rows minus merged-away nodes; plan = n (every twin
+    # absorbed, nothing else merged)
+    merged_away = comp.where(F.col("node") != F.col("component")).count()
+    out["canonical_count"] = args.n + args.twins - merged_away
+    out["expected_canonicals"] = args.n
+
     # --- incremental-gate leg: daily-ingest shape against the state ---
     if args.incremental_batch > 0:
         from terrorblade_spark.operators.dedup import (

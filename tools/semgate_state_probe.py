@@ -128,6 +128,12 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.95)
     ap.add_argument("--compact-rehearsal", action="store_true")
     ap.add_argument("--compact-chunks", type=int, default=4)
+    # round 9 (VERDICT r8 task 3): run the rehearsal ALONE in a fresh
+    # session — the r8 rehearsal ran after the 10M sweep in the same
+    # JVM and its post-compact timing was polluted by end-of-session
+    # GC state; with --skip-sweep the before/after gate walls are the
+    # only Spark jobs after the quantizer fit
+    ap.add_argument("--skip-sweep", action="store_true")
     args = ap.parse_args()
     sizes = [int(s) for s in args.state_sizes.split(",")]
 
@@ -168,7 +174,7 @@ def main() -> None:
     centroids.count()
 
     half = args.batch // 2
-    for si, s in enumerate(sizes):
+    for si, s in enumerate([] if args.skip_sweep else sizes):
         leg: dict[str, object] = {"state_n": s}
         t0 = time.time()
         canon = unit_normalize(
