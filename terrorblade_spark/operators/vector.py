@@ -1003,15 +1003,22 @@ def ivfpq_local_index(
     code_col: str = "codes",
     list_col: str = "list_id",
     max_bytes: int = 12_000_000_000,
+    shard_path: str | None = None,
 ) -> LocalIVFPQIndex:
     """Build a :class:`LocalIVFPQIndex` from ``ivfpq_build`` outputs.
 
     One distributed ``mapInPandas`` pass packs each partition's rows
     into binary shards (ids/lists/codes/vectors as raw little-endian
-    buffers — numpy end to end, never one Python object per row), the
-    driver concatenates the shards. The size guard runs BEFORE the
-    collect, from a count + the model dims, so an oversized corpus
-    fails fast instead of OOMing the driver.
+    buffers — numpy end to end, never one Python object per row),
+    WRITTEN AS PARQUET and read back driver-side via pyarrow: shard
+    loading never rides the task-result channel, so
+    ``spark.driver.maxResultSize`` (1 GiB default — a 10M x 64d index
+    is ~2.8 GiB) does not cap the index, and the shard files ARE the
+    serving artifact a fleet node would load for its list-id range.
+    Pass ``shard_path`` to keep them; default is a temp dir removed
+    after load. The size guard runs BEFORE any data moves, from a
+    count + the model dims, so an oversized corpus fails fast instead
+    of OOMing the driver.
     """
     import numpy as np
 
@@ -1066,21 +1073,45 @@ def ivfpq_local_index(
                 }
             )
 
-    shards = src.mapInPandas(
+    import shutil
+    import tempfile
+
+    packed = src.mapInPandas(
         pack, "n long, ids binary, lists binary, codes binary, vecs binary"
-    ).collect()
-    ids = np.concatenate(
-        [np.frombuffer(s["ids"], dtype=np.int64) for s in shards]
     )
-    lists = np.concatenate(
-        [np.frombuffer(s["lists"], dtype=np.int32) for s in shards]
-    )
-    codes = np.concatenate(
-        [np.frombuffer(s["codes"], dtype=np.uint8).reshape(-1, m) for s in shards]
-    )
-    vecs = np.concatenate(
-        [np.frombuffer(s["vecs"], dtype=np.float32).reshape(-1, dim) for s in shards]
-    )
+    tmp_dir = None
+    if shard_path is None:
+        tmp_dir = tempfile.mkdtemp(prefix="ivfpq_local_shards_")
+        shard_path = tmp_dir
+    try:
+        packed.write.mode("overwrite").parquet(shard_path)
+        import pyarrow.parquet as papq
+
+        tbl = papq.read_table(
+            shard_path, columns=["ids", "lists", "codes", "vecs"]
+        )
+        ids = np.concatenate(
+            [np.frombuffer(b.as_py(), dtype=np.int64) for b in tbl.column("ids")]
+        )
+        lists = np.concatenate(
+            [np.frombuffer(b.as_py(), dtype=np.int32) for b in tbl.column("lists")]
+        )
+        codes = np.concatenate(
+            [
+                np.frombuffer(b.as_py(), dtype=np.uint8).reshape(-1, m)
+                for b in tbl.column("codes")
+            ]
+        )
+        vecs = np.concatenate(
+            [
+                np.frombuffer(b.as_py(), dtype=np.float32).reshape(-1, dim)
+                for b in tbl.column("vecs")
+            ]
+        )
+        del tbl
+    finally:
+        if tmp_dir is not None:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     return LocalIVFPQIndex(ids, lists, codes, vecs, cent_ids, cents, cb)
 
 
