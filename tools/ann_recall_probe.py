@@ -89,6 +89,10 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--shortlist", type=int, default=1024)
     ap.add_argument("--serving", type=int, default=0)
+    # round 9: the driver-resident numpy serving tier (ivfpq_local_server)
+    # — N point queries, reporting build/collect wall, resident bytes,
+    # per-query latency, and full recall vs brute force
+    ap.add_argument("--local-serving", type=int, default=0)
     args = ap.parse_args()
 
     from terrorblade_spark.operators.vector import (
@@ -219,6 +223,58 @@ def main() -> None:
             "n_scored": len(s_recalls),
         }
 
+    local_serving = None
+    if args.local_serving > 0:
+        from terrorblade_spark.operators.vector import ivfpq_local_server
+
+        t0 = time.time()
+        lserve = ivfpq_local_server(
+            enc, cents, cb, m=args.m, nprobe=args.nprobe, shortlist=args.shortlist
+        )
+        t_lbuild = time.time() - t0
+        llat = []
+        l_recalls = []
+        for si in range(args.local_serving):
+            c = qrng.integers(0, args.clusters)
+            qvec = (centers[c] + qrng.standard_normal(args.dim)).tolist()
+            t0 = time.time()
+            got = {
+                i
+                for i, _ in lserve.index.query_rows(
+                    qvec, args.k, nprobe=args.nprobe, shortlist=args.shortlist
+                )
+            }
+            llat.append(time.time() - t0)
+            qlit = F.array(*[F.lit(float(x)) for x in qvec])
+            exact = {
+                r["vec_id"]
+                for r in corpus.select(
+                    "vec_id", cosine(F.col("embedding"), qlit).alias("s")
+                )
+                .orderBy(F.desc("s"), "vec_id")
+                .limit(args.k)
+                .collect()
+            }
+            l_recalls.append(len(got & exact) / args.k)
+            print(
+                f"# local{si}: {llat[-1] * 1000:.1f}ms "
+                f"recall@{args.k}={l_recalls[-1]:.2f}",
+                flush=True,
+            )
+        llat.sort()
+        local_serving = {
+            "n_queries": args.local_serving,
+            "build_collect_s": round(t_lbuild, 1),
+            "resident_mb": round(lserve.index.nbytes() / 1e6, 1),
+            "latency_median_ms": round(llat[len(llat) // 2] * 1000, 1),
+            "latency_p90_ms": round(
+                llat[min(len(llat) - 1, int(len(llat) * 0.9))] * 1000, 1
+            ),
+            "latency_max_ms": round(llat[-1] * 1000, 1),
+            "recall_at_k": round(sum(l_recalls) / len(l_recalls), 3),
+            "recall_min": round(min(l_recalls), 2),
+        }
+
     out = {
         "probe": "ivfpq_recall",
         "n_vectors": n,
@@ -238,6 +294,8 @@ def main() -> None:
     }
     if serving is not None:
         out["serving"] = serving
+    if local_serving is not None:
+        out["local_serving"] = local_serving
     print(json.dumps(out))
 
 
