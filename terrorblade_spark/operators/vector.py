@@ -977,7 +977,23 @@ class LocalIVFPQIndex:
             return []
         rows = np.concatenate(cand_rows)
         adc = np.concatenate(cand_adc)
-        keep = rows[np.lexsort((self.ids[rows], adc))[:short_n]]
+        if len(rows) > short_n:
+            # exact (adc, id)-smallest short_n via O(n) argpartition
+            # instead of a full two-key lexsort over every candidate
+            # (the sort dominated query wall at 315k candidates):
+            # everything strictly below the short_n-th adc value is in;
+            # rows AT the boundary value tie-break by id, same rule as
+            # the distributed shortlist's (adc_dist asc, id asc)
+            part = np.argpartition(adc, short_n - 1)[:short_n]
+            thresh = adc[part].max()
+            below = np.flatnonzero(adc < thresh)
+            eq = np.flatnonzero(adc == thresh)
+            take_eq = eq[np.argsort(self.ids[rows[eq]], kind="stable")][
+                : short_n - len(below)
+            ]
+            keep = rows[np.concatenate([below, take_eq])]
+        else:
+            keep = rows
 
         # exact re-rank over the shortlist's stored vectors (their
         # source values — the same floats the JVM re-rank reads)
