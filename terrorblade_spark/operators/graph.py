@@ -1014,8 +1014,19 @@ def kcore(
             # delta path exists to avoid.
             pn = pend.count()
             since_fold += 1
+            # cadence is the GLOBAL step modulo with a since_fold >= 2
+            # guard: the guard alone closes the flagged redundancy (a
+            # size-triggered fold at step S no longer lets the modulo
+            # fire a near-empty node-sized fold at S+1), while the
+            # global modulo keeps the periodic fold — which is also
+            # when _deg_stats runs and the local finisher can take
+            # over — on a fixed schedule. A pure steps-since-last-fold
+            # cadence was also measured at 100M edges: identical
+            # members, wall within run noise of this form (warm legs
+            # 72-117 s both ways on a shared box), so the fixed
+            # schedule is kept for its deterministic handoff timing.
             if (
-                since_fold >= fold_every
+                ((step + 1) % fold_every == 0 and since_fold >= 2)
                 or pn * 8 >= deg_n
                 or pn > _KCORE_BROADCAST_ROWS
                 # a huge frontier can emit a tiny pend (star graph: 3M
