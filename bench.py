@@ -355,8 +355,8 @@ def main() -> None:
             committed = json.load(f)
         if committed.get("calib_rows") == CALIB_ROWS:
             floor_unloaded = float(committed["calib_floor_unloaded"])
-    except (OSError, KeyError, ValueError):  # uncalibrated box: loadavg-only
-        pass
+    except (OSError, KeyError, ValueError, TypeError):  # uncalibrated/malformed
+        pass  # (TypeError: a null calib_floor_unloaded) -> loadavg-only
     if floor_unloaded is not None and calib_floor > floor_unloaded * CALIB_FLAG_RATIO:
         run_flagged = True
         run_flag_why.append(
@@ -396,8 +396,12 @@ def main() -> None:
         )
     )
     # line 2 (LAST): compact summary — per-query medians only. Must fit
-    # the driver's 2000-byte stdout tail; assert so a future field
-    # can't silently regrow it past the limit.
+    # the driver's 2000-byte stdout tail; hard-raise (not assert, which
+    # python -O strips) so a future field can't silently regrow it past
+    # the limit. calib_ratio is the machine-readable load-inflation
+    # factor (this run's calib floor over the committed unloaded floor)
+    # so a verdict can normalize a loaded-box artifact without
+    # re-running; null on an uncalibrated box.
     summary = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -406,15 +410,21 @@ def main() -> None:
             "queries": {name: t["median"] for name, t in timings.items()},
             "sf": sf_val,
             "calib_floor": round(calib_floor, 3),
+            "calib_ratio": (
+                round(calib_floor / floor_unloaded, 2)
+                if floor_unloaded
+                else None
+            ),
             "load_flagged": load_flagged,
             "run_flagged": run_flagged,
             "loadavg": {"start": round(load_start, 2), "end": round(load_end, 2)},
         }
     )
-    assert len(summary.encode()) < 1900, (
-        f"summary line {len(summary.encode())}B would overflow the "
-        f"driver's 2000-byte stdout tail"
-    )
+    if len(summary.encode()) >= 1900:
+        raise RuntimeError(
+            f"summary line {len(summary.encode())}B would overflow the "
+            f"driver's 2000-byte stdout tail"
+        )
     print(summary)
 
 

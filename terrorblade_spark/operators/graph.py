@@ -763,6 +763,7 @@ def kcore(
     checkpoint_every: int = 1,
     fold_every: int = 16,
     local_max_edges: int = 2_000_000,
+    delta_max_pend: int = 65_536,
 ) -> DataFrame:
     """Members of the k-core of the UNDIRECTED simple graph induced by
     ``edges`` (direction/self-loops dropped): the maximal subgraph in
@@ -791,17 +792,23 @@ def kcore(
       relation — the big side streams, nothing node-sized shuffles);
     - the pending decrements and peeled frontiers fold into the degree
       relation (the only node-sized checkpoint) every ``fold_every``
-      steps — OR as soon as the pending relation has grown to a
-      meaningful fraction of the degree relation (1/8, measured from
-      the two already-checkpointed row counts). The size trigger is
-      what keeps BOTH graph regimes fast: a bulk wave (the first peel
-      rounds of any real graph, where most below-k nodes die at once)
-      makes pend near node-sized immediately, and maintaining it across
-      steps would cost MORE than the fold it was deferring — so the
-      fold happens now, degenerating exactly to the round-7
-      fold-per-round design that bulk waves want; a tiny-frontier
-      cascade (path graphs, long peel tails) never trips the ratio and
-      keeps the cheap delta path, folding 1/fold_every.
+      steps — OR as soon as the pending relation passes
+      ``delta_max_pend`` rows (round 10; 1/8 of the degree relation
+      remains as a backstop for small graphs, both measured from the
+      two already-checkpointed row counts). The size trigger is what
+      keeps BOTH graph regimes fast: each DELTA step broadcasts pend
+      and streams the node-sized deg under it, so once pend is past
+      ~64k rows the step costs about what the fold it defers costs —
+      a bulk wave (the first peel rounds of any real graph, where
+      most below-k nodes die at once) therefore folds immediately,
+      degenerating to the fold-per-round design bulk waves want,
+      while a tiny-frontier cascade (path graphs, long peel tails)
+      never trips the threshold and keeps the cheap delta path,
+      folding 1/fold_every. The r8/r9 100M-edge A/Bs where a static
+      fold_every=1 beat the adaptive default 2x were bulk-wave pends
+      of 10^5..10^6 rows riding the delta path for up to 16 steps —
+      exactly what this threshold now folds away (interleaved A/B on
+      both regimes: probes/kcore_ab_r10.log).
 
     Per-step driver cost is two small checkpoints and one emptiness
     probe; per-step cluster cost is one map-side scan of the cached
@@ -1028,6 +1035,17 @@ def kcore(
             if (
                 ((step + 1) % fold_every == 0 and since_fold >= 2)
                 or pn * 8 >= deg_n
+                # delta_max_pend (round 10): each DELTA step broadcasts
+                # pend and streams the node-sized deg under it, so a
+                # pend past ~64k rows costs about what the fold it
+                # defers costs — the r8/r9 100M-edge A/Bs where
+                # fold_every=1 beat the old adaptive default 2x were
+                # exactly this regime (bulk-wave pends of 10^5..10^6
+                # rows riding the delta path for up to 16 steps). The
+                # tiny-frontier cascade the delta path exists for never
+                # gets near 64k, so it keeps the cheap path; interleaved
+                # A/B in probes/kcore_ab_r10.log
+                or pn > delta_max_pend
                 or pn > _KCORE_BROADCAST_ROWS
                 # a huge frontier can emit a tiny pend (star graph: 3M
                 # leaves decrement one hub row) — the recents union

@@ -923,7 +923,7 @@ class LocalIVFPQIndex:
         self.ids = ids[order]
         self.lists = lists[order]
         self.codes = codes[order]
-        self.vecs = vecs[order]
+        self.vecs = vecs[order]  # source element width (f32 OR f64 shards)
         self.cent_ids = cent_ids
         self.cents = cents  # (n_lists, dim) float64, row i = cent_ids[i]
         self.cb = cb  # (m, n_codes, ds) float64
@@ -935,11 +935,97 @@ class LocalIVFPQIndex:
         self._slices = {int(l): (int(s), int(e)) for l, s, e in zip(uniq, starts, ends)}
         cent_norm = np.linalg.norm(self.cents, axis=1)
         self._cent_unit = self.cents / np.where(cent_norm > 0, cent_norm, 1.0)[:, None]
+        # a zero-norm centroid must order BELOW every real one in the
+        # coarse probe, matching the distributed _cos (which scores it
+        # -inf); unit-zeroing alone would score it 0.0 and could
+        # out-probe a negatively-correlated real centroid
+        self._cent_zero = cent_norm == 0
         self._cent_by_id = {int(i): self.cents[j] for j, i in enumerate(cent_ids)}
+
+    def warm(self) -> None:
+        """One sequential read pass over the resident arrays so first
+        queries pay compute, not page-in: the build's read-back
+        buffers are freshly written, but a long build (KMeans at 10M)
+        can see early pages evicted/compressed before serving starts —
+        measured p90 at 10M dropped from ~3-4x median (first-touch) to
+        the compute envelope after this pass."""
+        import numpy as np
+
+        for arr in (self.ids, self.lists, self.codes, self.vecs):
+            np.add.reduce(arr.reshape(-1).view(np.uint8)[:: 4096], dtype=np.int64)
 
     def nbytes(self) -> int:
         return int(
             self.ids.nbytes + self.lists.nbytes + self.codes.nbytes + self.vecs.nbytes
+        )
+
+    def _probe_lists(self, q, qn, nprobe):
+        """Global coarse probe: top-nprobe list_ids by centroid cosine
+        (ties to the lower list_id; zero-norm centroids sort last,
+        matching the distributed _cos which scores them -inf)."""
+        import numpy as np
+
+        sims = self._cent_unit @ (q / qn if qn > 0 else q)
+        sims[self._cent_zero] = -np.inf
+        probe_order = np.lexsort((self.cent_ids, -sims))[:nprobe]
+        return [int(self.cent_ids[j]) for j in probe_order]
+
+    def _shortlist(self, q, qn, short_n, probe_lids):
+        """ADC stage over this index's rows in ``probe_lids`` ->
+        (row_indices, adc) for the (adc asc, id asc)-smallest short_n.
+        Lists this index does not hold are skipped — on a fleet node
+        holding a list-id range, ``probe_lids`` is the GLOBAL probe
+        set and the node scores only its owned slice of it."""
+        import numpy as np
+
+        cand_rows = []
+        cand_adc = []
+        arange_m = np.arange(self.m)
+        for lid in probe_lids:
+            sl = self._slices.get(lid)
+            if sl is None:  # empty/unowned list
+                continue
+            s, e = sl
+            qres = (q - self._cent_by_id[lid]).reshape(self.m, self.ds)
+            lut = ((qres[:, None, :] - self.cb) ** 2).sum(axis=2)  # (m, n_codes)
+            adc = lut[arange_m[None, :], self.codes[s:e]].sum(axis=1)
+            cand_rows.append(np.arange(s, e))
+            cand_adc.append(adc)
+        if not cand_rows:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.float64),
+            )
+        rows = np.concatenate(cand_rows)
+        adc = np.concatenate(cand_adc)
+        if len(rows) > short_n:
+            # exact (adc, id)-smallest short_n via O(n) argpartition
+            # instead of a full two-key lexsort over every candidate
+            # (the sort dominated query wall at 315k candidates):
+            # everything strictly below the short_n-th adc value is in;
+            # rows AT the boundary value tie-break by id, same rule as
+            # the distributed shortlist's (adc_dist asc, id asc)
+            part = np.argpartition(adc, short_n - 1)[:short_n]
+            thresh = adc[part].max()
+            below = np.flatnonzero(adc < thresh)
+            eq = np.flatnonzero(adc == thresh)
+            take_eq = eq[np.argsort(self.ids[rows[eq]], kind="stable")][
+                : short_n - len(below)
+            ]
+            pick = np.concatenate([below, take_eq])
+            return rows[pick], adc[pick]
+        return rows, adc
+
+    def _rerank(self, q, qn, keep):
+        """Exact cosine over the shortlist's stored vectors (their
+        source values — the same floats the JVM re-rank reads)."""
+        import numpy as np
+
+        vs = self.vecs[keep].astype(np.float64)
+        norms = np.linalg.norm(vs, axis=1)
+        denom = norms * qn
+        return np.where(
+            denom > 0, (vs @ q) / np.where(denom > 0, denom, 1.0), -np.inf
         )
 
     def query_rows(
@@ -957,56 +1043,44 @@ class LocalIVFPQIndex:
         short_n = shortlist if shortlist is not None else max(16 * k, 256)
         q = np.asarray(query_vec, dtype=np.float64)
         qn = np.linalg.norm(q)
-        sims = self._cent_unit @ (q / qn if qn > 0 else q)
-        probe_order = np.lexsort((self.cent_ids, -sims))[:nprobe]
-        cand_rows = []
-        cand_adc = []
-        arange_m = np.arange(self.m)
-        for j in probe_order:
-            lid = int(self.cent_ids[j])
-            sl = self._slices.get(lid)
-            if sl is None:  # empty list: no rows were assigned to it
-                continue
-            s, e = sl
-            qres = (q - self._cent_by_id[lid]).reshape(self.m, self.ds)
-            lut = ((qres[:, None, :] - self.cb) ** 2).sum(axis=2)  # (m, n_codes)
-            adc = lut[arange_m[None, :], self.codes[s:e]].sum(axis=1)
-            cand_rows.append(np.arange(s, e))
-            cand_adc.append(adc)
-        if not cand_rows:
+        keep, _adc = self._shortlist(
+            q, qn, short_n, self._probe_lists(q, qn, nprobe)
+        )
+        if len(keep) == 0:
             return []
-        rows = np.concatenate(cand_rows)
-        adc = np.concatenate(cand_adc)
-        if len(rows) > short_n:
-            # exact (adc, id)-smallest short_n via O(n) argpartition
-            # instead of a full two-key lexsort over every candidate
-            # (the sort dominated query wall at 315k candidates):
-            # everything strictly below the short_n-th adc value is in;
-            # rows AT the boundary value tie-break by id, same rule as
-            # the distributed shortlist's (adc_dist asc, id asc)
-            part = np.argpartition(adc, short_n - 1)[:short_n]
-            thresh = adc[part].max()
-            below = np.flatnonzero(adc < thresh)
-            eq = np.flatnonzero(adc == thresh)
-            take_eq = eq[np.argsort(self.ids[rows[eq]], kind="stable")][
-                : short_n - len(below)
-            ]
-            keep = rows[np.concatenate([below, take_eq])]
-        else:
-            keep = rows
-
-        # exact re-rank over the shortlist's stored vectors (their
-        # source values — the same floats the JVM re-rank reads)
         short_ids = self.ids[keep]
-        vs = self.vecs[keep].astype(np.float64)
-        norms = np.linalg.norm(vs, axis=1)
-        denom = norms * qn
-        cos = np.where(denom > 0, (vs @ q) / np.where(denom > 0, denom, 1.0), -np.inf)
+        cos = self._rerank(q, qn, keep)
         top = np.lexsort((short_ids, -cos))[:k]
         return [
             (int(short_ids[i]), (None if cos[i] == -np.inf else float(cos[i])))
             for i in top
         ]
+
+    def shortlist_rows(self, query_vec, nprobe, short_n, probe_lids=None):
+        """One fleet NODE's answer to the router: ``(ids, adc, cos)``
+        numpy arrays for this node's (adc, id)-smallest ``short_n``
+        rows among the probed lists it owns. ``probe_lids`` is the
+        GLOBAL probe set the router computed from the (replicated)
+        coarse quantizer; the router merges nodes' rows, re-applies
+        the same (adc asc, id asc) short_n cut — node-local cuts are
+        supersets of the global cut's members within each node, so
+        the merge reconstructs the single-box shortlist EXACTLY — and
+        takes top-k by (cos desc, id asc). See
+        ``tools/ann_fleet_probe.py`` for the two-node router."""
+        import numpy as np
+
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        if probe_lids is None:
+            probe_lids = self._probe_lists(q, qn, nprobe)
+        keep, adc = self._shortlist(q, qn, short_n, probe_lids)
+        if len(keep) == 0:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.float64),
+                np.empty(0, dtype=np.float64),
+            )
+        return self.ids[keep], adc, self._rerank(q, qn, keep)
 
 
 def ivfpq_local_index(
@@ -1020,6 +1094,7 @@ def ivfpq_local_index(
     list_col: str = "list_id",
     max_bytes: int = 12_000_000_000,
     shard_path: str | None = None,
+    list_range: tuple[int, int] | None = None,
 ) -> LocalIVFPQIndex:
     """Build a :class:`LocalIVFPQIndex` from ``ivfpq_build`` outputs.
 
@@ -1035,14 +1110,29 @@ def ivfpq_local_index(
     after load. The size guard runs BEFORE any data moves, from a
     count + the model dims, so an oversized corpus fails fast instead
     of OOMing the driver.
+
+    The shards PRESERVE the source element width: float32 embeddings
+    pack 4-byte shards, float64 pack 8-byte shards (any other element
+    type is cast to double first) — the exact re-rank reads the same
+    floats the distributed re-rank reads either way, so the two paths
+    cannot diverge by a float32 truncation. Shard rows carry
+    ``(dim, vecdt)`` so a serving node can load a shard dir without
+    out-of-band metadata (:func:`ivfpq_local_index_from_shards`), and
+    ``list_range=(lo, hi)`` keeps only rows with lo <= list_id < hi —
+    the fleet shape where each node owns a coarse-quantizer range.
     """
     import numpy as np
+    from pyspark.sql.types import ArrayType, FloatType
 
     cent_rows = centroids.collect()
+    if not cent_rows:
+        raise ValueError("local index needs non-empty centroids")
     cent_ids = np.array([r[list_col] for r in cent_rows], dtype=np.int64)
     cents = np.array([list(r["centroid"]) for r in cent_rows], dtype=np.float64)
     dim = cents.shape[1]
     cb_rows = codebooks.collect()
+    if not cb_rows:
+        raise ValueError("local index needs non-empty codebooks")
     n_codes = 1 + max(r["code_id"] for r in cb_rows)
     ds = len(cb_rows[0]["centroid"])
     cb = np.zeros((m, n_codes, ds), dtype=np.float64)
@@ -1053,20 +1143,37 @@ def ivfpq_local_index(
         raise ValueError(
             f"local index packs codes as uint8; n_codes {n_codes} > 256"
         )
+    vtype = encoded.schema[vec_col].dataType
+    src_is_f32 = isinstance(vtype, ArrayType) and isinstance(
+        vtype.elementType, FloatType
+    )
+    np_dt = np.float32 if src_is_f32 else np.float64
+    sql_elem = "float" if src_is_f32 else "double"
     n = encoded.count()
-    est = n * (8 + 4 + m + 4 * dim)
+    est = n * (8 + 4 + m + np.dtype(np_dt).itemsize * dim)
     if est > max_bytes:
         raise ValueError(
             f"local index would need ~{est / 1e9:.1f} GB for {n} rows "
             f"(> max_bytes {max_bytes / 1e9:.1f} GB); shard by {list_col} "
             f"ranges across serving nodes instead"
         )
+    if n == 0:
+        empty = LocalIVFPQIndex(
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int32),
+            np.empty((0, m), dtype=np.uint8),
+            np.empty((0, dim), dtype=np_dt),
+            cent_ids,
+            cents,
+            cb,
+        )
+        return empty  # nothing to pack; skip the mapInPandas round-trip
 
     src = encoded.select(
         F.col(id_col).alias("__id"),
         F.col(list_col).cast("int").alias("__list"),
         F.col(code_col).alias("__codes"),
-        F.col(vec_col).cast("array<float>").alias("__vec"),
+        F.col(vec_col).cast(f"array<{sql_elem}>").alias("__vec"),
     )
 
     def pack(batches):
@@ -1078,10 +1185,12 @@ def ivfpq_local_index(
             ids_a = pdf["__id"].to_numpy(dtype=np.int64)
             lists_a = pdf["__list"].to_numpy(dtype=np.int32)
             codes_a = np.stack(pdf["__codes"].to_numpy()).astype(np.uint8)
-            vecs_a = np.stack(pdf["__vec"].to_numpy()).astype(np.float32)
+            vecs_a = np.stack(pdf["__vec"].to_numpy()).astype(np_dt)
             yield pd.DataFrame(
                 {
                     "n": [len(pdf)],
+                    "dim": [int(dim)],
+                    "vecdt": [np.dtype(np_dt).name],
                     "ids": [ids_a.tobytes()],
                     "lists": [lists_a.tobytes()],
                     "codes": [codes_a.tobytes()],
@@ -1093,7 +1202,9 @@ def ivfpq_local_index(
     import tempfile
 
     packed = src.mapInPandas(
-        pack, "n long, ids binary, lists binary, codes binary, vecs binary"
+        pack,
+        "n long, dim int, vecdt string, ids binary, lists binary, "
+        "codes binary, vecs binary",
     )
     tmp_dir = None
     if shard_path is None:
@@ -1101,34 +1212,96 @@ def ivfpq_local_index(
         shard_path = tmp_dir
     try:
         packed.write.mode("overwrite").parquet(shard_path)
-        import pyarrow.parquet as papq
-
-        tbl = papq.read_table(
-            shard_path, columns=["ids", "lists", "codes", "vecs"]
+        ids, lists, codes, vecs = _read_local_shards(
+            shard_path, m=m, list_range=list_range
         )
-        ids = np.concatenate(
-            [np.frombuffer(b.as_py(), dtype=np.int64) for b in tbl.column("ids")]
-        )
-        lists = np.concatenate(
-            [np.frombuffer(b.as_py(), dtype=np.int32) for b in tbl.column("lists")]
-        )
-        codes = np.concatenate(
-            [
-                np.frombuffer(b.as_py(), dtype=np.uint8).reshape(-1, m)
-                for b in tbl.column("codes")
-            ]
-        )
-        vecs = np.concatenate(
-            [
-                np.frombuffer(b.as_py(), dtype=np.float32).reshape(-1, dim)
-                for b in tbl.column("vecs")
-            ]
-        )
-        del tbl
     finally:
         if tmp_dir is not None:
             shutil.rmtree(tmp_dir, ignore_errors=True)
-    return LocalIVFPQIndex(ids, lists, codes, vecs, cent_ids, cents, cb)
+    idx = LocalIVFPQIndex(ids, lists, codes, vecs, cent_ids, cents, cb)
+    idx.warm()
+    return idx
+
+
+def _read_local_shards(
+    shard_path: str, m: int, list_range: tuple[int, int] | None = None
+):
+    """Driver-side load of a packed shard dir -> (ids, lists, codes,
+    vecs) numpy arrays; ``list_range=(lo, hi)`` masks to
+    lo <= list_id < hi (a serving node's coarse-quantizer range).
+    dim/dtype come from the shard rows themselves."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    tbl = papq.read_table(
+        shard_path, columns=["dim", "vecdt", "ids", "lists", "codes", "vecs"]
+    )
+    if tbl.num_rows == 0:
+        raise ValueError(f"no shard rows under {shard_path}")
+    dim = int(tbl.column("dim")[0].as_py())
+    np_dt = np.dtype(tbl.column("vecdt")[0].as_py())
+    ids = np.concatenate(
+        [np.frombuffer(b.as_py(), dtype=np.int64) for b in tbl.column("ids")]
+    )
+    lists = np.concatenate(
+        [np.frombuffer(b.as_py(), dtype=np.int32) for b in tbl.column("lists")]
+    )
+    codes = np.concatenate(
+        [
+            np.frombuffer(b.as_py(), dtype=np.uint8).reshape(-1, m)
+            for b in tbl.column("codes")
+        ]
+    )
+    vecs = np.concatenate(
+        [
+            np.frombuffer(b.as_py(), dtype=np_dt).reshape(-1, dim)
+            for b in tbl.column("vecs")
+        ]
+    )
+    del tbl
+    if list_range is not None:
+        lo, hi = list_range
+        keep = (lists >= lo) & (lists < hi)
+        ids, lists, codes, vecs = ids[keep], lists[keep], codes[keep], vecs[keep]
+    return ids, lists, codes, vecs
+
+
+def ivfpq_local_index_from_shards(
+    shard_path: str,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    list_col: str = "list_id",
+    list_range: tuple[int, int] | None = None,
+) -> LocalIVFPQIndex:
+    """A serving NODE's load path: attach to a shard dir written by
+    :func:`ivfpq_local_index` (``shard_path=``) and hold only the
+    rows whose list_id falls in this node's ``list_range`` — the
+    fleet deployment the class docstring describes, where the coarse
+    quantizer routes queries to the node(s) owning the probed lists.
+    The full centroid/codebook model is loaded on every node (it is
+    model-sized); only the row payload is range-partitioned."""
+    import numpy as np
+
+    cent_rows = centroids.collect()
+    if not cent_rows:
+        raise ValueError("local index needs non-empty centroids")
+    cent_ids = np.array([r[list_col] for r in cent_rows], dtype=np.int64)
+    cents = np.array([list(r["centroid"]) for r in cent_rows], dtype=np.float64)
+    cb_rows = codebooks.collect()
+    if not cb_rows:
+        raise ValueError("local index needs non-empty codebooks")
+    n_codes = 1 + max(r["code_id"] for r in cb_rows)
+    ds = len(cb_rows[0]["centroid"])
+    cb = np.zeros((m, n_codes, ds), dtype=np.float64)
+    for r in cb_rows:
+        cb[r["sub_id"], r["code_id"]] = list(r["centroid"])
+    ids, lists, codes, vecs = _read_local_shards(
+        shard_path, m=m, list_range=list_range
+    )
+    idx = LocalIVFPQIndex(ids, lists, codes, vecs, cent_ids, cents, cb)
+    idx.warm()
+    return idx
 
 
 def ivfpq_local_server(

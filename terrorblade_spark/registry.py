@@ -77,6 +77,15 @@ GATE_OVERFLOW: tuple[str, ...] = (
     # runs. Gate membership is otherwise unchanged since r01.
     "q63_corpus_shuffle",
     "q64_embedding_quantize",
+    # round-10 rotation (judge task 6): q50/q51 cede their gate slots to
+    # q108_fuzzy_customer_match and q116_brand_copurchase_rules so the
+    # fuzzy-linkage and association-rules families get driver-verified
+    # coverage; q50/q51's multimodal decode/rollup coverage is
+    # duplicated by q48_media_profile and q52_media_feature_neardup,
+    # which keep gate slots. Both stay full-value-oracle-verified by
+    # the local check_oracle runs.
+    "q50_frame_sample_rollup",
+    "q51_image_decode_stats",
     # round-5 additions: full-oracle queries for the previously
     # unit-only operators (as-of/range join, funnel, retention,
     # resample, stratified sampling, connected components). Same
@@ -121,7 +130,6 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q105_trade_graph_walks",
     "q106_walk_context_pairs",
     "q107_trade_graph_triangles",
-    "q108_fuzzy_customer_match",
     "q109_trade_kcore",
     "q110_weighted_trade_pagerank",
     "q112_length_language_auc",
@@ -131,7 +139,6 @@ GATE_OVERFLOW: tuple[str, ...] = (
     # value oracles, verified by the local check_oracle runs
     "q114_copurchase_reach",
     "q115_trade_communities",
-    "q116_brand_copurchase_rules",
     "q117_tfidf_keywords",
     "q118_event_ewma",
     "q119_value_outliers",

@@ -658,3 +658,154 @@ def test_ivfpq_local_index_size_guard(spark, sf_dir):
     enc, cents, cb = ivfpq_build(emb, n_lists=4, m=16, n_codes=16, seed=7)
     with pytest.raises(ValueError, match="shard by"):
         ivfpq_local_index(enc, cents, cb, m=16, max_bytes=100)
+
+
+def test_ivfpq_local_index_preserves_double(spark, sf_dir):
+    """array<double> embeddings must reach the local tier's re-rank at
+    full width (float64 shards), matching ivfpq_topk's exact re-rank
+    of the source column — no silent float32 truncation."""
+    import numpy as np
+
+    from terrorblade_spark.operators.vector import (
+        ivfpq_build,
+        ivfpq_local_server,
+        ivfpq_topk,
+    )
+    from terrorblade_spark.tables import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn(
+            "embedding",
+            # double values that are NOT float32-representable: a
+            # truncating pack would shift every cosine
+            F.transform("embedding", lambda x: x.cast("double") + F.lit(1e-9)),
+        )
+        .persist()
+    )
+    k, m = 10, 16
+    enc, cents, cb = ivfpq_build(emb, n_lists=4, m=m, n_codes=16, seed=7)
+    enc = enc.persist()
+    serve = ivfpq_local_server(enc, cents, cb, m=m, nprobe=2)
+    assert serve.index.vecs.dtype == np.float64
+    for vid in [r["vec_id"] for r in emb.orderBy("vec_id").limit(2).collect()]:
+        qvec = [
+            float(x) for x in emb.where(F.col("vec_id") == vid).first()["embedding"]
+        ]
+        one_shot = [
+            (r["vec_id"], round(r["cosine_sim"], 9))
+            for r in ivfpq_topk(
+                enc, cents, cb, qvec, k, m=m, nprobe=2, residual=True
+            ).collect()
+        ]
+        served = [
+            (i, round(c, 9)) for i, c in serve.index.query_rows(qvec, k, nprobe=2)
+        ]
+        assert served == one_shot, vid
+    emb.unpersist()
+    enc.unpersist()
+
+
+def test_ivfpq_local_index_degenerate_inputs(spark, sf_dir):
+    """Empty model relations refuse with explicit errors (not numpy
+    max()/concatenate tracebacks); an empty encoded relation builds an
+    empty index that answers [] — no mapInPandas round-trip."""
+    import pytest
+
+    from terrorblade_spark.operators.vector import ivfpq_build, ivfpq_local_index
+    from terrorblade_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc, cents, cb = ivfpq_build(emb, n_lists=4, m=16, n_codes=16, seed=7)
+    empty_cents = spark.createDataFrame([], "list_id int, centroid array<double>")
+    empty_cb = spark.createDataFrame(
+        [], "sub_id int, code_id int, centroid array<double>"
+    )
+    with pytest.raises(ValueError, match="non-empty centroids"):
+        ivfpq_local_index(enc, empty_cents, cb, m=16)
+    with pytest.raises(ValueError, match="non-empty codebooks"):
+        ivfpq_local_index(enc, cents, empty_cb, m=16)
+    idx = ivfpq_local_index(enc.where(F.col("vec_id") < 0), cents, cb, m=16)
+    assert idx.nbytes() == 0
+    qvec = [1.0] * len(emb.first()["embedding"])
+    assert idx.query_rows(qvec, 5) == []
+
+
+def test_local_index_zero_norm_centroid_probes_last():
+    """A zero-norm centroid must sort BELOW every real centroid in the
+    coarse probe (the distributed _cos scores it -inf; unit-zeroing
+    alone would score it 0.0 and out-probe a negatively-correlated
+    real list)."""
+    import numpy as np
+
+    from terrorblade_spark.operators.vector import LocalIVFPQIndex
+
+    # two rows: row id 1 in list 0 (zero-norm centroid), id 2 in list 1
+    idx = LocalIVFPQIndex(
+        ids=np.array([1, 2], dtype=np.int64),
+        lists=np.array([0, 1], dtype=np.int32),
+        codes=np.zeros((2, 1), dtype=np.uint8),
+        vecs=np.array([[1.0, 0.0], [0.0, 1.0]], dtype=np.float32),
+        cent_ids=np.array([0, 1], dtype=np.int64),
+        cents=np.array([[0.0, 0.0], [0.0, 1.0]], dtype=np.float64),
+        cb=np.zeros((1, 1, 2), dtype=np.float64),
+    )
+    # query anti-aligned with list 1's centroid: real centroid scores
+    # -1.0, zero-norm must still lose (-inf), so nprobe=1 probes list 1
+    got = idx.query_rows([0.0, -1.0], k=1, nprobe=1)
+    assert [i for i, _ in got] == [2]
+
+
+def test_ivfpq_local_shards_fleet_union(spark, sf_dir, tmp_path):
+    """The fleet shape the class docstring promises: build shards once,
+    load two disjoint list-id ranges into two index instances, route
+    via the global coarse probe, merge the nodes' shortlists under the
+    single-box (adc asc, id asc) cut — the union must re-rank to the
+    single-box answer exactly."""
+    import numpy as np
+
+    from terrorblade_spark.operators.vector import (
+        ivfpq_build,
+        ivfpq_local_index,
+        ivfpq_local_index_from_shards,
+    )
+    from terrorblade_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    k, m, nprobe, short_n = 10, 16, 4, 64
+    enc, cents, cb = ivfpq_build(emb, n_lists=4, m=m, n_codes=16, seed=7)
+    enc = enc.persist()
+    shard_dir = str(tmp_path / "shards")
+    box = ivfpq_local_index(enc, cents, cb, m=m, shard_path=shard_dir)
+    node_a = ivfpq_local_index_from_shards(shard_dir, cents, cb, m=m, list_range=(0, 2))
+    node_b = ivfpq_local_index_from_shards(shard_dir, cents, cb, m=m, list_range=(2, 4))
+    assert len(node_a.ids) + len(node_b.ids) == len(box.ids)
+    assert set(np.unique(node_a.lists)) <= {0, 1}
+    assert set(np.unique(node_b.lists)) <= {2, 3}
+    for vid in [r["vec_id"] for r in emb.orderBy("vec_id").limit(3).collect()]:
+        qvec = [
+            float(x) for x in emb.where(F.col("vec_id") == vid).first()["embedding"]
+        ]
+        q = np.asarray(qvec, dtype=np.float64)
+        qn = float(np.linalg.norm(q))
+        # router: ONE global probe set from the replicated quantizer
+        probe = box._probe_lists(q, qn, nprobe)
+        ids_l, adc_l, cos_l = [], [], []
+        for node in (node_a, node_b):
+            i_, a_, c_ = node.shortlist_rows(qvec, nprobe, short_n, probe_lids=probe)
+            ids_l.append(i_)
+            adc_l.append(a_)
+            cos_l.append(c_)
+        ids = np.concatenate(ids_l)
+        adc = np.concatenate(adc_l)
+        cos = np.concatenate(cos_l)
+        # re-apply the single-box shortlist rule over the union
+        if len(ids) > short_n:
+            cut = np.lexsort((ids, adc))[:short_n]
+            ids, cos = ids[cut], cos[cut]
+        top = np.lexsort((ids, -cos))[:k]
+        fleet = [(int(ids[i]), round(float(cos[i]), 12)) for i in top]
+        single = [(i, round(c, 12)) for i, c in box.query_rows(qvec, k, nprobe=nprobe, shortlist=short_n)]
+        assert fleet == single, vid
+    emb.unpersist()
+    enc.unpersist()

@@ -93,6 +93,13 @@ def main() -> None:
     # — N point queries, reporting build/collect wall, resident bytes,
     # per-query latency, and full recall vs brute force
     ap.add_argument("--local-serving", type=int, default=0)
+    # round 10 (VERDICT r9 task 3): score the Spark serving path and the
+    # driver-resident tier on the SAME query draws in one session, with
+    # one shared brute-force ground truth per draw — removes the
+    # KMeans-build + draw-set variance that made the two legs' recalls
+    # (0.905 vs 0.875/0.895 in r9) incomparable across artifacts — and
+    # extend the A/B id-order transcript to every shared query
+    ap.add_argument("--shared-draws", action="store_true")
     args = ap.parse_args()
 
     from terrorblade_spark.operators.vector import (
@@ -179,6 +186,15 @@ def main() -> None:
             flush=True,
         )
 
+    shared = args.shared_draws and args.serving > 0 and args.local_serving > 0
+    qset: list[list[float]] = []
+    if shared:
+        for _ in range(max(args.serving, args.local_serving)):
+            c = qrng.integers(0, args.clusters)
+            qset.append((centers[c] + qrng.standard_normal(args.dim)).tolist())
+    exact_sets: dict[int, set] = {}  # shared ground truth per draw index
+    served_ids: dict[int, list[int]] = {}  # ordered ids for the A/B transcript
+
     serving = None
     if args.serving > 0:
         serve = ivfpq_server(
@@ -187,11 +203,16 @@ def main() -> None:
         lat = []
         s_recalls = []
         for si in range(args.serving):
-            c = qrng.integers(0, args.clusters)
-            qvec = (centers[c] + qrng.standard_normal(args.dim)).tolist()
+            if shared:
+                qvec = qset[si]
+            else:
+                c = qrng.integers(0, args.clusters)
+                qvec = (centers[c] + qrng.standard_normal(args.dim)).tolist()
             t0 = time.time()
-            got = {r["vec_id"] for r in serve(qvec, args.k).collect()}
+            got_rows = [r["vec_id"] for r in serve(qvec, args.k).collect()]
             lat.append(time.time() - t0)
+            served_ids[si] = got_rows
+            got = set(got_rows)
             # full recall scoring vs brute force on EVERY serving query
             # (round 9, VERDICT r8 task 4 — the r8 artifact's 3-query
             # spot-check under-sold serving recall, which equals the
@@ -207,6 +228,7 @@ def main() -> None:
                 .limit(args.k)
                 .collect()
             }
+            exact_sets[si] = exact
             s_recalls.append(len(got & exact) / args.k)
             print(
                 f"# serve{si}: {lat[-1]:.2f}s recall@{args.k}={s_recalls[-1]:.2f}",
@@ -234,31 +256,45 @@ def main() -> None:
         t_lbuild = time.time() - t0
         llat = []
         l_recalls = []
+        ab_same = ab_total = 0
         for si in range(args.local_serving):
-            c = qrng.integers(0, args.clusters)
-            qvec = (centers[c] + qrng.standard_normal(args.dim)).tolist()
+            if shared:
+                qvec = qset[si]
+            else:
+                c = qrng.integers(0, args.clusters)
+                qvec = (centers[c] + qrng.standard_normal(args.dim)).tolist()
             t0 = time.time()
-            got = {
+            got_rows = [
                 i
                 for i, _ in lserve.index.query_rows(
                     qvec, args.k, nprobe=args.nprobe, shortlist=args.shortlist
                 )
-            }
+            ]
             llat.append(time.time() - t0)
-            qlit = F.array(*[F.lit(float(x)) for x in qvec])
-            exact = {
-                r["vec_id"]
-                for r in corpus.select(
-                    "vec_id", cosine(F.col("embedding"), qlit).alias("s")
-                )
-                .orderBy(F.desc("s"), "vec_id")
-                .limit(args.k)
-                .collect()
-            }
+            got = set(got_rows)
+            if si in exact_sets:  # shared draw: reuse the ground truth
+                exact = exact_sets[si]
+            else:
+                qlit = F.array(*[F.lit(float(x)) for x in qvec])
+                exact = {
+                    r["vec_id"]
+                    for r in corpus.select(
+                        "vec_id", cosine(F.col("embedding"), qlit).alias("s")
+                    )
+                    .orderBy(F.desc("s"), "vec_id")
+                    .limit(args.k)
+                    .collect()
+                }
             l_recalls.append(len(got & exact) / args.k)
+            ab = ""
+            if si in served_ids:  # A/B id-order transcript vs the Spark path
+                ab_total += 1
+                same = got_rows == served_ids[si]
+                ab_same += same
+                ab = f" ab_order={'identical' if same else 'DIVERGED'}"
             print(
                 f"# local{si}: {llat[-1] * 1000:.1f}ms "
-                f"recall@{args.k}={l_recalls[-1]:.2f}",
+                f"recall@{args.k}={l_recalls[-1]:.2f}{ab}",
                 flush=True,
             )
         llat.sort()
@@ -274,6 +310,9 @@ def main() -> None:
             "recall_at_k": round(sum(l_recalls) / len(l_recalls), 3),
             "recall_min": round(min(l_recalls), 2),
         }
+        if shared:
+            local_serving["shared_draws"] = True
+            local_serving["ab_order_identical"] = f"{ab_same}/{ab_total}"
 
     out = {
         "probe": "ivfpq_recall",
