@@ -118,7 +118,10 @@ def test_pagerank_tol_driver_barrier_amortized(spark):
     def jobs_for(group, **kw):
         sc.setJobGroup(group, group)
         try:
-            pagerank(e, n_iter=4, **kw).count()
+            # local_max_edges=0: the probe-count contract under test is
+            # a property of the DISTRIBUTED superstep loop (the local
+            # finisher runs zero probe jobs by construction)
+            pagerank(e, n_iter=4, local_max_edges=0, **kw).count()
             return len(sc.statusTracker().getJobIdsForGroup(group))
         finally:
             sc.setJobGroup("", "")
@@ -132,6 +135,53 @@ def test_pagerank_tol_driver_barrier_amortized(spark):
     # at most half of checking every superstep
     assert base < every4 < every1
     assert (every4 - base) * 2 <= (every1 - base)
+
+
+def test_pagerank_local_finisher_matches_distributed(spark):
+    """Round-10 local finisher: under local_max_edges the power
+    iteration runs driver-side; ranks must match the distributed
+    superstep loop to float-summation precision on the same graph —
+    plain AND weighted — and local_max_edges=0 must force the
+    distributed path."""
+    rng = np.random.RandomState(11)
+    edges = {(int(rng.randint(0, 40)), int(rng.randint(0, 40))) for _ in range(150)}
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    local = _ranks(pagerank(e, n_iter=10))                      # default: local
+    dist = _ranks(pagerank(e, n_iter=10, local_max_edges=0))    # forced distributed
+    assert set(local) == set(dist)
+    for v in dist:
+        assert local[v] == pytest.approx(dist[v], abs=1e-12)
+    assert sum(local.values()) == pytest.approx(1.0, abs=1e-9)
+
+    we = spark.createDataFrame(
+        [(u, v, 1.0 + ((u * 7 + v) % 5)) for u, v in sorted(edges)],
+        "src long, dst long, w double",
+    )
+    local_w = _ranks(pagerank(we, n_iter=8, weight_col="w"))
+    dist_w = _ranks(pagerank(we, n_iter=8, weight_col="w", local_max_edges=0))
+    for v in dist_w:
+        assert local_w[v] == pytest.approx(dist_w[v], abs=1e-12)
+
+    with pytest.raises(ValueError, match="local_max_edges"):
+        pagerank(e, local_max_edges=-1)
+
+
+def test_pagerank_local_finisher_skipped_for_tol_and_reset(spark):
+    """tol keeps its exact driver-barrier semantics and reset its
+    Spark-side normalization: both opt out of the local finisher (the
+    distributed loop's probe jobs are observable via job groups)."""
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    sc = spark.sparkContext
+    sc.setJobGroup("pr-tol-path", "pr-tol-path")
+    try:
+        got = _ranks(pagerank(e, n_iter=3, tol=1e-30, check_every=1))
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("pr-tol-path"))
+    finally:
+        sc.setJobGroup("", "")
+    # the local finisher runs ~2 jobs (collect + count); the
+    # distributed loop with 3 probe barriers runs far more
+    assert n_jobs > 6
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
 def test_indegree_profile(spark):
