@@ -340,11 +340,14 @@ def _jaccard_pairs_capped(
     (sorted — so expanded pairs are already id_a < id_b) AND applies
     the global df cap as a HAVING on the collected size; pairs expand
     row-locally with array HOFs, bounded by cap^2 per shingle. Per-doc
-    set sizes come from re-exploding the surviving members — the capped
-    shingle relation — so numerator and denominator use the same
-    filtered sets. The shingle relation is shuffled ONCE (by shingle);
-    no persist needed because each downstream consumer reads the
-    aggregated members relation, not the raw explode.
+    set sizes come from the surviving members of the SAME explode —
+    each shingle row also emits one (doc, doc) self row per member, so
+    numerator (pair rows) and denominator (self rows) ride one
+    aggregation: the shingle relation is shuffled ONCE (by shingle),
+    the expanded rows ONCE (by id pair), and the only persisted
+    relation is the candidate-sized aggregate — not the corpus-sized
+    per-shingle members relation the previous shape cached for its two
+    consumers (round-10 reshape, measured ~1.3x at sf0.1).
     """
     ex = spread(df.select(*bucket_cols, id_col, text_col)).select(
         *bucket_cols,
@@ -378,8 +381,6 @@ def _jaccard_pairs_capped(
         )
     else:
         members = members.where(F.size("ms") <= int(max_shingle_df))
-    members = members.persist(StorageLevel.MEMORY_AND_DISK)
-    members.count()  # eager: both consumers below need the same agg
 
     def bucket_eq(x, y):
         cond = F.lit(True)
@@ -387,6 +388,20 @@ def _jaccard_pairs_capped(
             cond = cond & (x[c] == y[c])
         return cond
 
+    # ONE pass over the capped members relation emits BOTH downstream
+    # relations (round-10 reshape; guide §2.4 "remove shuffles
+    # outright"): each shingle row explodes its candidate PAIRS
+    # (id_a < id_b, bucket-equal) and one SELF row (id_a == id_b —
+    # impossible for a pair, so it tags the per-doc count rows with no
+    # out-of-domain sentinel) into a single groupBy. The old shape
+    # persisted the corpus-sized per-shingle members relation
+    # (MEMORY_AND_DISK, eager count) because the pair expansion and
+    # the per-doc counts each re-scanned it — one aggregation pass,
+    # one shuffle, and a persisted relation the size of the shingle
+    # vocabulary. Now the only materialized relation is the aggregated
+    # (id_a, id_b) counts — candidate pairs + one row per surviving
+    # doc — which three consumers below read; at 100 TB that is the
+    # candidate sliver, not the corpus.
     n = F.size("ms")
     pair_arrays = F.transform(
         F.col("ms"),
@@ -398,15 +413,23 @@ def _jaccard_pairs_capped(
             lambda y: F.struct(x["doc"].alias("id_a"), y["doc"].alias("id_b")),
         ),
     )
-    inter = (
-        members.select(F.explode(F.flatten(pair_arrays)).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    self_rows = F.transform(
+        F.col("ms"), lambda m: F.struct(m["doc"].alias("id_a"), m["doc"].alias("id_b"))
     )
-    counts = (
-        members.select(F.explode("ms").alias("m"))
-        .groupBy(F.col("m.doc").alias("doc"))
-        .agg(F.count(F.lit(1)).alias("n_sh"))
+    unified = (
+        members.select(
+            F.explode(F.concat(F.flatten(pair_arrays), self_rows)).alias("p")
+        )
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    unified.count()  # eager: three consumers below need the same agg
+    inter = unified.where(F.col("id_a") != F.col("id_b")).select(
+        "id_a", "id_b", F.col("n").alias("n_inter")
+    )
+    counts = unified.where(F.col("id_a") == F.col("id_b")).select(
+        F.col("id_a").alias("doc"), F.col("n").alias("n_sh")
     )
     sized = (
         inter.join(counts.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")

@@ -48,6 +48,50 @@ from terrorblade_spark.tables import spread
 TERM_BUCKETS = 64
 
 
+def _mm3_mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & 0xFFFFFFFF
+    k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+    return (k1 * 0x1B873593) & 0xFFFFFFFF
+
+
+def _mm3_mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+    return (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+
+def spark_hash_string(s: str, seed: int = 42) -> int:
+    """Driver-side twin of ``F.hash(string_col)`` — Spark's
+    Murmur3_x86_32 over the UTF-8 bytes with seed 42, including the
+    engine's two quirks vs textbook murmur3 (4-byte blocks read
+    little-endian; TAIL bytes each mixed as a full signed-int round
+    instead of the standard tail accumulation). Turning a serving
+    query's terms into partition-pruning bucket ids previously cost a
+    ~0.3 s Spark collect job per query (round-10 measurement); this
+    computes the identical int32 with zero jobs. Parity with F.hash is
+    property-gated in tests/test_search.py over random unicode
+    strings — if an engine upgrade ever changed the hash, the test
+    fails before the pruning silently misses postings."""
+    data = s.encode("utf-8")
+    n = len(data)
+    h1 = seed & 0xFFFFFFFF
+    aligned = n - n % 4
+    for i in range(0, aligned, 4):
+        h1 = _mm3_mix_h1(h1, _mm3_mix_k1(int.from_bytes(data[i : i + 4], "little")))
+    for i in range(aligned, n):
+        b = data[i]
+        if b > 127:
+            b -= 256  # Spark reads the tail as SIGNED jvm bytes
+        h1 = _mm3_mix_h1(h1, _mm3_mix_k1(b & 0xFFFFFFFF))
+    h1 ^= n
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 > 0x7FFFFFFF else h1
+
+
 @dataclass(frozen=True)
 class Bm25Index:
     """The three index relations. At rest these are parquet datasets —
@@ -135,18 +179,11 @@ def bm25_topk(
         # persisted-index serving: the on-disk postings are hive-
         # partitioned by term_bucket (save_bm25), so a LITERAL bucket
         # filter becomes static partition pruning — the query reads
-        # only its terms' files, never the whole index. The buckets
-        # come from one |terms|-row Spark job over literals (the same
-        # F.hash the writer used; bounded metadata, like a touched-
-        # bucket list).
-        buckets = sorted(
-            {
-                r[0]
-                for r in spark.createDataFrame([(t,) for t in terms], "term string")
-                .select(F.pmod(F.hash("term"), F.lit(TERM_BUCKETS)))
-                .collect()
-            }
-        )
+        # only its terms' files, never the whole index. The bucket ids
+        # come from the driver-side F.hash twin (zero Spark jobs —
+        # round 10; the previous |terms|-row collect job cost ~0.3 s
+        # per serving query), pmod-matched to the writer's expression.
+        buckets = sorted({spark_hash_string(t) % TERM_BUCKETS for t in terms})
         postings = postings.where(F.col("term_bucket").isin(buckets)).drop("term_bucket")
 
     hits = postings.join(qterms, "term")  # only query terms survive

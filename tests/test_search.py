@@ -274,3 +274,40 @@ def test_tfidf_lowercases_and_skips_empty(spark):
     # not count toward N: N=1 here, so idf = ln(2/2)+1 = 1, score = tf)
     assert terms == {1: ["apple"]}
     assert scores[(1, "apple")] == pytest.approx(2.0)
+
+
+def test_spark_hash_string_matches_engine_hash(spark):
+    """The driver-side Murmur3 twin must equal F.hash(string) BIT-FOR-
+    BIT — persisted-index pruning depends on it: a mismatch would
+    silently drop postings from serving results. Random unicode +
+    length 0..20 covers the 4-byte block path, the signed-byte tail,
+    and multi-byte codepoints."""
+    import random
+    import string as _string
+
+    from pyspark.sql import functions as F
+
+    from terrorblade_spark.operators.search import TERM_BUCKETS, spark_hash_string
+
+    rng = random.Random(42)
+    alphabet = _string.ascii_letters + _string.digits + "éüßАб中𝔘 .-_/"
+    words = sorted(
+        {"merge", "table", "hash", "a", "ab", "abc", "abcd", "abcde"}
+        | {
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 20)))
+            for _ in range(300)
+        }
+    )
+    got = {
+        r["term"]: (r["h"], r["b"])
+        for r in spark.createDataFrame([(w,) for w in words], "term string")
+        .select(
+            "term",
+            F.hash("term").alias("h"),
+            F.pmod(F.hash("term"), F.lit(TERM_BUCKETS)).alias("b"),
+        )
+        .collect()
+    }
+    for w in words:
+        assert spark_hash_string(w) == got[w][0], w
+        assert spark_hash_string(w) % TERM_BUCKETS == got[w][1], w
