@@ -1,0 +1,58 @@
+"""Stats-free eager localCheckpoint for iterative DataFrame loops.
+
+Spark 4.x ``Dataset.localCheckpoint`` no longer returns a stats-free
+``LogicalRDD``: since SPARK-39748 it carries the origin plan's
+statistics (and constraints) onto the checkpointed relation
+(``LogicalRDD.rewriteStatsAndConstraints``). ``sizeInBytes`` of a join
+is the PRODUCT of its children's sizes, so in an iterative loop whose
+per-step plan references the previous checkpoint through more than one
+join path — the delta-cascade kcore (pend unions with decrements that
+were derived FROM pend), pointer-doubling traversal (ptr self-joined
+with ptr) — the carried statistic roughly SQUARES every step. The
+number of BITS in the BigInt doubles per iteration; by step ~20 the
+driver is multiplying multi-megabit BigIntegers inside
+``SizeInBytesOnlyStatsPlanVisitor`` and each further checkpoint takes
+exponentially longer. Observed on the 10M-edge deep-cascade kcore
+probe (round 10): the driver burned 43 CPU-minutes inside
+``BigInteger.multiplyToomCook3`` under
+``LogicalRDD$.rewriteStatsAndConstraints`` on ONE ``localCheckpoint``
+call — a hang for practical purposes. The same compounding (linear in
+most loops, exponential wherever a step plan joins two descendants of
+the same checkpoint) silently taxes every iterative operator.
+
+``flat_local_checkpoint`` restores the pre-3.4 contract the loops in
+this package were written against ("checkpointed relations carry no
+size statistics" — the explicit ``F.broadcast`` hints in the kcore
+delta path exist precisely because of it): checkpoint eagerly through
+the ordinary Dataset API (which handles row copying, storage level and
+materialization), then re-wrap the materialized RDD in a fresh
+``LogicalRDD`` with no origin stats via
+``SparkSession.internalCreateDataFrame``. Every subsequent plan then
+sees a constant ``defaultSizeInBytes`` leaf, so per-step planning cost
+is bounded for any number of iterations. The re-wrap adds no Spark
+job (the physical plan is a scan of the already-checkpointed RDD).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def flat_local_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` that drops origin-plan statistics.
+
+    Returns a DataFrame whose logical plan is a bare ``LogicalRDD``
+    over the checkpointed rows (constant default-size statistics), so
+    iterative loops can checkpoint every step without plan-statistics
+    compounding. Falls back to the plain checkpoint if the JVM-side
+    re-wrap is unavailable (e.g. a non-classic session).
+    """
+    ck = df.localCheckpoint(eager=True)
+    try:
+        spark = df.sparkSession
+        jdf = ck._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        njdf = spark._jsparkSession.internalCreateDataFrame(jrdd, jdf.schema(), False)
+        return ck.__class__(njdf, spark)
+    except Exception:  # pragma: no cover - defensive: behave like localCheckpoint
+        return ck

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .ckpt import flat_local_checkpoint as _ckpt
+
 
 def _large_star(sym: DataFrame) -> DataFrame:
     # for each node u: m = min(neighbors + self); every strictly-larger
@@ -79,7 +81,7 @@ def connected_components(
         pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_ckpt)
     )
     nodes = edges.select(F.col("u").alias("node")).unionByName(
         edges.select(F.col("v").alias("node"))
@@ -89,7 +91,7 @@ def connected_components(
     converged = False
     for _ in range(max_rounds):
         sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        edges = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        edges = _small_star(_large_star(sym)).transform(_ckpt)
         # convergence = edge multiset fixed point; (count, xor-free sum
         # of a 64-bit pair hash) is an order-independent signature and
         # two cheap scalar actions on the checkpointed relation
@@ -298,7 +300,7 @@ def resolve_roots(
         .join(ptr.select("node").distinct(), "node", "left_anti")
         .select("node", F.col("node").alias("anc"), F.lit(0).alias("d"))
     )
-    ptr = ptr.unionByName(roots).localCheckpoint(eager=True)
+    ptr = ptr.unionByName(roots).transform(_ckpt)
 
     prev_sig = None
     converged = False
@@ -310,7 +312,7 @@ def resolve_roots(
             F.col("b.anc").alias("anc"),
             (F.col("a.d") + F.col("b.d")).alias("d"),
         )
-        ptr = hop.localCheckpoint(eager=True)
+        ptr = hop.transform(_ckpt)
         sig = ptr.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("node", "anc", "d").cast("decimal(38,0)")).alias("s"),

@@ -180,26 +180,46 @@ def minhash_lsh_candidates(
 
 
 def lsh_candidates_from_signatures(sig: DataFrame, bands: int, rows: int) -> DataFrame:
-    """Banded self-join over a prepared (doc, sig) relation — split out
-    so pipelines that also need the signatures (e.g. for estimated-
-    Jaccard verification) compute them ONCE and reuse the relation.
+    """Banded bucket grouping over a prepared (doc, sig) relation —
+    split out so pipelines that also need the signatures (e.g. for
+    estimated-Jaccard verification) compute them ONCE and reuse the
+    relation.
 
     Sentinel rows are dropped first: ``minhash_signatures`` gives
     unshingleable docs an all -1 signature, and every such doc shares
     every band hash — one quadratic bucket of false pairs that
-    estimated Jaccard would then score 1.0."""
+    estimated Jaccard would then score 1.0.
+
+    Plan shape (round-10 reshape, guide §2.4): one groupBy(band,
+    band_hash) collects each bucket's members (sorted, so expanded
+    pairs are already id_a < id_b) and pairs expand row-locally —
+    replacing the banded self-join, which needed the banded relation
+    TWICE and therefore a persist + eager-count materialization job.
+    Now the banded relation is consumed once and nothing is persisted:
+    explode bands -> one shuffle (by bucket) -> pair rows -> distinct.
+    Memory bound: expansion explodes the member list twice (posexplode
+    then a per-member slice) rather than flattening all pairs into one
+    array, so no single row ever exceeds the bucket population P —
+    strictly smaller than the O(P^2) rows the join emitted per hot
+    bucket, and singleton buckets (the overwhelming majority under a
+    working banding curve) die in the size filter before expansion."""
     sig = sig.where(F.element_at(F.col("sig"), 1) != -1)
     banded = sig.select("doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash")
     )
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    banded.count()  # eager: lazy persist would race both join branches
-    a = banded.alias("a")
-    b = banded.alias("b")
+    members = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    tail_len = F.greatest(F.size("ms") - F.col("i") - 1, F.lit(0))
     return (
-        a.join(b, on=["band", "band_hash"])
-        .where(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        members.select(F.posexplode("ms").alias("i", "id_a"), "ms")
+        .select("id_a", F.explode(F.slice("ms", F.col("i") + 2, tail_len)).alias("id_b"))
+        # strict < matches the old join's a.doc < b.doc exactly: sorted
+        # members make it a no-op for unique ids, and duplicate ids in
+        # the input (adjacent after sort) must not pair with themselves
+        .where(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 

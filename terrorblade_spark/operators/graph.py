@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .ckpt import flat_local_checkpoint as _ckpt
+
 
 def pagerank(
     edges: DataFrame,
@@ -333,7 +335,7 @@ def _pagerank_impl(
                 F.coalesce("__out", F.lit(False)).alias("__out"),
                 F.col("__t").alias(rank_col),
             )
-            .localCheckpoint(eager=True)
+            .transform(_ckpt)
         )
         for it in range(n_iter):
             contrib = _superstep_contrib(links, state, node_col, rank_col)
@@ -357,7 +359,7 @@ def _pagerank_impl(
                         )
                     ).alias(rank_col),
                 )
-                .localCheckpoint(eager=True)
+                .transform(_ckpt)
             )
             # the convergence probe is a synchronous driver barrier —
             # amortize it to one check per check_every supersteps
@@ -491,7 +493,7 @@ def _walk_steps(links, walks_per_node, walk_length, seed, node_col, spark):
         .select(
             (F.col("__cur") * walks_per_node + F.col("__r")).alias("walk_id"), "__cur"
         )
-        .localCheckpoint(eager=True)
+        .transform(_ckpt)
     )
     steps = [
         frontier.select(
@@ -508,7 +510,7 @@ def _walk_steps(links, walks_per_node, walk_length, seed, node_col, spark):
             frontier.join(links, frontier["__cur"] == links["__src"])
             .where(F.col("__idx") == draw % F.col("__deg") + 1)
             .select("walk_id", F.col("__dst").alias("__cur"))
-            .localCheckpoint(eager=True)
+            .transform(_ckpt)
         )
         steps.append(
             nxt.select("walk_id", F.lit(t).alias("step"), F.col("__cur").alias(node_col))
@@ -602,7 +604,7 @@ def bfs_distances(
             seeds.select(F.col(node_col).cast("long").alias(node_col))
             .where(F.col(node_col).isNotNull())
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(_ckpt)
         )
         visited = frontier.select(node_col, F.lit(0).alias("distance"))
         for hop in range(1, max_hops + 1):
@@ -613,12 +615,10 @@ def bfs_distances(
                 .select(F.col("__dst").alias(node_col))
                 .distinct()
             )
-            frontier = reached.join(visited, node_col, "left_anti").localCheckpoint(
-                eager=True
-            )
+            frontier = reached.join(visited, node_col, "left_anti").transform(_ckpt)
             visited = visited.unionByName(
                 frontier.select(node_col, F.lit(hop).alias("distance"))
-            ).localCheckpoint(eager=True)
+            ).transform(_ckpt)
     finally:
         e.unpersist()
     return visited
@@ -719,11 +719,9 @@ def label_propagation(
         sym.count()  # materialize before iterating
         labels = sym.select(F.col("a").alias(node_col)).distinct().select(
             node_col, F.col(node_col).alias(label_col)
-        ).localCheckpoint(eager=True)
+        ).transform(_ckpt)
         for i in range(n_iter):
-            nxt = _lpa_round(sym, labels, node_col, label_col).localCheckpoint(
-                eager=True
-            )
+            nxt = _lpa_round(sym, labels, node_col, label_col).transform(_ckpt)
             if stop_when_stable and (i + 1) % check_every == 0:
                 changed = nxt.join(
                     labels.select(
@@ -1068,7 +1066,7 @@ def kcore(
                 node_col,
                 (F.col("__deg") - F.coalesce("__dec", F.lit(0))).alias("__deg"),
             )
-        return out.localCheckpoint(eager=True)
+        return out.transform(_ckpt)
 
     try:
         sym.count()  # materialize: every step must hit the cache
@@ -1078,14 +1076,12 @@ def kcore(
             sym.groupBy("a")
             .agg(F.count(F.lit(1)).alias("__deg"))
             .select(F.col("a").alias(node_col), "__deg")
-            .localCheckpoint(eager=True)
+            .transform(_ckpt)
         )
         surv_edges, deg_n = _deg_stats(deg)
         if surv_edges <= local_max_edges:
             return _local_finish(deg)
-        frontier = deg.where(F.col("__deg") < k).select(node_col).localCheckpoint(
-            eager=True
-        )
+        frontier = deg.where(F.col("__deg") < k).select(node_col).transform(_ckpt)
         pend: DataFrame | None = None
         recents: list[DataFrame] = []
         rec_n = 0  # total rows across recents (each frontier counted once)
@@ -1108,7 +1104,7 @@ def kcore(
                 else pend.unionByName(dec)
                 .groupBy(node_col)
                 .agg(F.sum("__dec").alias("__dec"))
-            ).localCheckpoint(eager=True)
+            ).transform(_ckpt)
             recents.append(frontier)
             # size-triggered fold: once pend rivals the degree relation
             # (1/8 by rows — both are checkpointed, the count is a
@@ -1165,7 +1161,7 @@ def kcore(
                 frontier = (
                     deg.where(F.col("__deg") < k)
                     .select(node_col)
-                    .localCheckpoint(eager=True)
+                    .transform(_ckpt)
                 )
             else:
                 # between folds only pending-touched nodes can be newly
@@ -1184,7 +1180,7 @@ def kcore(
                     .where(F.col("__deg") - F.col("__dec") < k)
                     .join(F.broadcast(_union_all(recents)), node_col, "left_anti")
                     .select(node_col)
-                    .localCheckpoint(eager=True)
+                    .transform(_ckpt)
                 )
     finally:
         sym.unpersist()
