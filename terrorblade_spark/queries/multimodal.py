@@ -20,7 +20,7 @@ from terrorblade_spark.multimodal.media import (
     media_from_documents,
     sample_frames,
 )
-from terrorblade_spark.operators.vector import cosine, sign_lsh_bucket
+from terrorblade_spark.operators.vector import sign_lsh_bucket
 from terrorblade_spark.queries.vector import _duck_lsh_signs
 from terrorblade_spark.registry import query
 from terrorblade_spark.tables import load_table
@@ -161,31 +161,53 @@ def q51_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q52_media_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
+    from terrorblade_spark.operators.vector import dot, norm
 
     m = media_from_documents(load_table(spark, sf_dir, "documents"))
     feats = extract_features(m, dim=32).withColumn(
         "bucket", sign_lsh_bucket(F.col("features"), planes=6, dims=32)
     )
-    # persist before the self-join: without it BOTH join sides re-run
-    # the featurizer mapInPandas over the payload bytes (plan showed two
-    # MapInPandas nodes — 2x the Python/decode cost). Same rationale as
-    # the q33 banded-relation persist; the cached relation is (id, kind,
-    # 32 floats, bucket) — tiny next to the payloads, disk-spillable.
-    feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
-    feats.count()  # eager: lazy persist would race both join branches
-    a, b = feats.alias("a"), feats.alias("b")
-    sim = cosine(F.col("a.features"), F.col("b.features"))
-    return (
-        a.join(
-            b,
-            (F.col("a.kind") == F.col("b.kind"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
+    # Round-10 reshape (guide §2.4/§3.5, the q33 recipe): one
+    # groupBy(kind, bucket) collects each bucket's members (sorted by
+    # media_id, so expanded pairs are already id_a < id_b) and pairs
+    # expand row-locally via posexplode + slice — replacing the bucket
+    # self-join, which consumed the featurized relation TWICE and
+    # therefore forced a persist + eager-count materialization of the
+    # mapInPandas output. Now featurize runs once inside one plan,
+    # nothing is persisted, and one full scan + the join shuffle
+    # disappear. Row width stays bounded by bucket population P (the
+    # slice), not O(P^2). The per-row L2 norm is folded ONCE here and
+    # reused for every pair the row participates in — the old plan
+    # re-folded both norms per pair (3 array aggregates per pair -> 1).
+    # Arithmetic is bit-identical: dot/(norm_a*norm_b) with the same
+    # sequential fold and the same multiply order, a = smaller-id side.
+    feats = feats.where(F.col("kind").isNotNull()).withColumn(
+        "nrm", norm(F.col("features"))
+    )
+    members = (
+        feats.groupBy("kind", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("media_id", "features", "nrm"))
+            ).alias("ms")
         )
-        .where(sim >= 0.5)
+        .where(F.size("ms") > 1)
+    )
+    tail_len = F.greatest(F.size("ms") - F.col("i") - 1, F.lit(0))
+    pairs = members.select(
+        "kind", F.posexplode("ms").alias("i", "a"), "ms"
+    ).select(
+        "kind",
+        "a",
+        F.explode(F.slice("ms", F.col("i") + 2, tail_len)).alias("b"),
+    )
+    d = dot(F.col("a.features"), F.col("b.features"))
+    n = F.col("a.nrm") * F.col("b.nrm")
+    sim = F.when(n > 0, d / n)
+    return (
+        pairs.where(sim >= 0.5)
         .select(
-            F.col("a.kind").alias("kind"),
+            "kind",
             F.col("a.media_id").alias("id_a"),
             F.col("b.media_id").alias("id_b"),
         )
