@@ -61,11 +61,59 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return relink.unionByName(self_link).where(F.col("u") != F.col("v")).distinct()
 
 
+def _components_local(edges: DataFrame) -> DataFrame:
+    """Driver-side min-label components over the collected edge
+    relation — the components twin of pagerank's ``_pagerank_local`` /
+    kcore's ``_local_finish``. Only reached when the caller measured
+    the deduplicated edge relation under ``local_max_edges``; the
+    collect is Arrow-batched into two int64 numpy columns (~16 B/edge)
+    and each pass is two vectorized ``minimum.at`` scatters plus one
+    pointer-jump, converging in O(log n) passes. Exact, not
+    approximate: at the fixpoint every edge's endpoints share a label,
+    labels only ever copy indices of same-component nodes, and a
+    label can only decrease from self — so the shared label is the
+    component's minimum node id, the distributed loop's contract."""
+    import numpy as np
+    import pandas as pd
+
+    spark = edges.sparkSession
+    arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev_arrow = spark.conf.get(arrow_key, None)
+    spark.conf.set(arrow_key, "true")
+    try:
+        pdf = edges.select("u", "v").toPandas()
+    finally:
+        if prev_arrow is None:
+            spark.conf.unset(arrow_key)
+        else:
+            spark.conf.set(arrow_key, prev_arrow)
+    schema = "node long, component long"
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    ea = pdf["u"].to_numpy(dtype=np.int64)
+    eb = pdf["v"].to_numpy(dtype=np.int64)
+    nodes_arr, inv = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    si, di = inv[: len(ea)], inv[len(ea):]
+    lab = np.arange(len(nodes_arr))
+    while True:
+        nxt = lab.copy()
+        np.minimum.at(nxt, si, lab[di])
+        np.minimum.at(nxt, di, lab[si])
+        nxt = np.minimum(nxt, nxt[nxt])
+        if np.array_equal(nxt, lab):
+            break
+        lab = nxt
+    return spark.createDataFrame(
+        pd.DataFrame({"node": nodes_arr, "component": nodes_arr[lab]}), schema
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 16,
+    local_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Component assignment for every node of the pair graph.
 
@@ -76,13 +124,30 @@ def connected_components(
     Reference analog: the reference engine never ships this (its dedup
     stops at pairwise cluster labels); large-scale corpus dedup needs
     it, so it is part of the engine's beyond-reference surface.
+
+    LOCAL FINISHER (round 10; the pagerank/kcore recipe, guide §1.2):
+    each star round costs several shuffles + an eager checkpoint + a
+    signature action — ~1.2 s of fixed overhead per round regardless
+    of edge count, i.e. ~5 s for a 2,000-edge dedup graph. When the
+    DEDUPLICATED edge relation holds at most ``local_max_edges`` rows
+    (2M default ≈ 32 MB Arrow collect of two longs — same bound as
+    kcore/pagerank), the component labels are computed driver-side
+    instead (:func:`_components_local`); output is identical (integer
+    min-label algorithm, no float paths). Larger graphs run the
+    unchanged large-star/small-star loop; the count that gates the
+    choice is read off the already-materialized checkpoint.
+    ``local_max_edges=0`` forces the distributed loop.
     """
+    if local_max_edges < 0:
+        raise ValueError(f"local_max_edges must be >= 0, got {local_max_edges}")
     edges = (
         pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
         .transform(_ckpt)
     )
+    if local_max_edges and edges.count() <= local_max_edges:
+        return _components_local(edges)
     nodes = edges.select(F.col("u").alias("node")).unionByName(
         edges.select(F.col("v").alias("node"))
     ).distinct()

@@ -1207,17 +1207,39 @@ def semantic_neardup_pairs_lsh(
     """
     from terrorblade_spark.operators.vector import dot, norm, sign_lsh_bucket
 
+    # Guide §2.7 (stragglers): normalize + bucket are per-row HOF folds
+    # (CPU-bound); a narrow local input (1-2 file partitions) runs them
+    # serially. Spread only when the scan is narrower than the cluster
+    # — at scale inputs are already wide and this is a no-op, so the
+    # full-relation shuffle never happens where it would hurt.
+    sc = vectors.sparkSession.sparkContext
+    if vectors.rdd.getNumPartitions() < sc.defaultParallelism:
+        vectors = vectors.repartition(sc.defaultParallelism)
     base = vectors.select(id_col, vec_col).withColumn("__n", norm(F.col(vec_col)))
     unit = base.where(F.col("__n") > 0).select(
         F.col(id_col),
         sign_lsh_bucket(F.col(vec_col), planes, dims).alias("__b"),
         F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n")).alias("__u"),
     )
-    left = unit.select(F.col("__b"), F.col(id_col).alias("id_a"), F.col("__u").alias("__ua"))
-    right = unit.select(F.col("__b"), F.col(id_col).alias("id_b"), F.col("__u").alias("__ub"))
+    # Round-10 reshape (guide §2.4/§3.5, the q33/q52 recipe): group by
+    # bucket and expand member pairs row-locally (posexplode + slice)
+    # instead of self-joining the unit relation, which consumed it —
+    # and the whole scan + normalize + bucket pipeline above — TWICE.
+    # sort_array orders by the leading struct field (the id), so
+    # expanded pairs are already id_a < id_b with the same dot operand
+    # order as the old a-side/b-side join; row width stays bounded by
+    # bucket population.
+    members = (
+        unit.groupBy("__b")
+        .agg(F.sort_array(F.collect_list(F.struct(id_col, "__u"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    tail_len = F.greatest(F.size("ms") - F.col("i") - 1, F.lit(0))
     return (
-        left.join(right, "__b")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(dot(F.col("__ua"), F.col("__ub")) >= F.lit(float(threshold)))
-        .select("id_a", "id_b")
+        members.select(F.posexplode("ms").alias("i", "a"), "ms")
+        .select("a", F.explode(F.slice("ms", F.col("i") + 2, tail_len)).alias("b"))
+        .where(dot(F.col("a.__u"), F.col("b.__u")) >= F.lit(float(threshold)))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
     )

@@ -155,47 +155,60 @@ def repeated_window_spans(
         F.size("__toks").alias("__n"),
         F.posexplode("__wh").alias("pos", "wh"),
     )
-    hot = (
-        ex.groupBy("wh")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= min_repeats)
-        .select("wh")
+    # Round-10 reshape (guide §2.4): corpus-wide repeat counting as a
+    # count-over-window partitioned by hash, replacing the old
+    # groupBy(wh) + left-semi-join-back shape. That shape consumed
+    # ``ex`` TWICE — and ex embeds the whole tokenize + window-hash
+    # pipeline, the most expensive stage of the operator — so the
+    # hashes were computed twice per run (measured: 2x 8 s of the
+    # query's 15.5 s at sf0.1). Now: one compute, one shuffle by wh
+    # (same hot-key profile as the join build side; WindowExec spills
+    # per group, so a corpus-frequent window stays bounded).
+    from pyspark.sql import Window
+
+    marks = (
+        ex.withColumn(
+            "__c", F.count(F.lit(1)).over(Window.partitionBy("wh"))
+        )
+        .where(F.col("__c") >= min_repeats)
+        .drop("__c")
     )
-    marks = ex.join(hot, "wh", "left_semi")
     # merge overlapping/adjacent [pos, pos+window) spans row-locally:
     # sorted starts fold into disjoint spans in one pass
     starts = marks.groupBy(id_col).agg(
         F.sort_array(F.collect_list("pos")).alias("ps"),
         F.first("__n").alias("n_tokens"),
     )
+    # Span merge, round-10 rewrite: the old array fold rebuilt the
+    # accumulator array on every step (slice + concat), i.e. O(p^2)
+    # struct copies for p marked positions — a fully-boilerplate
+    # document (every window hot: exactly the dedup target) makes that
+    # quadratic in document length. Sorted equal-width spans merge
+    # exactly when the next start p <= prev_p + window (ends are
+    # monotone: last_p + window), so island BOUNDARIES are computable
+    # positionally in O(p): flag indices where a new island opens, then
+    # zip each boundary with the next to read off [first_p, last_p+w).
     w = F.lit(window)
-    merged = F.aggregate(
-        F.col("ps"),
-        F.array().cast("array<struct<start:int,end:int>>"),
-        lambda acc, p: F.when(
-            (F.size(acc) > 0)
-            & (p.cast("int") <= F.element_at(acc, -1)["end"]),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        F.element_at(acc, -1)["start"].alias("start"),
-                        F.greatest(
-                            F.element_at(acc, -1)["end"], p.cast("int") + w.cast("int")
-                        ).alias("end"),
-                    )
-                ),
-            ),
-        ).otherwise(
-            F.concat(
-                acc,
-                F.array(
-                    F.struct(
-                        p.cast("int").alias("start"),
-                        (p.cast("int") + w.cast("int")).alias("end"),
-                    )
-                ),
-            )
+    ps = F.col("ps")
+    # 0-based indices i where an island starts: i == 0 or
+    # ps[i] > ps[i-1] + window  (element_at is 1-based)
+    bounds = F.filter(
+        F.transform(ps, lambda _, i: i),
+        lambda i: (i == F.lit(0))
+        | (F.element_at(ps, i + 1) > F.element_at(ps, i) + w),
+    )
+    # pair every boundary with the next one (last pairs with size(ps));
+    # the island covering [bounds[k], nxt[k]) ends at ps[nxt[k]-1]
+    nxt = F.concat(
+        F.slice(bounds, 2, F.greatest(F.size(bounds) - 1, F.lit(0))),
+        F.array(F.size(ps)),
+    )
+    merged = F.zip_with(
+        bounds,
+        nxt,
+        lambda s, e: F.struct(
+            F.element_at(ps, s + 1).cast("int").alias("start"),
+            (F.element_at(ps, e).cast("int") + w.cast("int")).alias("end"),
         ),
     )
     out = (

@@ -142,27 +142,38 @@ def knn_join(
     )
 
 
+def _plane_sign(salt: str, p: int, d: int) -> float:
+    """Driver-side bit-exact twin of the sign expression
+    ``conv(substring(md5('salt:p:d'), 1, 15), 16, 10) & 1``: 15 hex
+    chars are 60 bits (< 2^63, no overflow on either side), and hex
+    parse parity == conv-to-decimal parity. Gated by
+    tests/test_vector_ops.py::test_plane_sign_matches_engine_md5,
+    which evaluates the original Spark expression against this."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{salt}:{p}:{d}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h & 1 == 1 else -1.0
+
+
 def sign_lsh_bucket(vec_col: Column, planes: int = 8, dims: int = 64, salt: str = "p") -> Column:
     """Random-hyperplane LSH bucket id (0..2^planes-1).
 
     Hyperplane p's component for dimension d is ±1 derived from the
     shared md5 hash64(salt:p:d) parity — deterministic, reproducible in
     SQL, no stored model. bucket bit p = sign(Σ_d ±1 · v[d]).
+
+    Round 10 (guide §1.2/§5): the signs are computed DRIVER-SIDE
+    (``_plane_sign``) and emitted as literal arrays. The previous form
+    built planes x dims md5/conv/when subtrees for Catalyst to
+    constant-fold — the VALUES folded fine, but planning the 320-node
+    tree (5 planes x 64 dims) cost ~3.7 s PER QUERY before a single
+    row moved (measured: plan-only 3.68 s, full q54 8.0 s). The fold
+    result is identical by the gated parity above; only the plan
+    shrinks.
     """
     bits = []
     for p in range(planes):
-        signs = F.array(
-            *[
-                F.when(
-                    F.conv(F.substring(F.md5(F.lit(f"{salt}:{p}:{d}")), 1, 15), 16, 10)
-                    .cast("long")
-                    .bitwiseAND(F.lit(1))
-                    == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-                for d in range(dims)
-            ]
-        )
+        signs = F.lit([_plane_sign(salt, p, d) for d in range(dims)])
         # coalesce: zip_with pads the shorter array with NULLs, and one
         # NULL poisons the whole fold — a vector shorter than `dims`
         # would project to NULL, land every row (and the query) in
@@ -260,6 +271,17 @@ def ann_lsh_topk(
     At scale the bucket column is a partition/bucketing key, so this is
     a partition-pruned scan of ~1/2^planes of the data.
     """
+    # Guide §2.7 (stragglers): the bucket projection is planes x dims
+    # interpreted HOF folds per row — CPU-bound, so its wall time is
+    # set by scan parallelism. A single-file local input arrives as ONE
+    # partition and runs serially (measured 3.4 s for 2000 rows at
+    # sf0.1, ~0.1 s spread over the cluster). Spread only when the scan
+    # is narrower than the cluster: at scale inputs are already wide
+    # and the repartition (a full shuffle of the vector relation —
+    # exactly what must NOT happen at 100 TB) is a no-op.
+    sc = vectors.sparkSession.sparkContext
+    if vectors.rdd.getNumPartitions() < sc.defaultParallelism:
+        vectors = vectors.repartition(sc.defaultParallelism)
     bucketed = vectors.withColumn("__bucket", sign_lsh_bucket(F.col(vec_col), planes, dims))
     q = F.broadcast(
         query.select(

@@ -426,7 +426,17 @@ def q80_repeated_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.unionByName(
         d.select((F.col("doc_id") + F.lit(_SUBSTR_OFFSET)).alias("doc_id"), "text")
     )
-    spans = repeated_window_spans(corpus, window=_SUBSTR_W, min_repeats=2)
+    # method="rolling": the operator's O(tokens) Arrow Rabin-Karp path
+    # (guide §4.2 — ONE vectorized Python crossing on a narrow column)
+    # instead of the JVM per-window concat+xxhash64, which re-hashes
+    # O(tokens x window) bytes through an interpreted HOF — measured
+    # 8.2 s vs ~0.6 s for the hash stage at sf0.1 (and 12x at the 80k-
+    # doc probe scale). Hash values only ever feed EQUALITY, so spans
+    # are identical (committed probe + test_rolling_method_finds_
+    # identical_spans gate exactly that).
+    spans = repeated_window_spans(
+        corpus, window=_SUBSTR_W, min_repeats=2, method="rolling"
+    )
     return (
         spans.select("doc_id", F.explode("spans").alias("s"))
         .select(

@@ -111,12 +111,27 @@ def q39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys). When a group can grow with the corpus, use the LSH-bucketed
     (q52 shape) or MinHash-LSH (q33) candidate path instead.
     """
+    from terrorblade_spark.operators.vector import dot, norm
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # Round-10 (guide §3.2/§2.6): fold each vector's L2 norm ONCE per
+    # row before the join instead of re-folding both norms per pair
+    # (3 array aggregates per pair -> 1; bit-identical — same fold,
+    # same multiply order). Broadcast the build side explicitly and
+    # spread the probe side across the cluster: a shuffle join keyed
+    # on label caps parallelism at label cardinality (10 here), while
+    # broadcast + probe-side repartition balances pair generation
+    # regardless of label skew — each probe row emits only its own
+    # group's pairs.
+    emb = emb.withColumn("__nrm", norm(F.col("embedding")))
     a = emb.alias("a")
-    b = emb.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    b = emb.repartition(spark.sparkContext.defaultParallelism).alias("b")
+    d = dot(F.col("a.embedding"), F.col("b.embedding"))
+    n = F.col("a.__nrm") * F.col("b.__nrm")
+    sim = F.when(n > 0, d / n)
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        F.broadcast(a)
+        .join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),

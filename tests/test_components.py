@@ -76,6 +76,29 @@ def test_components_match_union_find(spark, edges):
     assert _cc(spark, edges) == _union_find(edges)
 
 
+def test_local_finisher_matches_distributed_loop(spark):
+    # the size-gated driver finisher and the large/small-star loop must
+    # label identically: cliques + a long path (adversarial for min
+    # propagation) + an out-of-order chain
+    pairs = (
+        [(1, 2), (2, 3), (1, 3), (10, 11)]
+        + [(i, i + 1) for i in range(100, 140)]
+        + [(205, 203), (201, 205), (203, 209)]
+    )
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    local = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, "id_a", "id_b", local_max_edges=0
+        ).collect()
+    }
+    assert local == dist == _union_find(pairs)
+
+
 def test_near_dup_components_on_duplicated_corpus(spark):
     # duplicate every doc under offset ids: each (i, i+100) must share a
     # component, canonical = the small id, and no cross-doc merges occur

@@ -100,6 +100,38 @@ def test_sign_lsh_deterministic_and_in_range(spark):
     assert {r["vec_id"]: r["b"] for r in rows2} == by_id  # no RNG: stable
 
 
+def test_plane_sign_matches_engine_md5(spark):
+    # _plane_sign is a driver-side twin of the engine md5-parity
+    # expression the planes were originally built from; if the engine's
+    # md5/conv semantics ever changed, LSH buckets would silently
+    # diverge from the DuckDB oracle's _duck_lsh_signs replay. Evaluate
+    # the ORIGINAL Spark expression for a grid of (salt, p, d) and
+    # compare. One collect for the whole grid.
+    from terrorblade_spark.operators.vector import _plane_sign
+
+    cases = [
+        (salt, p, d)
+        for salt in ("p", "q52", "x:y")
+        for p in range(8)
+        for d in (0, 1, 7, 31, 63)
+    ]
+    exprs = [
+        F.when(
+            F.conv(F.substring(F.md5(F.lit(f"{salt}:{p}:{d}")), 1, 15), 16, 10)
+            .cast("long")
+            .bitwiseAND(F.lit(1))
+            == 1,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias(f"c{i}")
+        for i, (salt, p, d) in enumerate(cases)
+    ]
+    row = spark.range(1).select(*exprs).collect()[0]
+    for i, (salt, p, d) in enumerate(cases):
+        assert row[f"c{i}"] == _plane_sign(salt, p, d), (salt, p, d)
+
+
 def test_ann_lsh_recall_properties(spark):
     # LSH is approximate: identical vectors ALWAYS share a bucket (so
     # the query itself ranks first with sim 1.0), candidates are scored
