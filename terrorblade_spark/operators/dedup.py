@@ -1209,12 +1209,12 @@ def semantic_neardup_pairs_lsh(
 
     # Guide §2.7 (stragglers): normalize + bucket are per-row HOF folds
     # (CPU-bound); a narrow local input (1-2 file partitions) runs them
-    # serially. Spread only when the scan is narrower than the cluster
-    # — at scale inputs are already wide and this is a no-op, so the
+    # serially. tables.spread only round-robins when the scan
+    # undersupplies parallelism — a no-op at scale, so the
     # full-relation shuffle never happens where it would hurt.
-    sc = vectors.sparkSession.sparkContext
-    if vectors.rdd.getNumPartitions() < sc.defaultParallelism:
-        vectors = vectors.repartition(sc.defaultParallelism)
+    from terrorblade_spark.tables import spread as _spread
+
+    vectors = _spread(vectors)
     base = vectors.select(id_col, vec_col).withColumn("__n", norm(F.col(vec_col)))
     unit = base.where(F.col("__n") > 0).select(
         F.col(id_col),

@@ -39,6 +39,24 @@ from pyspark.sql import functions as F
 from .ckpt import flat_local_checkpoint as _ckpt
 
 
+def _arrow_collect(df: DataFrame):
+    """toPandas with Arrow forced on and the caller's conf restored —
+    the shared guard of every size-gated local finisher (the ~16 B per
+    long-column-row bound assumes Arrow batching; a bare session may
+    not have it enabled)."""
+    spark = df.sparkSession
+    arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev_arrow = spark.conf.get(arrow_key, None)
+    spark.conf.set(arrow_key, "true")
+    try:
+        return df.toPandas()
+    finally:
+        if prev_arrow is None:
+            spark.conf.unset(arrow_key)
+        else:
+            spark.conf.set(arrow_key, prev_arrow)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -423,6 +441,7 @@ def random_walks(
     walks_per_node: int = 1,
     seed: str = "walk",
     node_col: str = "node",
+    local_max_edges: int = 200_000,
 ) -> DataFrame:
     """Seeded DETERMINISTIC random walks over the directed graph — the
     node2vec/DeepWalk context sampler: every node starts
@@ -449,6 +468,8 @@ def random_walks(
         raise ValueError(f"walk_length must be >= 1, got {walk_length}")
     if walks_per_node < 1:
         raise ValueError(f"walks_per_node must be >= 1, got {walks_per_node}")
+    if local_max_edges < 0:
+        raise ValueError(f"local_max_edges must be >= 0, got {local_max_edges}")
     e = (
         edges.select(
             F.col(src).cast("long").alias("__src"), F.col(dst).cast("long").alias("__dst")
@@ -470,16 +491,94 @@ def random_walks(
     )
     try:
         return _walk_steps(
-            links, walks_per_node, walk_length, seed, node_col, spark
+            links, walks_per_node, walk_length, seed, node_col, spark,
+            local_max_edges,
         )
     finally:
         links.unpersist()
 
 
-def _walk_steps(links, walks_per_node, walk_length, seed, node_col, spark):
+def _walks_local(links, walks_per_node, walk_length, seed, node_col, spark):
+    """Driver-side walk expansion over the collected link relation —
+    the walks twin of ``_pagerank_local``. Only reached when the
+    caller measured the link relation under ``local_max_edges``; the
+    collect is Arrow-batched into two int64 columns and each step is
+    a vectorized gather over a lexsorted adjacency. The draw is the
+    EXACT contract the distributed loop evaluates —
+    ``hash64(seed/walk_id/step) % out_degree`` — via the same
+    15-hex-chars-of-md5 parse (60 bits, no overflow on either side;
+    the q71 ``spark_hash_string`` / ``_plane_sign`` twin precedent),
+    so the emitted walks are identical row sets (unit-gated). The md5
+    evaluation is one Python call per ALIVE (walk, step) pair, which
+    is why the walks gate defaults LOWER than the 2M-edge bound of
+    the other finishers: ~n_nodes x walks_per_node x walk_length
+    calls ~ a second at 200k edges."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    pdf = _arrow_collect(links.select("__src", "__dst"))
+    schema = f"walk_id long, step int, {node_col} long"
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    src = pdf["__src"].to_numpy(dtype=np.int64)
+    dst = pdf["__dst"].to_numpy(dtype=np.int64)
+    order = np.lexsort((dst, src))  # rank within src = ascending dst,
+    src, dst = src[order], dst[order]  # matching row_number(orderBy dst)
+    usrc, starts, degs = np.unique(src, return_index=True, return_counts=True)
+    nodes = np.unique(np.concatenate([src, dst]))
+    reps = np.arange(walks_per_node, dtype=np.int64)
+    cur = np.repeat(nodes, walks_per_node)
+    wid = cur * walks_per_node + np.tile(reps, len(nodes))
+    out_w, out_s, out_n = [wid], [np.zeros(len(wid), np.int64)], [cur]
+    for t in range(1, walk_length + 1):
+        pos = np.searchsorted(usrc, cur)
+        pos_c = np.minimum(pos, len(usrc) - 1)
+        alive = usrc[pos_c] == cur  # dangling nodes stop the walk
+        if not alive.any():
+            break
+        wid, cur, pos = wid[alive], cur[alive], pos_c[alive]
+        draws = np.fromiter(
+            (
+                int(hashlib.md5(f"{seed}/{w}/{t}".encode()).hexdigest()[:15], 16)
+                for w in wid
+            ),
+            dtype=np.int64,
+            count=len(wid),
+        )
+        cur = dst[starts[pos] + draws % degs[pos]]
+        out_w.append(wid)
+        out_s.append(np.full(len(wid), t, np.int64))
+        out_n.append(cur)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "walk_id": np.concatenate(out_w),
+                "step": np.concatenate(out_s).astype(np.int32),
+                node_col: np.concatenate(out_n),
+            }
+        ),
+        schema,
+    )
+
+
+def _walk_steps(links, walks_per_node, walk_length, seed, node_col, spark,
+                local_max_edges=200_000):
     from terrorblade_spark.functions.exprs import hash64
 
-    links.count()
+    n_links = links.count()
+    # LOCAL FINISHER (round 10, the pagerank recipe): each distributed
+    # step is a frontier join + eager checkpoint (~0.25 s of fixed
+    # cost); a bounded link relation walks driver-side instead —
+    # identical output by the gated md5-draw twin. The materializing
+    # count above already existed as the cache-warm action, so the
+    # gate is free; larger graphs run the unchanged superstep loop
+    # (local_max_edges=0 forces it).
+    if local_max_edges and n_links <= local_max_edges:
+        return _walks_local(
+            links, walks_per_node, walk_length, seed, node_col, spark
+        )
 
     # node set read from the already-materialized cache, not the lineage
     nodes = (
@@ -553,6 +652,54 @@ def walk_context_pairs(
     )
 
 
+def _bfs_local(e, seeds_pdf, max_hops, node_col, spark):
+    """Driver-side hop-bounded BFS over the collected edge relation —
+    identical output to the frontier-Pregel loop by construction (an
+    integer frontier algorithm; no float paths). Arrow-collected two
+    int64 columns, lexsorted adjacency, one vectorized gather per
+    hop."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = _arrow_collect(e.select("__src", "__dst"))
+    schema = f"{node_col} long, distance int"
+    seeds_arr = np.unique(seeds_pdf[node_col].to_numpy(dtype=np.int64))
+    if len(seeds_arr) == 0:
+        return spark.createDataFrame([], schema)
+    src = pdf["__src"].to_numpy(dtype=np.int64)
+    dst = pdf["__dst"].to_numpy(dtype=np.int64)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    usrc, starts, degs = np.unique(src, return_index=True, return_counts=True)
+    dist = {int(s): 0 for s in seeds_arr}
+    frontier = seeds_arr
+    for hop in range(1, max_hops + 1):
+        if len(frontier) == 0:
+            break
+        pos = np.searchsorted(usrc, frontier)
+        pos_c = np.minimum(pos, len(usrc) - 1)
+        has = usrc[pos_c] == frontier
+        pos, f = pos_c[has], frontier[has]
+        if len(f) == 0:
+            break
+        # gather all out-neighbors of the frontier in one shot:
+        # slice i contributes starts[i] + (0..counts[i]-1)
+        counts = degs[pos]
+        cum = np.concatenate(([0], np.cumsum(counts[:-1])))
+        idx = np.repeat(starts[pos] - cum, counts) + np.arange(
+            counts.sum(), dtype=np.int64
+        )
+        reached = np.unique(dst[idx])
+        new = [int(n) for n in reached if int(n) not in dist]
+        for n in new:
+            dist[n] = hop
+        frontier = np.array(new, dtype=np.int64)
+    out = pd.DataFrame(
+        {node_col: list(dist.keys()), "distance": list(dist.values())}
+    ).sort_values(node_col)
+    return spark.createDataFrame(out, schema)
+
+
 def bfs_distances(
     edges: DataFrame,
     seeds: DataFrame,
@@ -560,6 +707,7 @@ def bfs_distances(
     src: str = "src",
     dst: str = "dst",
     node_col: str = "node",
+    local_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Hop-bounded multi-source BFS over the DIRECTED graph ``edges``:
     for every node reachable from the ``seeds`` relation (``node_col``)
@@ -587,6 +735,8 @@ def bfs_distances(
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    if local_max_edges < 0:
+        raise ValueError(f"local_max_edges must be >= 0, got {local_max_edges}")
     spark = edges.sparkSession
     k = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = (
@@ -599,7 +749,26 @@ def bfs_distances(
         .persist()
     )
     try:
-        e.count()  # materialize: every hop must hit the cache, not the lineage
+        n_edges = e.count()  # materialize: every hop must hit the cache
+        # LOCAL FINISHER (round 10, the pagerank recipe): each hop is a
+        # frontier join + anti-join + two checkpoints + an emptiness
+        # action (~0.5 s fixed). A bounded edge relation runs the
+        # textbook BFS driver-side — identical output (integer frontier
+        # algorithm, unit-gated local == distributed). The seed side
+        # must be bounded too: seeds are collected whole, and a seed
+        # set larger than the edge bound would blow the driver budget
+        # the gate exists to protect. The edge count was already the
+        # cache-warm action; the seed count is one node-sized job.
+        if local_max_edges and n_edges <= local_max_edges:
+            seeds_small = (
+                seeds.select(F.col(node_col).cast("long").alias(node_col))
+                .where(F.col(node_col).isNotNull())
+                .distinct()
+            )
+            seeds_pdf = _arrow_collect(seeds_small.limit(local_max_edges + 1))
+            if len(seeds_pdf) <= local_max_edges:
+                return _bfs_local(e, seeds_pdf, max_hops, node_col, spark)
+            # seed set over the bound: fall through to the Pregel loop
         frontier = (
             seeds.select(F.col(node_col).cast("long").alias(node_col))
             .where(F.col(node_col).isNotNull())
@@ -624,6 +793,54 @@ def bfs_distances(
     return visited
 
 
+def _lpa_local(sym, n_iter, node_col, label_col, spark):
+    """Driver-side synchronous LPA over the collected symmetric edge
+    relation. Exact twin of ``_lpa_round``'s update: per node, adopt
+    the neighbor label with the largest total incident weight, ties to
+    the smallest label. With integer-valued weights (the gate-query
+    class; see :func:`label_propagation`'s portability note) the
+    per-label sums are exact in double on BOTH paths, so the argmax —
+    and hence the output — is identical (unit-gated). A fixpoint round
+    is the identity (synchronous LPA is memoryless), so breaking early
+    on stability is exact regardless of ``stop_when_stable``."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = _arrow_collect(sym.select("a", "b", "__w"))
+    schema = f"{node_col} long, {label_col} long"
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    a = pdf["a"].to_numpy(dtype=np.int64)
+    b = pdf["b"].to_numpy(dtype=np.int64)
+    w = pdf["__w"].to_numpy(dtype=np.float64)
+    nodes = np.unique(a)  # sym is symmetric: a covers every node
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    n = len(nodes)
+    lab = nodes.copy()
+    for _ in range(n_iter):
+        labb = lab[bi]  # neighbor labels (labels are node ids)
+        key = ai * n + np.searchsorted(nodes, labb)
+        order = np.argsort(key, kind="stable")
+        ks, ws = key[order], w[order]
+        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        pulls = np.add.reduceat(ws, bounds)
+        ku = ks[bounds]
+        au, labu = ku // n, nodes[ku % n]
+        # per node: max pull, ties to the smallest label
+        sel = np.lexsort((labu, -pulls, au))
+        a_sorted = au[sel]
+        first = np.r_[True, a_sorted[1:] != a_sorted[:-1]]
+        nxt = lab.copy()
+        nxt[a_sorted[first]] = labu[sel][first]
+        if np.array_equal(nxt, lab):
+            break  # fixpoint: every later round is the identity
+        lab = nxt
+    return spark.createDataFrame(
+        pd.DataFrame({node_col: nodes, label_col: lab}), schema
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     n_iter: int = 4,
@@ -634,6 +851,7 @@ def label_propagation(
     label_col: str = "community",
     stop_when_stable: bool = False,
     check_every: int = 1,
+    local_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation over the
     UNDIRECTED graph induced by ``edges`` (direction dropped, parallel
@@ -681,6 +899,8 @@ def label_propagation(
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
     if check_every < 1:
         raise ValueError(f"check_every must be >= 1, got {check_every}")
+    if local_max_edges < 0:
+        raise ValueError(f"local_max_edges must be >= 0, got {local_max_edges}")
     w = (
         F.col(weight_col).cast("double")
         if weight_col is not None
@@ -716,7 +936,16 @@ def label_propagation(
         .persist()
     )
     try:
-        sym.count()  # materialize before iterating
+        n_sym = sym.count()  # materialize before iterating
+        # LOCAL FINISHER (round 10, the pagerank recipe): each round is
+        # an edge join + two aggregates + a checkpoint (~0.4 s fixed);
+        # a bounded symmetric relation runs the identical synchronous
+        # update driver-side (see _lpa_local — exact for the
+        # integer-weight class the portability contract already
+        # requires; local_max_edges=0 forces the distributed loop).
+        # The count above already existed as the cache-warm action.
+        if local_max_edges and n_sym <= local_max_edges:
+            return _lpa_local(sym, n_iter, node_col, label_col, spark)
         labels = sym.select(F.col("a").alias(node_col)).distinct().select(
             node_col, F.col(node_col).alias(label_col)
         ).transform(_ckpt)

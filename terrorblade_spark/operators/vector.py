@@ -275,13 +275,14 @@ def ann_lsh_topk(
     # interpreted HOF folds per row — CPU-bound, so its wall time is
     # set by scan parallelism. A single-file local input arrives as ONE
     # partition and runs serially (measured 3.4 s for 2000 rows at
-    # sf0.1, ~0.1 s spread over the cluster). Spread only when the scan
-    # is narrower than the cluster: at scale inputs are already wide
-    # and the repartition (a full shuffle of the vector relation —
-    # exactly what must NOT happen at 100 TB) is a no-op.
-    sc = vectors.sparkSession.sparkContext
-    if vectors.rdd.getNumPartitions() < sc.defaultParallelism:
-        vectors = vectors.repartition(sc.defaultParallelism)
+    # sf0.1, ~0.1 s spread over the cluster). tables.spread only
+    # round-robins when the scan undersupplies parallelism: at scale
+    # inputs are already wide and the repartition (a full shuffle of
+    # the vector relation — exactly what must NOT happen at 100 TB)
+    # never fires.
+    from terrorblade_spark.tables import spread
+
+    vectors = spread(vectors)
     bucketed = vectors.withColumn("__bucket", sign_lsh_bucket(F.col(vec_col), planes, dims))
     q = F.broadcast(
         query.select(

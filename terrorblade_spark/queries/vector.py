@@ -123,9 +123,11 @@ def q39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast + probe-side repartition balances pair generation
     # regardless of label skew — each probe row emits only its own
     # group's pairs.
+    from terrorblade_spark.tables import spread
+
     emb = emb.withColumn("__nrm", norm(F.col("embedding")))
     a = emb.alias("a")
-    b = emb.repartition(spark.sparkContext.defaultParallelism).alias("b")
+    b = spread(emb).alias("b")
     d = dot(F.col("a.embedding"), F.col("b.embedding"))
     n = F.col("a.__nrm") * F.col("b.__nrm")
     sim = F.when(n > 0, d / n)

@@ -671,8 +671,12 @@ def test_lpa_stop_when_stable_exact_and_early(spark):
         finally:
             sc.setJobGroup("", "")
 
-    fixed, fixed_jobs = run("lpa-fixed")
-    early, early_jobs = run("lpa-early", stop_when_stable=True)
+    # local_max_edges=0: the early-stop contract is a property of the
+    # DISTRIBUTED round loop (the round-10 local finisher computes the
+    # same labels with no per-round jobs to save — gated separately by
+    # test_lpa_local_matches_distributed)
+    fixed, fixed_jobs = run("lpa-fixed", local_max_edges=0)
+    early, early_jobs = run("lpa-early", stop_when_stable=True, local_max_edges=0)
     assert early == fixed
     # converged by ~round 3; 20 fixed rounds must cost well over the
     # early-stopped run even counting the probe jobs
@@ -697,9 +701,11 @@ def test_lpa_stop_when_stable_check_every_amortized(spark):
         finally:
             sc.setJobGroup("", "")
 
-    fixed, _ = run("lpa-ce-fixed")
-    g1, j1 = run("lpa-ce1", stop_when_stable=True, check_every=1)
-    g5, j5 = run("lpa-ce5", stop_when_stable=True, check_every=5)
+    # local_max_edges=0: probe amortization is distributed-loop
+    # machinery (see test_lpa_stop_when_stable_exact_and_early)
+    fixed, _ = run("lpa-ce-fixed", local_max_edges=0)
+    g1, j1 = run("lpa-ce1", stop_when_stable=True, check_every=1, local_max_edges=0)
+    g5, j5 = run("lpa-ce5", stop_when_stable=True, check_every=5, local_max_edges=0)
     assert g1 == fixed and g5 == fixed
     assert j5 < j1
 
@@ -727,3 +733,65 @@ def test_kcore_checkpoint_every_identical_results(spark):
         assert got == base, ce
     with pytest.raises(ValueError, match="checkpoint_every"):
         kcore(e, k=4, checkpoint_every=0)
+
+
+# --- round-10 local finishers: local == distributed --------------------------
+
+
+def test_walks_local_matches_distributed(spark):
+    """The size-gated driver finisher must emit the identical row set
+    as the superstep loop (same md5 draw contract) — including
+    dangling stops and multi-rep walk ids."""
+    from terrorblade_spark.operators.graph import random_walks
+
+    edges = (
+        [(i, (i * 3 + 1) % 20) for i in range(20)]
+        + [(i, (i + 7) % 20) for i in range(20)]
+        + [(50, 51)]  # 51 dangles
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+    kw = dict(walk_length=5, walks_per_node=2, seed="ab")
+    local = sorted(
+        (r["walk_id"], r["step"], r["node"]) for r in random_walks(e, **kw).collect()
+    )
+    dist = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(e, local_max_edges=0, **kw).collect()
+    )
+    assert local == dist
+
+
+def test_bfs_local_matches_distributed(spark):
+    from terrorblade_spark.operators.graph import bfs_distances
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 4), (4, 1), (5, 6), (77, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (10,), (99,)], "node long")
+
+    def run(**kw):
+        return {
+            r["node"]: r["distance"]
+            for r in bfs_distances(e, seeds, max_hops=3, **kw).collect()
+        }
+
+    assert run() == run(local_max_edges=0)
+
+
+def test_lpa_local_matches_distributed(spark):
+    from terrorblade_spark.operators.graph import label_propagation
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(4, 5), (5, 6), (4, 6)]
+    bridge = [(3, 4)]
+    weights = [(a, b, float((a * 7 + b) % 5 + 1)) for a, b in tri1 + tri2 + bridge]
+    e = spark.createDataFrame(weights, "src long, dst long, w double")
+
+    def run(**kw):
+        return {
+            r["node"]: r["community"]
+            for r in label_propagation(
+                e, n_iter=4, weight_col="w", **kw
+            ).collect()
+        }
+
+    assert run() == run(local_max_edges=0)
