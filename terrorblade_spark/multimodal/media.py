@@ -205,6 +205,10 @@ def extract_features(df: DataFrame, dim: int = 32, decoder: str = "fake") -> Dat
                 }
             )
 
+    # NOT spread (guide §2.7 considered and rejected, round 10): the
+    # cached hash encoder runs ~0.15 s serial on the sf0.1 corpus, and
+    # a round-robin spread would shuffle the PAYLOAD BYTES — measured
+    # flat-to-slower locally and the wrong shape everywhere else.
     return df.select("media_id", "kind", "content").mapInPandas(
         run, "media_id long, kind string, features array<float>"
     )
@@ -364,9 +368,25 @@ def phash_candidates(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         F.col("media_id").alias("doc"), F.col("phash").alias("h"),
         F.explode(chunks).alias("c"),
     ).select("doc", "h", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
-    a, b = banded.alias("a"), banded.alias("b")
+    # Round-10 reshape (guide §2.4/§3.5, the q33/q52 recipe): group by
+    # chunk bucket and expand member pairs row-locally instead of
+    # self-joining the banded relation, which consumed the pHash
+    # pipeline (and, upstream, the image-decode mapInPandas) twice.
+    # sort_array orders by the leading struct field (doc), so expanded
+    # pairs are already doc_a < doc_b; row width stays bounded by
+    # bucket population.
+    members = (
+        banded.groupBy("ci", "cv")
+        .agg(F.sort_array(F.collect_list(F.struct("doc", "h"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    tail_len = F.greatest(F.size("ms") - F.col("i") - 1, F.lit(0))
     return (
-        a.join(b, on=["ci", "cv"])
+        members.select(F.posexplode("ms").alias("i", "a"), "ms")
+        .select("a", F.explode(F.slice("ms", F.col("i") + 2, tail_len)).alias("b"))
+        # strict < matches the old join's a.doc < b.doc exactly:
+        # duplicate ids in the input (adjacent after sort) must not
+        # pair with themselves (the q33 reshape precedent)
         .where(F.col("a.doc") < F.col("b.doc"))
         .select(
             F.col("a.doc").alias("id_a"),
