@@ -13,6 +13,11 @@ import os
 
 from pyspark.sql import SparkSession
 
+_JVM_OPTS = (
+    "-XX:ReservedCodeCacheSize=1g "
+    "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=128"
+)
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -55,8 +60,15 @@ def get_spark(
         # after a few dozen stages and execution silently falls back to
         # the interpreter (measured 5-25x slowdowns). Size it up on
         # both driver (local mode) and executors (cluster mode).
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
-        .config("spark.executor.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        # GCLockerRetryAllocationCount: JDK 17's GCLocker throws a
+        # spurious heap-space OOM when an allocation retries past the
+        # default 2 attempts while JNI critical sections (lz4 shuffle
+        # compression) hold off GC — reproduced at 10M docs/32 threads
+        # where tasks died "allocating 10 words" with gigabytes
+        # reclaimable (probes/minhash_10m_r10.log). Retrying longer is
+        # the standard mitigation; JDK 22+ removed the failure mode.
+        .config("spark.driver.extraJavaOptions", _JVM_OPTS)
+        .config("spark.executor.extraJavaOptions", _JVM_OPTS)
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
