@@ -240,6 +240,53 @@ def test_resolve_roots_raises_on_cycle(spark):
 
     from terrorblade_spark.operators.components import resolve_roots
 
+    # the local finisher must refuse the non-forest input and fall
+    # through to the distributed loop, which owns the error contract
     edges = spark.createDataFrame([(1, 2), (2, 1)], "child long, parent long")
     with _pytest.raises(ValueError, match="not a forest"):
         resolve_roots(edges, max_rounds=6)
+
+
+def test_resolve_roots_local_matches_distributed(spark):
+    # chains + branches + isolated subtrees, ids deliberately sparse
+    # and out of order; the size-gated driver finisher and the pointer-
+    # doubling loop must agree row for row (integer algorithm)
+    pairs = (
+        [(i, i - 1) for i in range(1, 60)]  # 60-node chain from 0
+        + [(111, 100), (112, 100), (113, 112), (114, 113)]
+        + [(905, 903), (901, 905), (903, 909)]
+    )
+    edges = spark.createDataFrame(pairs, "child long, parent long")
+    from terrorblade_spark.operators.components import resolve_roots
+
+    local = {
+        r["node"]: (r["root"], r["depth"])
+        for r in resolve_roots(edges).collect()
+    }
+    dist = {
+        r["node"]: (r["root"], r["depth"])
+        for r in resolve_roots(edges, local_max_edges=0).collect()
+    }
+    assert local == dist
+    assert local[59] == (0, 59) and local[114] == (100, 3)
+    assert local[901] == (909, 3) and local[909] == (909, 0)
+
+
+def test_resolve_roots_local_fallthrough_on_duplicate_child(spark):
+    # a node with two parents is not a clean forest: the local path
+    # must decline and the distributed loop's (convergent) multi-root
+    # output must come back unchanged
+    from terrorblade_spark.operators.components import resolve_roots
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3)], "child long, parent long"
+    )
+    rows = sorted(
+        (r["node"], r["root"], r["depth"])
+        for r in resolve_roots(edges).collect()
+    )
+    dist = sorted(
+        (r["node"], r["root"], r["depth"])
+        for r in resolve_roots(edges, local_max_edges=0).collect()
+    )
+    assert rows == dist
