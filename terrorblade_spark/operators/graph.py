@@ -926,9 +926,16 @@ def label_propagation(
     # sort-merge join never re-sorts the edge side: edges shuffle and
     # sort exactly once, here
     sym = (
-        half.unionByName(
-            half.select(F.col("b").alias("a"), F.col("a").alias("b"), "__w")
+        half.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e"),
+            "__w",
         )
+        .select("e.a", "e.b", "__w")
         .groupBy("a", "b")
         .agg(F.sum("__w").alias("__w"))
         .repartition(k, "b")
@@ -1026,8 +1033,9 @@ def triangle_count(
         .distinct()
     )
     deg = (
-        und.select(F.col("u").alias(node_col))
-        .unionByName(und.select(F.col("v").alias(node_col)))
+        und.select(
+            F.explode(F.array(F.col("u"), F.col("v"))).alias(node_col)
+        )
         .groupBy(node_col)
         .agg(F.count(F.lit(1)).alias("__deg"))
     )
@@ -1059,10 +1067,12 @@ def triangle_count(
         oriented.select(F.col("t").alias("x"), F.col("s").alias("y"))
     )
     tris = wedges.join(closing, ["x", "y"])
+    # one corner row per triangle vertex, exploded row-locally: the
+    # three-branch union re-ran the wedge-closing join per branch
     corners = (
-        tris.select(F.col("s").alias(node_col))
-        .unionByName(tris.select(F.col("x").alias(node_col)))
-        .unionByName(tris.select(F.col("y").alias(node_col)))
+        tris.select(
+            F.explode(F.array(F.col("s"), F.col("x"), F.col("y"))).alias(node_col)
+        )
         .groupBy(node_col)
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
@@ -1190,8 +1200,15 @@ def kcore(
     # — the per-step peel-join key — and sorted so the step's
     # sort-merge join never re-sorts the edge side; shuffled ONCE here
     sym = (
-        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        .unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                    F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .repartition(nparts, "b")
         .sortWithinPartitions("b")
         .persist()

@@ -452,9 +452,17 @@ def q114_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.pk") < F.col("b.pk"))
         .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
     )
-    edges = und.unionByName(
-        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # symmetrize row-locally (explode, not a two-branch union): the
+    # union would re-execute the basket self-join per branch — only
+    # the exchanges below it are reused across branches
+    edges = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     seeds = (
         load_table(spark, sf_dir, "part")
         .where(F.col("p_size") == _Q114_SEED_SIZE)

@@ -383,13 +383,19 @@ def q128_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = s.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("st"), F.max("ts").alias("en")
     )
+    # +1/-1 boundary points explode row-locally from ONE spans pass —
+    # a two-branch union would re-run the sessionize window + span agg
+    # per branch (4 Window nodes / 2 corpus scans at any scale)
     points = spans.select(
-        F.col("st").alias("ts"), F.lit(1).alias("delta"), "user_id", "session_id"
-    ).unionByName(
-        spans.select(
-            F.col("en").alias("ts"), F.lit(-1).alias("delta"), "user_id", "session_id"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("st").alias("ts"), F.lit(1).alias("delta")),
+                F.struct(F.col("en").alias("ts"), F.lit(-1).alias("delta")),
+            )
+        ).alias("p"),
+        "user_id",
+        "session_id",
+    ).select("p.ts", "p.delta", "user_id", "session_id")
     swept = distributed_prefix_sum(
         points, "delta", ["ts", "delta", "user_id", "session_id"],
         out_col="concurrency",
