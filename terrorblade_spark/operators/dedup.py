@@ -481,13 +481,19 @@ def jaccard_for_pairs(
     Pairs whose shingle sets are disjoint (or docs too short to
     shingle) get jaccard 0.0 — every input pair appears in the output.
     """
+    from terrorblade_spark.operators.ckpt import flat_local_checkpoint
+
     ex = spread(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(text_col, shingle_n)).alias("shingle"),
     )
+    # pairs feeds THREE consumers (cand_docs, the intersection join,
+    # the final attach) and is typically the caller's un-materialized
+    # LSH candidate pipeline — checkpoint it once so that pipeline
+    # executes once, not per consumer
+    pairs = flat_local_checkpoint(pairs.select("id_a", "id_b"))
     cand_docs = (
-        pairs.select(F.col("id_a").alias("doc"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc")))
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc"))
         .distinct()
     )
     # only candidate docs are shingled onward; at 100 TB candidates are
