@@ -386,6 +386,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "cpus": spark.sparkContext.defaultParallelism,
                 "calib_floor": round(calib_floor, 3),
                 "calib_floor_unloaded": floor_unloaded,
                 "load_flagged": load_flagged,
@@ -409,6 +410,12 @@ def main() -> None:
             "unit": "sec",
             "queries": {name: t["median"] for name, t in timings.items()},
             "sf": sf_val,
+            # effective core count (round 11): the driver re-benches at
+            # a lower $SPARK_GRAFT_CPUS to measure scaling, and without
+            # this echo it cannot distinguish "env honored but
+            # fixed-cost-bound" from "env ignored" (r10 scaling probe
+            # fired suspect_cpus_ignored on an honored contract)
+            "cpus": spark.sparkContext.defaultParallelism,
             "calib_floor": round(calib_floor, 3),
             "calib_ratio": (
                 round(calib_floor / floor_unloaded, 2)

@@ -373,17 +373,23 @@ def phash_candidates(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     # self-joining the banded relation, which consumed the pHash
     # pipeline (and, upstream, the image-decode mapInPandas) twice.
     # sort_array orders by the leading struct field (doc), so expanded
-    # pairs are already doc_a < doc_b; row width stays bounded by
-    # bucket population.
-    members = (
-        banded.groupBy("ci", "cv")
-        .agg(F.sort_array(F.collect_list(F.struct("doc", "h"))).alias("ms"))
-        .where(F.size("ms") > 1)
+    # pairs are already doc_a < doc_b. Round-11 population cap (guide
+    # §2.5): a hot chunk bucket (one near-constant image region) routes
+    # through bucket_pair_rows' self-join leg instead of one unbounded
+    # collect_list row; pair set identical either way.
+    from terrorblade_spark.operators.bucketpairs import bucket_pair_rows
+
+    pairs = bucket_pair_rows(
+        banded.select("ci", "cv", F.struct("doc", "h").alias("m")),
+        ["ci", "cv"], "m", max_bucket_population=65_536,
+        # ONE execution of the pHash pipeline (and the image-decode
+        # mapInPandas upstream of it) across the cap's consumer
+        # branches — AQE stage reuse is unreliable across them (see
+        # bucketpairs.py)
+        materialize=True,
     )
-    tail_len = F.greatest(F.size("ms") - F.col("i") - 1, F.lit(0))
     return (
-        members.select(F.posexplode("ms").alias("i", "a"), "ms")
-        .select("a", F.explode(F.slice("ms", F.col("i") + 2, tail_len)).alias("b"))
+        pairs
         # strict < matches the old join's a.doc < b.doc exactly:
         # duplicate ids in the input (adjacent after sort) must not
         # pair with themselves (the q33 reshape precedent)

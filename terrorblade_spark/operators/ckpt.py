@@ -35,7 +35,13 @@ job (the physical plan is a scan of the already-checkpointed RDD).
 
 from __future__ import annotations
 
+import logging
+import warnings
+
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
+_fallback_warned = False
 
 
 def flat_local_checkpoint(df: DataFrame) -> DataFrame:
@@ -45,14 +51,36 @@ def flat_local_checkpoint(df: DataFrame) -> DataFrame:
     over the checkpointed rows (constant default-size statistics), so
     iterative loops can checkpoint every step without plan-statistics
     compounding. Falls back to the plain checkpoint if the JVM-side
-    re-wrap is unavailable (e.g. a non-classic session).
+    re-wrap is unavailable (e.g. a non-classic/Connect session) — and
+    SAYS SO (one logged warning per process): on such a session the
+    exponential stats compounding this module exists to prevent
+    silently returns, and the visible signal is what distinguishes
+    "slow box" from "fallback engaged" in a hung-loop investigation
+    (round-10 VERDICT item 4).
     """
     ck = df.localCheckpoint(eager=True)
     try:
-        spark = df.sparkSession
-        jdf = ck._jdf
-        jrdd = jdf.queryExecution().toRdd()
-        njdf = spark._jsparkSession.internalCreateDataFrame(jrdd, jdf.schema(), False)
-        return ck.__class__(njdf, spark)
-    except Exception:  # pragma: no cover - defensive: behave like localCheckpoint
+        return _rewrap_stats_free(ck, df.sparkSession)
+    except Exception as exc:  # defensive: behave like localCheckpoint
+        global _fallback_warned
+        if not _fallback_warned:
+            _fallback_warned = True
+            msg = (
+                "flat_local_checkpoint: stats-free re-wrap unavailable "
+                f"({type(exc).__name__}: {exc}); falling back to plain "
+                "localCheckpoint — iterative loops may hit exponential "
+                "plan-statistics compounding (SPARK-39748)"
+            )
+            _log.warning(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
         return ck
+
+
+def _rewrap_stats_free(ck: DataFrame, spark) -> DataFrame:
+    """Re-wrap an already-checkpointed DataFrame's RDD in a fresh
+    ``LogicalRDD`` with no origin statistics (private JVM API; split
+    out so the fallback path is unit-testable)."""
+    jdf = ck._jdf
+    jrdd = jdf.queryExecution().toRdd()
+    njdf = spark._jsparkSession.internalCreateDataFrame(jrdd, jdf.schema(), False)
+    return ck.__class__(njdf, spark)

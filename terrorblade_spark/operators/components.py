@@ -346,50 +346,56 @@ def _resolve_roots_local(ptr: DataFrame) -> DataFrame | None:
     import pandas as pd
 
     spark = ptr.sparkSession
+    schema = "node long, root long, depth int"
     arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
     prev_arrow = spark.conf.get(arrow_key, None)
     spark.conf.set(arrow_key, "true")
     try:
         pdf = ptr.select("node", "anc").toPandas()
+        if len(pdf) == 0:
+            return spark.createDataFrame([], schema)
+        if pdf["node"].isna().any() or pdf["anc"].isna().any():
+            # A null child/parent would become NaN here and wrap to
+            # INT64_MIN under to_numpy(int64) — a fabricated node id.
+            # The distributed loop DROPS null-anc rows; nulls therefore
+            # fall through so its semantics stay authoritative.
+            return None
+        ca = pdf["node"].to_numpy(dtype=np.int64)
+        pa = pdf["anc"].to_numpy(dtype=np.int64)
+        if np.unique(ca).size != len(ca):
+            return None  # duplicated child id: not a clean forest
+        ids, inv = np.unique(np.concatenate([ca, pa]), return_inverse=True)
+        ci, pi = inv[: len(ca)], inv[len(ca):]
+        n = len(ids)
+        anc = np.arange(n)
+        dep = np.zeros(n, dtype=np.int64)
+        anc[ci] = pi
+        dep[ci] = 1  # a self-loop edge keeps d=1 and never reaches a fixpoint
+        converged = False
+        for _ in range(64):  # depth < n <= 2M << 2^64; cycles never fix
+            na = anc[anc]
+            nd = dep + dep[anc]
+            if np.array_equal(na, anc) and np.array_equal(nd, dep):
+                converged = True
+                break
+            anc, dep = na, nd
+        if not converged:
+            return None  # cycle / self-loop: distributed loop adjudicates
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "node": ids,
+                    "root": ids[anc],
+                    "depth": dep.astype(np.int32),
+                }
+            ),
+            schema,
+        )
     finally:
         if prev_arrow is None:
             spark.conf.unset(arrow_key)
         else:
             spark.conf.set(arrow_key, prev_arrow)
-    schema = "node long, root long, depth int"
-    if len(pdf) == 0:
-        return spark.createDataFrame([], schema)
-    ca = pdf["node"].to_numpy(dtype=np.int64)
-    pa = pdf["anc"].to_numpy(dtype=np.int64)
-    if np.unique(ca).size != len(ca):
-        return None  # duplicated child id: not a clean forest
-    ids, inv = np.unique(np.concatenate([ca, pa]), return_inverse=True)
-    ci, pi = inv[: len(ca)], inv[len(ca):]
-    n = len(ids)
-    anc = np.arange(n)
-    dep = np.zeros(n, dtype=np.int64)
-    anc[ci] = pi
-    dep[ci] = 1  # a self-loop edge keeps d=1 and never reaches a fixpoint
-    converged = False
-    for _ in range(64):  # depth < n <= 2M << 2^64; cycles never fix
-        na = anc[anc]
-        nd = dep + dep[anc]
-        if np.array_equal(na, anc) and np.array_equal(nd, dep):
-            converged = True
-            break
-        anc, dep = na, nd
-    if not converged:
-        return None  # cycle / self-loop: distributed loop adjudicates
-    return spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "node": ids,
-                "root": ids[anc],
-                "depth": dep.astype(np.int32),
-            }
-        ),
-        schema,
-    )
 
 
 def resolve_roots(

@@ -149,6 +149,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_population: int = 100_000,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
@@ -176,10 +177,17 @@ def minhash_lsh_candidates(
     sig = _minhash_core(df, id_col, text_col, num_hashes, shingle_n).select(
         F.col(id_col).alias("doc"), F.col("signature").alias("sig")
     )
-    return lsh_candidates_from_signatures(sig, bands, rows)
+    return lsh_candidates_from_signatures(
+        sig, bands, rows, max_bucket_population=max_bucket_population
+    )
 
 
-def lsh_candidates_from_signatures(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+def lsh_candidates_from_signatures(
+    sig: DataFrame,
+    bands: int,
+    rows: int,
+    max_bucket_population: int = 100_000,
+) -> DataFrame:
     """Banded bucket grouping over a prepared (doc, sig) relation —
     split out so pipelines that also need the signatures (e.g. for
     estimated-Jaccard verification) compute them ONCE and reuse the
@@ -190,32 +198,39 @@ def lsh_candidates_from_signatures(sig: DataFrame, bands: int, rows: int) -> Dat
     every band hash — one quadratic bucket of false pairs that
     estimated Jaccard would then score 1.0.
 
-    Plan shape (round-10 reshape, guide §2.4): one groupBy(band,
-    band_hash) collects each bucket's members (sorted, so expanded
-    pairs are already id_a < id_b) and pairs expand row-locally —
-    replacing the banded self-join, which needed the banded relation
-    TWICE and therefore a persist + eager-count materialization job.
-    Now the banded relation is consumed once and nothing is persisted:
-    explode bands -> one shuffle (by bucket) -> pair rows -> distinct.
-    Memory bound: expansion explodes the member list twice (posexplode
-    then a per-member slice) rather than flattening all pairs into one
-    array, so no single row ever exceeds the bucket population P —
-    strictly smaller than the O(P^2) rows the join emitted per hot
-    bucket, and singleton buckets (the overwhelming majority under a
-    working banding curve) die in the size filter before expansion."""
+    Plan shape (round-10 reshape, guide §2.4; round-11 population cap,
+    guide §2.5): one groupBy(band, band_hash) collects each bucket's
+    members (sorted, so expanded pairs are already id_a < id_b) and
+    pairs expand row-locally — replacing the banded self-join, which
+    needed the banded relation TWICE and therefore a persist +
+    eager-count materialization job. The banded relation is consumed
+    once and nothing is persisted: explode bands -> one shuffle (by
+    bucket) -> pair rows -> distinct. ``max_bucket_population`` bounds
+    the collected row: buckets above it route through the classic
+    self-join (identical pair set, quadratic output spread over plain
+    rows) via :func:`~terrorblade_spark.operators.bucketpairs
+    .bucket_pair_rows`, so one adversarial hot band bucket can never
+    materialize an unbounded aggregation buffer. Singleton buckets
+    (the overwhelming majority under a working banding curve) die in
+    the population filter before either leg."""
+    from terrorblade_spark.operators.bucketpairs import bucket_pair_rows
+
     sig = sig.where(F.element_at(F.col("sig"), 1) != -1)
     banded = sig.select("doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash")
     )
-    members = (
-        banded.groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_list("doc")).alias("ms"))
-        .where(F.size("ms") > 1)
+    pairs = bucket_pair_rows(
+        banded, ["band", "band_hash"], "doc",
+        max_bucket_population=max_bucket_population,
+        # the signature pipeline contains the minhash AGGREGATE, which
+        # defeats AQE exchange reuse across the cap's consumer branches
+        # — without the checkpoint the whole scan->shingle->minhash ran
+        # once per branch (bucketpairs docstring; measured +2 s / +2
+        # scans on q33 at sf0.1)
+        materialize=True,
     )
-    tail_len = F.greatest(F.size("ms") - F.col("i") - 1, F.lit(0))
     return (
-        members.select(F.posexplode("ms").alias("i", "id_a"), "ms")
-        .select("id_a", F.explode(F.slice("ms", F.col("i") + 2, tail_len)).alias("id_b"))
+        pairs.select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         # strict < matches the old join's a.doc < b.doc exactly: sorted
         # members make it a no-op for unique ids, and duplicate ids in
         # the input (adjacent after sort) must not pair with themselves
@@ -480,6 +495,15 @@ def jaccard_for_pairs(
 
     Pairs whose shingle sets are disjoint (or docs too short to
     shingle) get jaccard 0.0 — every input pair appears in the output.
+
+    Side effect: ``pairs`` is EAGERLY materialized at call time (a
+    localCheckpoint — building the returned plan runs the candidate
+    pipeline's Spark jobs even if the result is never executed, and the
+    checkpointed pairs stay pinned in executor storage for the
+    session). Deliberate: the relation feeds three consumers below, and
+    un-materialized it would re-execute the caller's whole LSH pipeline
+    per consumer (measured 3x at round 10). Callers composing plans
+    lazily should pass an already-materialized pairs relation.
     """
     from terrorblade_spark.operators.ckpt import flat_local_checkpoint
 
@@ -969,6 +993,7 @@ def semantic_dedup_incremental(
     vec_col: str = "embedding",
     assign_probes: int = 2,
     max_exact_group: int | None = 64,
+    materialize_state: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Ingest-time SemDeDup: admit only batch vectors that are not
     near-duplicates of (a) the already-admitted canonical set or
@@ -1131,12 +1156,20 @@ def semantic_dedup_incremental(
             .localCheckpoint(eager=True)
         )
         # the admitted rows' probe cells were already computed — reuse
-        # them instead of a second matmul pass
-        new_state = (
-            new_cells.join(admitted.select(id_col), id_col, "semi")
-            .select(id_col, "list_id", vec_col)
-            .localCheckpoint(eager=True)
+        # them instead of a second matmul pass. materialize_state=False
+        # skips the eager checkpoint (one whole job + a scan of the
+        # persisted cells): callers that DISCARD the state relation —
+        # q130 verifies admission only — pay nothing for it, and the
+        # admission decision/result is identical either way. The lazy
+        # plan derives from the eagerly-checkpointed `admitted` plus a
+        # re-evaluation of the batch's assignment lineage if a caller
+        # does execute it later (after the finally-unpersist below), so
+        # state-appending callers keep the default.
+        new_state = new_cells.join(admitted.select(id_col), id_col, "semi").select(
+            id_col, "list_id", vec_col
         )
+        if materialize_state:
+            new_state = new_state.localCheckpoint(eager=True)
     finally:
         pairs.unpersist()
         new_cells.unpersist()
@@ -1233,18 +1266,24 @@ def semantic_neardup_pairs_lsh(
     # and the whole scan + normalize + bucket pipeline above — TWICE.
     # sort_array orders by the leading struct field (the id), so
     # expanded pairs are already id_a < id_b with the same dot operand
-    # order as the old a-side/b-side join; row width stays bounded by
-    # bucket population.
-    members = (
-        unit.groupBy("__b")
-        .agg(F.sort_array(F.collect_list(F.struct(id_col, "__u"))).alias("ms"))
-        .where(F.size("ms") > 1)
+    # order as the old a-side/b-side join. Round-11 population cap
+    # (guide §2.5): a hot cell routes through the self-join leg of
+    # bucket_pair_rows instead of one unbounded collect_list row —
+    # members carry the unit VECTOR, so the cap is lower than the
+    # id-only dedup default (8192 x ~(8 + dims x 8) B stays ~4 MB/row).
+    from terrorblade_spark.operators.bucketpairs import bucket_pair_rows
+
+    pairs = bucket_pair_rows(
+        unit.select("__b", F.struct(id_col, "__u").alias("m")),
+        ["__b"], "m", max_bucket_population=8192,
+        # guarantees ONE execution of the scan+normalize+bucket
+        # pipeline across the cap's consumer branches (AQE stage reuse
+        # is unreliable across them even for canonically-equal
+        # exchanges — see bucketpairs.py; measured on q82)
+        materialize=True,
     )
-    tail_len = F.greatest(F.size("ms") - F.col("i") - 1, F.lit(0))
     return (
-        members.select(F.posexplode("ms").alias("i", "a"), "ms")
-        .select("a", F.explode(F.slice("ms", F.col("i") + 2, tail_len)).alias("b"))
-        .where(dot(F.col("a.__u"), F.col("b.__u")) >= F.lit(float(threshold)))
+        pairs.where(dot(F.col("a.__u"), F.col("b.__u")) >= F.lit(float(threshold)))
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )

@@ -441,7 +441,7 @@ def random_walks(
     walks_per_node: int = 1,
     seed: str = "walk",
     node_col: str = "node",
-    local_max_edges: int = 200_000,
+    local_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Seeded DETERMINISTIC random walks over the directed graph — the
     node2vec/DeepWalk context sampler: every node starts
@@ -508,15 +508,17 @@ def _walks_local(links, walks_per_node, walk_length, seed, node_col, spark):
     ``hash64(seed/walk_id/step) % out_degree`` — via the same
     15-hex-chars-of-md5 parse (60 bits, no overflow on either side;
     the q71 ``spark_hash_string`` / ``_plane_sign`` twin precedent),
-    so the emitted walks are identical row sets (unit-gated). The md5
-    evaluation is one Python call per ALIVE (walk, step) pair, which
-    is why the walks gate defaults LOWER than the 2M-edge bound of
-    the other finishers: ~n_nodes x walks_per_node x walk_length
-    calls ~ a second at 200k edges."""
-    import hashlib
-
+    so the emitted walks are identical row sets (unit-gated). Round 11
+    vectorized the draw (``md5vec.md5_hash60_draws``: single-block MD5
+    as batched uint32 numpy arithmetic, parity-tested against hashlib)
+    — the per-(walk, step) Python md5 call was the reason this gate
+    sat 10x below the shared 2M-edge bound; the hashlib loop remains
+    only as the fallback for a seed so long the message would need a
+    second MD5 block."""
     import numpy as np
     import pandas as pd
+
+    from terrorblade_spark.operators.md5vec import md5_hash60_draws
 
     pdf = _arrow_collect(links.select("__src", "__dst"))
     schema = f"walk_id long, step int, {node_col} long"
@@ -539,14 +541,19 @@ def _walks_local(links, walks_per_node, walk_length, seed, node_col, spark):
         if not alive.any():
             break
         wid, cur, pos = wid[alive], cur[alive], pos_c[alive]
-        draws = np.fromiter(
-            (
-                int(hashlib.md5(f"{seed}/{w}/{t}".encode()).hexdigest()[:15], 16)
-                for w in wid
-            ),
-            dtype=np.int64,
-            count=len(wid),
-        )
+        try:
+            draws = md5_hash60_draws(f"{seed}/", wid, f"/{t}")
+        except (ValueError, UnicodeEncodeError):  # >=56-byte message / exotic seed
+            import hashlib
+
+            draws = np.fromiter(
+                (
+                    int(hashlib.md5(f"{seed}/{w}/{t}".encode()).hexdigest()[:15], 16)
+                    for w in wid
+                ),
+                dtype=np.int64,
+                count=len(wid),
+            )
         cur = dst[starts[pos] + draws % degs[pos]]
         out_w.append(wid)
         out_s.append(np.full(len(wid), t, np.int64))
@@ -564,7 +571,7 @@ def _walks_local(links, walks_per_node, walk_length, seed, node_col, spark):
 
 
 def _walk_steps(links, walks_per_node, walk_length, seed, node_col, spark,
-                local_max_edges=200_000):
+                local_max_edges=2_000_000):
     from terrorblade_spark.functions.exprs import hash64
 
     n_links = links.count()

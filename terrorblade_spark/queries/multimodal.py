@@ -184,22 +184,22 @@ def q52_media_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = feats.where(F.col("kind").isNotNull()).withColumn(
         "nrm", norm(F.col("features"))
     )
-    members = (
-        feats.groupBy("kind", "bucket")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("media_id", "features", "nrm"))
-            ).alias("ms")
-        )
-        .where(F.size("ms") > 1)
-    )
-    tail_len = F.greatest(F.size("ms") - F.col("i") - 1, F.lit(0))
-    pairs = members.select(
-        "kind", F.posexplode("ms").alias("i", "a"), "ms"
-    ).select(
-        "kind",
-        "a",
-        F.explode(F.slice("ms", F.col("i") + 2, tail_len)).alias("b"),
+    # Round-11 population cap (guide §2.5): pairs expand through
+    # bucket_pair_rows — row-local under the cap, classic self-join
+    # above it (identical pair set; members carry the feature vector,
+    # so the cap is the vector-member 8192 like semantic LSH).
+    from terrorblade_spark.operators.bucketpairs import bucket_pair_rows
+
+    pairs = bucket_pair_rows(
+        feats.select(
+            "kind", "bucket", F.struct("media_id", "features", "nrm").alias("m")
+        ),
+        ["kind", "bucket"], "m", max_bucket_population=8192,
+        # ONE execution of the featurize mapInPandas across the cap's
+        # consumer branches (measured: without it the hot legs re-ran
+        # the feature pipeline; AQE stage reuse is unreliable across
+        # them even for canonically-equal exchanges — bucketpairs.py)
+        materialize=True,
     )
     d = dot(F.col("a.features"), F.col("b.features"))
     n = F.col("a.nrm") * F.col("b.nrm")

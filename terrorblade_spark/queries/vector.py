@@ -504,7 +504,11 @@ def q130_semantic_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         admitted, _state_out = semantic_dedup_incremental(
-            batch, state, cents, threshold=_Q130_TH, assign_probes=2
+            batch, state, cents, threshold=_Q130_TH, assign_probes=2,
+            # this query verifies ADMISSION only and discards the state
+            # relation — skip its eager checkpoint (round 11: one whole
+            # job off the gate's fixed job graph; admitted unchanged)
+            materialize_state=False,
         )
     finally:
         state_bc.unpersist()

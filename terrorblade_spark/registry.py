@@ -86,6 +86,16 @@ GATE_OVERFLOW: tuple[str, ...] = (
     # the local check_oracle runs.
     "q50_frame_sample_rollup",
     "q51_image_decode_stats",
+    # round-11 rotation (r10 verdict task 8): q35/q25 cede their gate
+    # slots to q117_tfidf_keywords and q119_value_outliers so the
+    # tf-idf and robust-outlier families get driver-verified coverage.
+    # q35_simhash's hash-signature coverage is duplicated in-gate by
+    # q32/q33/q34 (the minhash signature/band/jaccard family), and
+    # q25_session_overlap_context's session windowing by
+    # q19/q20/q23/q24. Both stay full-value-oracle-verified by the
+    # local check_oracle runs.
+    "q35_simhash",
+    "q25_session_overlap_context",
     # round-5 additions: full-oracle queries for the previously
     # unit-only operators (as-of/range join, funnel, retention,
     # resample, stratified sampling, connected components). Same
@@ -139,9 +149,8 @@ GATE_OVERFLOW: tuple[str, ...] = (
     # value oracles, verified by the local check_oracle runs
     "q114_copurchase_reach",
     "q115_trade_communities",
-    "q117_tfidf_keywords",
+    # q117/q119 rotated INTO the gate in round 11 (r10 verdict task 8)
     "q118_event_ewma",
-    "q119_value_outliers",
     "q120_lang_source_association",
     "q121_lang_source_chi2",
     "q122_props_json_stats",

@@ -247,6 +247,37 @@ def test_resolve_roots_raises_on_cycle(spark):
         resolve_roots(edges, max_rounds=6)
 
 
+def test_resolve_roots_null_edges_local_matches_distributed(spark):
+    """ADVICE r10 (high): a null child/parent must NOT become a
+    fabricated INT64_MIN node in the local finisher — it falls through
+    to the distributed loop, whose null-drop semantics are the
+    contract. Local (default gate) and forced-distributed outputs must
+    agree row for row on a null-bearing edge list."""
+    from terrorblade_spark.operators.components import resolve_roots
+
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (None, 7), (8, None), (11, 10)],
+        "child long, parent long",
+    )
+    local = {
+        r["node"]: (r["root"], r["depth"]) for r in resolve_roots(edges).collect()
+    }
+    dist = {
+        r["node"]: (r["root"], r["depth"])
+        for r in resolve_roots(edges, local_max_edges=0).collect()
+    }
+    assert local == dist
+    # no fabricated node ids: INT64_MIN never appears (a None node is
+    # the distributed loop's own null handling, kept as-is)
+    assert all(n is None or n > -(2**62) for n in local)
+    assert local[3] == (1, 2) and local[11] == (10, 1)
+    # and the local finisher itself refuses null-bearing input outright
+    from terrorblade_spark.operators.components import _resolve_roots_local
+
+    ptr = edges.selectExpr("child as node", "parent as anc")
+    assert _resolve_roots_local(ptr) is None
+
+
 def test_resolve_roots_local_matches_distributed(spark):
     # chains + branches + isolated subtrees, ids deliberately sparse
     # and out of order; the size-gated driver finisher and the pointer-

@@ -314,6 +314,31 @@ def test_incremental_gate_blocks_state_and_batch_dups(spark):
     assert {r.vec_id for r in state2.collect()} == {11, 12}
 
 
+def test_incremental_materialize_state_optout_identical(spark):
+    """materialize_state=False (q130's admission-only path) must leave
+    the admitted set AND the state relation's rows identical — it only
+    skips the eager checkpoint job for callers that discard the state."""
+    cents = _cents(spark)
+    b1 = _vecs(spark, [
+        (1, _rot(0.00, 0, 1)),
+        (2, _rot(0.40, 0, 1)),
+        (3, _rot(0.00, 1, 2)),
+        (4, _rot(0.05, 1, 2)),
+    ])
+    adm_e, state_e = semantic_dedup_incremental(b1, None, cents, threshold=0.95)
+    adm_l, state_l = semantic_dedup_incremental(
+        b1, None, cents, threshold=0.95, materialize_state=False
+    )
+    assert sorted(r.vec_id for r in adm_l.collect()) == sorted(
+        r.vec_id for r in adm_e.collect()
+    )
+    # the lazy state is still executable after the operator returned
+    # (recomputes through the checkpointed admitted relation)
+    assert sorted((r.vec_id, r.list_id) for r in state_l.collect()) == sorted(
+        (r.vec_id, r.list_id) for r in state_e.collect()
+    )
+
+
 def test_incremental_replay_is_noop(spark):
     """At-least-once delivery: re-feeding an already-folded batch
     admits nothing (every row pairs with its own admitted twin in

@@ -1,8 +1,9 @@
-"""Capture .explain("formatted") for headline queries into plans/r10/.
+"""Capture .explain("formatted") for headline queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
-  suffix: "before" or "after" (file name becomes plans/r10/<query>_<suffix>.txt)
+  suffix: "before" or "after" (file name becomes plans/<round>/<query>_<suffix>.txt)
   queries: default = bench.HEADLINE
+  round dir: $PLANS_ROUND (default "r11"); $PLANS_OUT overrides the full path
 
 Also prints a one-line plan-shape summary per query (Exchange count,
 join strategies, Python eval nodes) so before/after diffs are quick to
@@ -29,7 +30,11 @@ def main() -> None:
     names = sys.argv[2:] or bench.HEADLINE
     spark = get_spark("capture_plans")
     queries = get_queries()
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    out_dir = os.environ.get("PLANS_OUT") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r11"),
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     for name in names:
