@@ -374,9 +374,9 @@ def phash_candidates(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     # pipeline (and, upstream, the image-decode mapInPandas) twice.
     # sort_array orders by the leading struct field (doc), so expanded
     # pairs are already doc_a < doc_b. Round-11 population cap (guide
-    # §2.5): a hot chunk bucket (one near-constant image region) routes
-    # through bucket_pair_rows' self-join leg instead of one unbounded
-    # collect_list row; pair set identical either way.
+    # §2.5): a hot chunk bucket (one near-constant image region)
+    # collects as bounded rank-chunks in bucket_pair_rows instead of
+    # one unbounded collect_list row; pair set identical either way.
     from terrorblade_spark.operators.bucketpairs import bucket_pair_rows
 
     pairs = bucket_pair_rows(

@@ -12,25 +12,38 @@ bucket of 10M members materializes an ~80 MB+ array in a single
 aggregation buffer (and collect_list's per-key buffer does not spill;
 the sort-based fallback still builds the whole array for the key).
 
-Round 11 completes the reshape with a population cap (guide §2.5 skew —
-the ``max_shingle_df`` pattern applied to bucket population), WITHOUT
-changing any result: over-cap buckets are ROUTED THROUGH THE CLASSIC
-SELF-JOIN, which emits the identical pair set as O(P^2) individual
-rows spread across tasks instead of one collected array. No bucket is
-dropped; the pair set is provably the same on either leg, so every
-declared query's output is unchanged on any input.
+Round 11 bounds the buffer WITHOUT changing any result, via CHUNKED
+collection: members are ranked within their bucket (row_number over the
+member order) and collected per (bucket, chunk) where
+``chunk = (rank - 1) // max_bucket_population`` — every collected array
+is at most the cap. Pairs then come from exactly two disjoint sources:
 
-Plan shape: the population count is a window partitioned by the bucket
-key, so the window's exchange is the same exchange the row-local leg's
-groupBy needs; the upstream pipeline executes ONCE — via AQE exchange
-reuse across the three consumer branches when the lineage is
-aggregate-free (the explicit null pre-filter below is what makes the
-branches canonically equal), or via an eager localCheckpoint
-(``materialize=True``) when it is not (Spark cannot canonicalize a
-partial+final aggregate under an exchange, so reuse never fires above
-one). Window groups spill to disk (ExternalAppendOnlyUnsafeRowArray),
-unlike a collect_list buffer, so the hot bucket never holds P rows in
-memory at once on either leg.
+- WITHIN a chunk: the round-10 row-local posexplode + slice expansion,
+  unchanged (sorted members, emitted a-before-b).
+- ACROSS two chunks of the same bucket: a self-join OF THE AGGREGATED
+  CHUNK RELATION on (bucket, chunk_a < chunk_b), exploding both member
+  arrays. Chunks partition the bucket by member rank, so every
+  cross-chunk pair has its smaller member in the earlier chunk — the
+  union is exactly the classic self-join's ``a < b`` row SET for any
+  cap value. In the normal regime (every bucket under the cap) each
+  bucket is one chunk and the join matches nothing.
+
+Design history (measured, round 11): the first cut routed WHOLE
+over-cap buckets through a classic self-join, deciding via a
+count-window over the row-level relation. That needed the row-level
+relation three times, and AQE exchange-stage reuse across the branches
+proved unreliable — an aggregate anywhere in the lineage breaks
+canonical equality outright (partial+final aggregates do not
+canonicalize; q33 re-ran its whole scan->shingle->minhash pipeline once
+PER BRANCH: 3 scans, +2 jobs, ~+2 s at sf0.1), and even
+``sameResult``-equal exchanges (q52, verified node-by-node) re-plan as
+separate stages under AQE's runtime re-optimization. Materializing the
+row-level relation fixed the re-execution but cost the count() path a
+full-width checkpoint (q52 +1-1.6 s, q82 +0.5 s on interleaved A/B).
+The chunked shape keeps ONE single-consumer pipeline for everything
+row-level; only the aggregated chunk relation (one array row per
+multi-member bucket, each at most cap members) is consumed three times
+and therefore checkpointed when ``materialize=True``.
 """
 
 from __future__ import annotations
@@ -52,35 +65,38 @@ def bucket_pair_rows(
     ``rel`` must carry ``group_cols`` (the bucket key) and
     ``member_col`` (scalar or struct; structs compare lexicographically
     with the id leading, matching ``sort_array``'s order). Pairs are
-    emitted with ``a`` strictly before ``b`` in member order within the
-    same bucket — exactly the row set of the classic
-    ``a.join(b, key).where(a.m < b.m)`` self-join. Callers keep their
-    own downstream predicates (id inequality, similarity threshold,
-    distinct) unchanged.
+    emitted with ``a`` before ``b`` in member order within the same
+    bucket — the row SET of the classic
+    ``a.join(b, key).where(a.m < b.m)`` self-join plus the
+    equal-member position pairs the sorted expansion has always
+    emitted; callers keep their own strict ``a < b`` /
+    threshold / distinct predicates unchanged. Null bucket keys and
+    null members never pair (explicitly filtered; the classic join was
+    null-rejecting already).
 
-    Buckets with population <= ``max_bucket_population`` expand
-    row-locally (sorted collect_list + posexplode/slice: one shuffle,
-    collected row width bounded by the cap). Buckets above the cap
-    self-join instead: the quadratic output is spread over ordinary
-    rows and no task ever buffers the bucket. Population 1 buckets die
-    before either leg. The cap must be > 0; it bounds MEMORY, never
-    membership — results are identical for any cap value.
+    ``max_bucket_population`` bounds the aggregation buffer, NEVER
+    membership: a bucket larger than the cap is collected as several
+    rank-chunks of at most cap members, and chunk-crossing pairs come
+    from a self-join of the (small) chunk relation. Results are
+    identical for any cap value. Rows whose bucket has a single member
+    die before expansion (their lone size-1 chunk matches nothing),
+    except in the degenerate ``cap == size(ms)`` case where they ride
+    along harmlessly.
 
-    ``materialize=True`` EAGERLY localCheckpoints the windowed relation
-    (non-singleton rows only) before the legs split, so the upstream
-    pipeline provably executes once. Every production call site sets
-    it: AQE stage reuse across the three consumer branches proved
-    unreliable — an aggregate anywhere in the lineage breaks canonical
-    equality outright (partial+final aggregate pairs do not
-    canonicalize; measured on q33 at sf0.1: 3 full
-    scan->shingle->minhash executions, +2 jobs, ~+2 s), and even
-    branches whose exchanges ARE ``sameResult``-equal (q52, verified
-    node-by-node) re-plan as separate stages once AQE's runtime
-    re-optimization rewrites one branch. The pure-plan default exists
-    for composition inside already-materialized pipelines and for
-    tests. Side effect when True: calling this function runs Spark
-    jobs at plan time and pins the checkpointed rows for the session
-    (the jaccard_for_pairs precedent).
+    ``materialize=True`` (every production call site) eagerly
+    localCheckpoints the chunk relation — it feeds the within-chunk
+    expansion and both self-join sides, and without the checkpoint AQE
+    re-executes the whole upstream once per consumer (module
+    docstring). Side effect: calling this function then runs Spark
+    jobs at plan time and pins the (bucket-count-sized) chunk rows for
+    the session — the jaccard_for_pairs precedent.
+
+    Determinism note: equal member VALUES tie in the rank order, so
+    which copy lands in which chunk is not fixed; the emitted pair SET
+    is invariant, but the pair MULTISET for duplicated members can
+    vary with the cap (exactly as it did between the r10 expansion and
+    the classic join). Every call site keys members by a unique id, and
+    the one consumer that can see duplicates (q33) applies distinct.
     """
     if max_bucket_population <= 0:
         raise ValueError(
@@ -88,61 +104,54 @@ def bucket_pair_rows(
         )
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*group_cols)
-    # Null keys/members are filtered EXPLICITLY, before the window, on
-    # every branch. Semantics: a null never pairs anyway (the join leg
-    # is null-rejecting by equi-join semantics; the row-local leg's
-    # callers all apply strict a < b filters, which drop null members).
-    # Plan shape: this is what makes the three consumers share ONE
-    # exchange — the optimizer infers isnotnull(<keys>) from the hot
-    # leg's join condition and pushes it BELOW the window, so without
-    # the same filter on the cold leg the exchange subtrees are not
-    # canonically equal and AQE stage reuse does NOT fire: the whole
-    # upstream pipeline (scan -> signatures -> band explode) executed
-    # once PER BRANCH (measured on q33: 3 scans, +2 jobs, ~+2 s at
-    # sf0.1). With it, the plan is one Exchange + two ReusedExchange.
+    cap = int(max_bucket_population)
+    # nulls never pair (join-leg semantics, kept explicit so the plan
+    # is identical on every consumer branch)
     nn = F.col(member_col).isNotNull()
     for c in group_cols:
         nn = nn & F.col(c).isNotNull()
-    pop = (
+    w = Window.partitionBy(*group_cols).orderBy("__m")
+    chunked = (
         rel.where(nn)
         .select(*group_cols, F.col(member_col).alias("__m"))
-        .withColumn("__p", F.count(F.lit(1)).over(w))
+        .withColumn("__c", ((F.row_number().over(w) - 1) / cap).cast("long"))
+        # groupBy adds __c to the window's bucket-key partitioning —
+        # hash(bucket) already clusters (bucket, __c), so this reuses
+        # the window's one exchange
+        .groupBy(*group_cols, "__c")
+        .agg(F.sort_array(F.collect_list("__m")).alias("ms"))
+        # singleton buckets die here (size-1 chunk 0, nothing to pair
+        # within or across); size == cap keeps full chunks so cap=1
+        # degenerates to the pure join shape instead of losing rows
+        .where((F.size("ms") > 1) | (F.col("__c") > 0) | (F.size("ms") == cap))
     )
-    pop = pop.where(F.col("__p") > 1)
     if materialize:
-        # plain localCheckpoint (not the stats-free re-wrap): this is a
-        # single checkpoint, not an iterative loop, so origin stats
-        # cannot compound — and the public API keeps row copying /
-        # storage-level handling
-        pop = pop.localCheckpoint(eager=True)
-    cold = pop.where(F.col("__p") <= F.lit(max_bucket_population))
-    members = cold.groupBy(*group_cols).agg(
-        F.sort_array(F.collect_list("__m")).alias("ms")
-    )
+        # plain localCheckpoint (not the stats-free re-wrap): a single
+        # checkpoint cannot compound stats, and the relation is the
+        # SMALL aggregate — one row per (multi-member bucket, chunk)
+        chunked = chunked.localCheckpoint(eager=True)
     tail_len = F.greatest(F.size("ms") - F.col("i") - 1, F.lit(0))
-    cold_pairs = (
-        members.select(*group_cols, F.posexplode("ms").alias("i", "a"), "ms")
+    within = (
+        chunked.select(*group_cols, F.posexplode("ms").alias("i", "a"), "ms")
         .select(
             *group_cols,
             "a",
             F.explode(F.slice("ms", F.col("i") + 2, tail_len)).alias("b"),
         )
     )
-    hot = pop.where(F.col("__p") > F.lit(max_bucket_population)).select(
-        *group_cols, "__m"
+    ca, cb = chunked.alias("ca"), chunked.alias("cb")
+    cond = [F.col(f"ca.{c}") == F.col(f"cb.{c}") for c in group_cols]
+    # rank-chunks are member-ordered, so every member of an earlier
+    # chunk precedes (<=, with equality only for boundary duplicates)
+    # every member of a later one — a < b orientation is structural
+    cond.append(F.col("ca.__c") < F.col("cb.__c"))
+    cross = (
+        ca.join(cb, cond)
+        .select(
+            *[F.col(f"ca.{c}").alias(c) for c in group_cols],
+            F.explode(F.col("ca.ms")).alias("a"),
+            F.col("cb.ms").alias("__bms"),
+        )
+        .select(*group_cols, "a", F.explode("__bms").alias("b"))
     )
-    ha, hb = hot.alias("ha"), hot.alias("hb")
-    cond = [F.col(f"ha.{c}") == F.col(f"hb.{c}") for c in group_cols]
-    # strict member order matches both the sorted-array expansion and
-    # the historical self-join's a < b guard: equal members (duplicate
-    # ids in one bucket) pair on NEITHER leg's output after the
-    # callers' strict-inequality filters, and each unordered pair
-    # appears exactly once
-    cond.append(F.col("ha.__m") < F.col("hb.__m"))
-    hot_pairs = ha.join(hb, cond).select(
-        *[F.col(f"ha.{c}").alias(c) for c in group_cols],
-        F.col("ha.__m").alias("a"),
-        F.col("hb.__m").alias("b"),
-    )
-    return cold_pairs.unionByName(hot_pairs)
+    return within.unionByName(cross)

@@ -204,15 +204,16 @@ def lsh_candidates_from_signatures(
     pairs expand row-locally — replacing the banded self-join, which
     needed the banded relation TWICE and therefore a persist +
     eager-count materialization job. The banded relation is consumed
-    once and nothing is persisted: explode bands -> one shuffle (by
-    bucket) -> pair rows -> distinct. ``max_bucket_population`` bounds
-    the collected row: buckets above it route through the classic
-    self-join (identical pair set, quadratic output spread over plain
-    rows) via :func:`~terrorblade_spark.operators.bucketpairs
-    .bucket_pair_rows`, so one adversarial hot band bucket can never
-    materialize an unbounded aggregation buffer. Singleton buckets
-    (the overwhelming majority under a working banding curve) die in
-    the population filter before either leg."""
+    once and nothing corpus-sized is persisted: explode bands -> one
+    shuffle (by bucket) -> pair rows -> distinct.
+    ``max_bucket_population`` bounds the collected aggregation buffer:
+    an over-cap bucket is collected as rank-chunks of at most cap
+    members and chunk-crossing pairs come from a self-join of the
+    small chunk relation (identical pair set for any cap) via
+    :func:`~terrorblade_spark.operators.bucketpairs.bucket_pair_rows`,
+    so one adversarial hot band bucket can never materialize an
+    unbounded buffer. Singleton buckets (the overwhelming majority
+    under a working banding curve) die before expansion."""
     from terrorblade_spark.operators.bucketpairs import bucket_pair_rows
 
     sig = sig.where(F.element_at(F.col("sig"), 1) != -1)
@@ -222,11 +223,10 @@ def lsh_candidates_from_signatures(
     pairs = bucket_pair_rows(
         banded, ["band", "band_hash"], "doc",
         max_bucket_population=max_bucket_population,
-        # the signature pipeline contains the minhash AGGREGATE, which
-        # defeats AQE exchange reuse across the cap's consumer branches
-        # — without the checkpoint the whole scan->shingle->minhash ran
-        # once per branch (bucketpairs docstring; measured +2 s / +2
-        # scans on q33 at sf0.1)
+        # the chunk relation feeds three consumers; without the
+        # checkpoint AQE re-executes the whole scan->shingle->minhash
+        # pipeline per consumer (bucketpairs docstring; measured +2 s /
+        # +2 scans on q33 at sf0.1)
         materialize=True,
     )
     return (
@@ -1267,7 +1267,7 @@ def semantic_neardup_pairs_lsh(
     # sort_array orders by the leading struct field (the id), so
     # expanded pairs are already id_a < id_b with the same dot operand
     # order as the old a-side/b-side join. Round-11 population cap
-    # (guide §2.5): a hot cell routes through the self-join leg of
+    # (guide §2.5): a hot cell collects as bounded rank-chunks in
     # bucket_pair_rows instead of one unbounded collect_list row —
     # members carry the unit VECTOR, so the cap is lower than the
     # id-only dedup default (8192 x ~(8 + dims x 8) B stays ~4 MB/row).
@@ -1276,10 +1276,9 @@ def semantic_neardup_pairs_lsh(
     pairs = bucket_pair_rows(
         unit.select("__b", F.struct(id_col, "__u").alias("m")),
         ["__b"], "m", max_bucket_population=8192,
-        # guarantees ONE execution of the scan+normalize+bucket
-        # pipeline across the cap's consumer branches (AQE stage reuse
-        # is unreliable across them even for canonically-equal
-        # exchanges — see bucketpairs.py; measured on q82)
+        # ONE execution of the scan+normalize+bucket pipeline across
+        # the chunk relation's three consumers (AQE stage reuse is
+        # unreliable across them — bucketpairs.py; measured on q82)
         materialize=True,
     )
     return (

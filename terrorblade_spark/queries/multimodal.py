@@ -185,9 +185,10 @@ def q52_media_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm", norm(F.col("features"))
     )
     # Round-11 population cap (guide §2.5): pairs expand through
-    # bucket_pair_rows — row-local under the cap, classic self-join
-    # above it (identical pair set; members carry the feature vector,
-    # so the cap is the vector-member 8192 like semantic LSH).
+    # bucket_pair_rows — row-local within bounded rank-chunks, a
+    # chunk-relation self-join across them (identical pair set;
+    # members carry the feature vector, so the cap is the
+    # vector-member 8192 like semantic LSH).
     from terrorblade_spark.operators.bucketpairs import bucket_pair_rows
 
     pairs = bucket_pair_rows(

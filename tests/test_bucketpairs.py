@@ -1,7 +1,9 @@
 """bucket_pair_rows: the capped within-bucket pair expansion must emit
-the IDENTICAL pair set whether a bucket takes the row-local leg (cold,
-population <= cap) or the self-join leg (hot) — the round-11 cap is a
-memory bound, never a membership change.
+the IDENTICAL pair set whether a bucket fits one rank-chunk
+(population <= cap: the pure round-10 row-local shape) or is split
+into several chunks whose crossings come from the chunk-relation
+self-join — the round-11 cap is a memory bound, never a membership
+change.
 """
 
 from __future__ import annotations
@@ -17,17 +19,19 @@ def _rows(df):
 
 
 def test_hot_leg_matches_cold_leg_scalar(spark):
-    # bucket 1: 5 members (hot at cap=3), bucket 2: 2 members (cold),
-    # bucket 3: singleton (dies before either leg)
+    # bucket 1: 5 members (2 chunks at cap=3, 3 chunks at cap=2),
+    # bucket 2: 2 members (single chunk), bucket 3: singleton (dies
+    # before expansion)
     data = [(1, 10), (1, 11), (1, 12), (1, 13), (1, 14), (2, 20), (2, 21), (3, 30)]
     rel = spark.createDataFrame(data, ["bkt", "doc"])
     cold = bucket_pair_rows(rel, ["bkt"], "doc", max_bucket_population=100)
-    routed = bucket_pair_rows(rel, ["bkt"], "doc", max_bucket_population=3)
-    assert _rows(cold) == _rows(routed)
+    for cap in (3, 2):
+        routed = bucket_pair_rows(rel, ["bkt"], "doc", max_bucket_population=cap)
+        assert _rows(cold) == _rows(routed), cap
     # 5 choose 2 + 1 pair
-    assert len(_rows(routed)) == 11
+    assert len(_rows(cold)) == 11
     # every pair ordered a < b
-    assert all(a < b for (_, a, b) in _rows(routed))
+    assert all(a < b for (_, a, b) in _rows(cold))
 
 
 def test_hot_leg_matches_cold_leg_struct_member(spark):
